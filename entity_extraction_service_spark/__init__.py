@@ -1,0 +1,22 @@
+"""entity_extraction_service_spark — PySpark-native KG construction engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of the
+reference service `brianjwalters/entity-extraction-service` (a stateful
+FastAPI/vLLM per-document extractor): typed entity/mention extraction,
+(subj, pred, obj) triple extraction, blocking-key entity linking with
+pairwise similarity scoring, connected-components canonicalization, and
+deduplicated entity/edge materialization — as a pure batch DataFrame job
+over multi-turn conversation transcripts
+(conv_id, turn_idx, role, text, tool, ts).
+
+Design rules (see SURVEY.md):
+- DataFrame/SQL-first; Catalyst/AQE do the optimization.
+- All per-text heavy work inside Arrow-vectorized pandas UDFs
+  (batched — never per-row Python).
+- Dedup/linking/validation as joins + window functions + groupBy aggs.
+- Explicit skew handling (salted repartition for long conversations,
+  capped/salted blocking keys for hot entities).
+- Checkpoint/resume via an append-only checkpoint table + anti-join.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,79 @@
+"""Pipeline configuration.
+
+Thresholds and defaults mirror the reference's semantics so that outputs
+match at P/R >= 0.95 (citations are file:line in /root/reference):
+
+- similarity_threshold 0.85   — entity_registry.py:49 (ctor default)
+- proximity_window 100 chars  — relationships/relationship_extractor.py:54
+- max_entity_distance 200     — relationships/relationship_extractor.py:56
+- proximity_confidence floor 0.5 — relationship_extractor.py:49
+- triple overall confidence floor 0.6 — relationship_extractor.py:51,171-173
+- LLM-wave triple validation floor 0.85 — extraction_orchestrator.py:1084
+- method confidence defaults {regex .8, ai .9, hybrid .85, relationship .7}
+  — extraction_service.py:3036-3062
+- chunking: turn-aligned windows (chunk = K consecutive turns) so char
+  offsets stay exact and D4's start//10 tolerance hack is unnecessary
+  (SURVEY.md §7.4 hard-part 4)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- chunking (C1/C2 analog, turn-aligned) ---
+    turns_per_chunk: int = 16          # chunk = K consecutive turns
+    chunk_overlap_turns: int = 0       # overlap disabled by default: offsets stay exact
+    max_chunk_chars: int = 32_000      # LARGE docs route to chunked path (size_detector.py:72-78)
+
+    # --- mention extraction ---
+    regex_confidence: float = 0.8      # extraction_service.py:3036-3062
+    model_confidence: float = 0.9      # AI-discovered default
+    hybrid_confidence: float = 0.85
+    mention_confidence_floor: float = 0.5
+
+    # --- linking (L1/L2/L5) ---
+    similarity_threshold: float = 0.85     # entity_registry.py:49
+    blocking_max_block_size: int = 1_000   # cap pairs per blocking key (hot-key guard)
+    hot_key_salt_buckets: int = 16         # salting for skewed blocking keys
+    cc_max_iterations: int = 20            # connected components fixpoint bound
+
+    # --- triples (T1/T3/T5/T6/T9) ---
+    proximity_window: int = 100            # relationship_extractor.py:54
+    max_entity_distance: int = 200         # relationship_extractor.py:56
+    proximity_confidence_floor: float = 0.5  # relationship_extractor.py:49
+    triple_confidence_floor: float = 0.6     # relationship_extractor.py:51
+    llm_triple_confidence_floor: float = 0.85  # extraction_orchestrator.py:1084
+    confidence_boost_factor: float = 0.1   # T8 merge boost (relationship_extractor.py:787-819)
+    max_prompt_entities: int = 50          # wave-4 prompt cap (extraction_orchestrator.py:863)
+
+    # --- skew / scale knobs ---
+    shuffle_partitions: int = 32
+    long_conv_salt_turns: int = 512        # sub-split conversations longer than this
+    arrow_max_records_per_batch: int = 2_000
+
+    # --- predicate vocabulary (reduced set per north_star; T10 analog) ---
+    predicates: tuple[str, ...] = (
+        "works_for", "uses_tool", "discusses", "mentions", "replies_to", "related_to",
+    )
+
+    # type-pair -> predicate inference table (T3 analog of
+    # relationship_extractor.py:698-727 type_rules, re-expressed for
+    # PERSON/ORG/TOOL/CONCEPT)
+    type_pair_predicates: tuple[tuple[str, str, str], ...] = (
+        ("PERSON", "ORG", "works_for"),
+        ("PERSON", "TOOL", "uses_tool"),
+        ("PERSON", "CONCEPT", "discusses"),
+        ("ORG", "TOOL", "uses_tool"),
+        ("ORG", "CONCEPT", "discusses"),
+        ("TOOL", "CONCEPT", "related_to"),
+        ("PERSON", "PERSON", "mentions"),
+        ("ORG", "ORG", "related_to"),
+    )
+
+    entity_types: tuple[str, ...] = ("PERSON", "ORG", "TOOL", "CONCEPT")
+
+
+DEFAULT_CONFIG = PipelineConfig()

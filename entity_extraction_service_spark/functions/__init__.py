@@ -1,0 +1,10 @@
+from .ids import entity_id_col, entity_id_py
+from .normalize import group_key_py, norm_text_col, normalize_text_py
+
+__all__ = [
+    "entity_id_col",
+    "entity_id_py",
+    "group_key_py",
+    "norm_text_col",
+    "normalize_text_py",
+]

@@ -1,0 +1,43 @@
+"""Deterministic ids (reference S5 parity).
+
+Canonical entity id — the key invariant from
+/root/reference/src/database/graph_storage.py:262-265:
+
+    entity_id = md5(f"{entity_type}:{entity_text.lower().strip()}")[:16]
+
+A pure function of (type, normalized text), so identical mentions map to
+the same id on any executor with no coordination — this is what makes
+cross-document entity merge an idempotent MERGE/groupBy instead of a
+stateful registry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def entity_id_py(entity_type: str, text: str) -> str:
+    key = f"{entity_type}:{text.lower().strip()}"
+    return hashlib.md5(key.encode("utf-8")).hexdigest()[:16]
+
+
+def entity_id_col(entity_type: Column, text: Column) -> Column:
+    """JVM-side twin of ``entity_id_py`` (whole-stage-codegen friendly)."""
+    return F.substring(
+        F.md5(F.concat_ws(":", entity_type, F.lower(F.trim(text)))), 1, 16
+    )
+
+
+def mention_id_col(conv_id: Column, turn_idx: Column, start: Column, entity_type: Column) -> Column:
+    """Deterministic mention id: pure function of provenance + span.
+
+    Replaces the reference's uuid4 mention ids
+    (/root/reference/src/models/entities.py:471) — uuids would break the
+    determinism/resume tests (SURVEY.md §5 items 5-6).
+    """
+    return F.md5(
+        F.concat_ws("|", conv_id, turn_idx.cast("string"), start.cast("string"), entity_type)
+    )

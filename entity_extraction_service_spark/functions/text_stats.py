@@ -1,0 +1,98 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All JVM-side Catalyst expressions (no Python UDFs) so they stay inside
+whole-stage codegen and push down to the parquet scan where possible:
+
+- token_count_heuristic: the reference's len//4 heuristic
+  (/root/reference/src/database/graph_storage.py:157)
+- ws_token_count / bpe_ish_token_count: whitespace + regex "BPE-ish" counts
+- quality_score: length / punctuation / stopword-ratio scoring
+- lang_id: tiny n-gram/stopword heuristic over a handful of languages
+- fingerprint: deterministic document fingerprint (md5 of normalized text;
+  a content hash equivalent in role to a rolling hash for exact-dup keys)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ENGLISH_STOPWORDS = (
+    "the", "of", "and", "to", "in", "a", "is", "that", "it", "for",
+    "on", "was", "with", "as", "are", "this", "be", "at", "by", "from",
+)
+
+# tiny per-language marker sets (heuristic lang-id; deterministic)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "that"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "de", "es"),
+}
+
+
+def token_count_heuristic(text: Column) -> Column:
+    """chars // 4 (graph_storage.py:157)."""
+    return (F.length(text) / F.lit(4)).cast("int")
+
+
+def ws_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count word-pieces with a GPT-2-style pre-tokenizer regex
+    (contractions, words, numbers, punctuation runs)."""
+    pattern = r"'(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]+"
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return F.when(F.length(text) > 0, punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    stops = F.size(F.filter(words, lambda w: w.isin(*ENGLISH_STOPWORDS)))
+    return F.when(n > 0, stops / n).otherwise(F.lit(0.0))
+
+
+def _stopword_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.size(F.array_intersect(F.array_distinct(words), F.array(*[F.lit(m) for m in markers])))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: rewards moderate length, low
+    punctuation density, presence of stopwords (prose-ness)."""
+    length_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.greatest(F.size(words), F.lit(1))
+    stop_term = F.least(
+        F.size(F.array_intersect(F.array_distinct(words), F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS]))) / F.lit(5.0),
+        F.lit(1.0),
+    )
+    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language marker hits; 'und' when no marker hits."""
+    hit_cols = [(_stopword_hits(text, m), lang) for lang, m in LANG_MARKERS.items()]
+    best = F.greatest(*[h for h, _ in hit_cols])
+    expr = F.lit("und")
+    # build reverse so earlier languages win ties (deterministic order)
+    for h, lang in reversed(hit_cols):
+        expr = F.when((best > 0) & (h == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint over normalized text (exact-dup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)

@@ -1,0 +1,105 @@
+"""Stage 1 — conversation assembly, routing, and turn-aligned chunking.
+
+The reference chunks a document string with overlap windows
+(/root/reference/src/core/smart_chunker.py:244-375). For transcripts we
+chunk on *turn boundaries* instead (chunk = K consecutive turns), which
+
+- keeps char offsets exact (no D4 ``start//10`` tolerance hack — SURVEY.md
+  §7.4 hard-part 4),
+- makes the chunk id a pure column expression ``floor(turn_idx / K)``
+  (no shuffle to decide chunk membership), and
+- is itself the long-conversation skew treatment: a 10^6-turn conversation
+  becomes 10^6/K independent chunk rows spread across executors rather
+  than one giant applyInPandas group (SURVEY.md §4 skew row).
+
+Global char offsets (C4 analog, entity_processor.py:335-366) are computed
+with a running-sum window over ``(conv_id)`` ordered by ``turn_idx`` —
+one shuffle, reused by every downstream per-conversation operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+# size categories — /root/reference/src/routing/size_detector.py:72-78
+SIZE_BOUNDS = (("VERY_SMALL", 5_000), ("SMALL", 50_000), ("MEDIUM", 150_000))
+
+
+def with_global_offsets(transcripts: DataFrame) -> DataFrame:
+    """Add per-turn document-global char offsets (turn texts joined by '\\n')."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    turn_len = F.length(F.coalesce(F.col("text"), F.lit(""))) + F.lit(1)
+    return transcripts.withColumn(
+        "turn_offset", F.coalesce(F.sum(turn_len).over(w), F.lit(0)).cast("long")
+    )
+
+
+def with_routing(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """R1/R2 analog: per-conversation size category + strategy columns.
+
+    tokens = chars // 4 (size_detector.py:61-133); strategy thresholds map
+    to the reference's SINGLE_PASS/THREE_WAVE/.../CHUNKED routing
+    (document_router.py:163-266). In this engine every path runs the same
+    DataFrame stages; the strategy column only selects chunk granularity
+    and is kept for parity/metrics.
+    """
+    conv_chars = F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).over(
+        Window.partitionBy("conv_id")
+    )
+    size_cat = F.lit("LARGE")
+    for name, bound in reversed(SIZE_BOUNDS):
+        size_cat = F.when(conv_chars / 4 <= bound, F.lit(name)).otherwise(size_cat)
+    strategy = (
+        F.when(F.col("size_category") == "VERY_SMALL", F.lit("SINGLE_PASS"))
+        .when(F.col("size_category") == "SMALL", F.lit("THREE_WAVE"))
+        .when(F.col("size_category") == "MEDIUM", F.lit("FOUR_WAVE"))
+        .otherwise(F.lit("THREE_WAVE_CHUNKED"))
+    )
+    return transcripts.withColumn("size_category", size_cat).withColumn("strategy", strategy)
+
+
+def chunk_turns(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Group K consecutive turns into one chunk row.
+
+    Output: (conv_id, chunk_idx, turns: array<struct<turn_idx,role,text,
+    turn_offset>>) with turns sorted by turn_idx — the stable-ordering
+    invariant. One shuffle on (conv_id, chunk_idx); chunk groups are
+    bounded at K turns so no task sees an unbounded group.
+    """
+    k = config.turns_per_chunk
+    with_off = with_global_offsets(transcripts)
+    return (
+        with_off.withColumn("chunk_idx", (F.col("turn_idx") / k).cast("int"))
+        .groupBy("conv_id", "chunk_idx")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("turn_idx", "role", "text", "turn_offset"))
+            ).alias("turns")
+        )
+    )
+
+
+def assemble_documents(transcripts: DataFrame) -> DataFrame:
+    """Full-document assembly (reference ProcessRequest.document_text analog):
+    concat turns ordered by turn_idx. Used by tests for the per-turn
+    text-equality invariant round-trip."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: F.coalesce(s["text"], F.lit("")),
+                ),
+                "\n",
+            ).alias("document_text"),
+            F.count("*").alias("n_turns"),
+        )
+    )

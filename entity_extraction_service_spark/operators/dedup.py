@@ -1,0 +1,103 @@
+"""Stage 3 — mention-level dedup / merge (reference D2-D6).
+
+All four dedup shapes from the reference become groupBy aggregations or
+window functions (one shuffle each, partial aggregation map-side for the
+groupBys — Catalyst handles partial/final split):
+
+- D2 group-dedup within conversation (entity_processor.py:273-333):
+  groupBy (conv_id, entity_type, group_norm), keep the max-confidence
+  representative, aggregate positions / counts / earliest position.
+- D3 keep-first across waves (extraction_orchestrator.py:1516-1555):
+  row_number over (conv, type, lower(text)) ordered by (wave, position).
+- D4 overlap-chunk dedup (extraction_service.py:2288-2404): key includes
+  floor(global_start/10) — only needed when chunk overlap is enabled;
+  with turn-aligned chunks it's an exact no-op kept for parity.
+- D5 cross-source merge regex ⊕ model (extraction_service.py:2644-2959):
+  union the method streams, group transitively-overlapping same-type
+  spans (same interval-merge window as E2), keep the best row by method
+  priority (model > hybrid > regex — AI wins, :2827-2892) then confidence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+METHOD_PRIORITY = {"model": 3, "hybrid": 2, "coref": 2, "regex": 1}
+
+
+def _method_priority_col() -> F.Column:
+    expr = F.lit(0)
+    for m, p in METHOD_PRIORITY.items():
+        expr = F.when(F.col("method") == m, F.lit(p)).otherwise(expr)
+    return expr
+
+
+def merge_cross_source(mentions: DataFrame) -> DataFrame:
+    """D5 — merge regex/model mention streams.
+
+    Input: union of mention DataFrames (same MENTION_SCHEMA). Overlapping
+    same-type spans collapse to one row: method priority first (AI wins on
+    the same span — extraction_service.py:2827-2892), then confidence,
+    then earliest span (deterministic tiebreak).
+    """
+    part = ["conv_id", "turn_idx", "entity_type"]
+    w_order = Window.partitionBy(*part).orderBy("start", "end")
+    prev_max_end = F.max("end").over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    df = (
+        mentions.withColumn("_prio", _method_priority_col())
+        .withColumn(
+            "_new_grp",
+            F.when(prev_max_end.isNull() | (F.col("start") >= prev_max_end), 1).otherwise(0),
+        )
+        .withColumn("_grp", F.sum("_new_grp").over(w_order.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    w_pick = Window.partitionBy(*part, "_grp").orderBy(
+        F.col("_prio").desc(), F.col("confidence").desc(), F.col("start"), F.col("end").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .drop("_prio", "_new_grp", "_grp", "_rn")
+    )
+
+
+def dedup_overlap_chunks(mentions: DataFrame) -> DataFrame:
+    """D4 — duplicate mentions from overlapping chunks: key
+    (conv, lower(text), floor(global_start/10)), keep max confidence."""
+    w = Window.partitionBy(
+        "conv_id", F.lower("text"), F.floor(F.col("global_start") / 10)
+    ).orderBy(F.col("confidence").desc(), F.col("chunk_idx"), F.col("turn_idx"), F.col("start"))
+    return (
+        mentions.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_keep_first(mentions: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+    """D3 — key (conv, type, lower(trim(text))): first occurrence wins
+    (earlier wave, then earlier position)."""
+    order_cols = order_cols or ["turn_idx", "start"]
+    w = Window.partitionBy("conv_id", "entity_type", F.lower(F.trim("text"))).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        mentions.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def conv_entity_rollup(mentions: DataFrame) -> DataFrame:
+    """D2 — per-conversation entity rollup: one row per
+    (conv_id, entity_type, group_norm) with the max-confidence
+    representative, all positions, occurrence count, earliest position."""
+    return mentions.groupBy("conv_id", "entity_type", "group_norm").agg(
+        F.max_by("text", F.struct("confidence", F.col("global_start").cast("long") * -1)).alias("text"),
+        F.max("confidence").alias("confidence"),
+        F.count("*").alias("occurrence_count"),
+        F.min("global_start").alias("first_occurrence"),
+        F.sort_array(F.collect_list(F.struct("turn_idx", "start", "end"))).alias("positions"),
+        F.first("surface_id").alias("surface_id"),
+    )

@@ -1,0 +1,181 @@
+"""Stage 2b — batched model-backed extraction (reference E4/E5/E8/E10/E11).
+
+The reference's hot path is a vLLM client with native request batching
+(/root/reference/src/vllm_client/client.py:495-610 ``generate_batch``)
+called from multi-pass / wave orchestrators. The Spark-native shape:
+
+- one prompt per chunk is composed inside an Arrow-batched ``mapInPandas``;
+- the whole Arrow batch of prompts goes to the client in ONE
+  ``generate_batch`` call (never per-row);
+- responses are guided-JSON strings (E10,
+  src/schemas/guided_json_schemas.py:104-690) parsed through a JSON repair
+  ladder (E11, src/core/json_response_parser.py:105-660) — rows that fail
+  every repair become no-ops, not task failures.
+
+The sandbox has no GPU, so the default client is ``RuleBackedClient`` — a
+deterministic stand-in that applies the same broadcast pattern table the
+regex stage uses. It honors the exact batched interface a real vLLM/HTTP
+client would implement; deployment swaps the factory.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Callable, Iterator
+from typing import Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.normalize import group_norm_py, normalize_text_py
+from .mentions import MENTION_SCHEMA, _match_turn, build_pattern_table
+
+PROMPT_TEMPLATE = (
+    "Extract all PERSON, ORG, TOOL and CONCEPT entities from the "
+    "conversation below. Respond with JSON {{\"entities\": [{{\"entity_type\", "
+    "\"text\", \"turn_idx\", \"start\", \"end\"}}]}}.\n\n<conversation>\n{body}\n</conversation>"
+)
+
+
+class BatchedExtractorClient(Protocol):
+    """The E8 seam: list-of-prompts in, list-of-JSON-strings out, one call
+    per Arrow batch."""
+
+    def generate_batch(self, prompts: list[str], payloads: list[list[dict]]) -> list[str]: ...
+
+
+class RuleBackedClient:
+    """Deterministic sandbox model: runs the pattern table over the raw
+    turns (passed alongside the prompt as structured payload so the stub
+    doesn't have to re-parse its own prompt format)."""
+
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+        self._patterns = build_pattern_table(config)
+        self._confidence = config.model_confidence
+
+    def generate_batch(self, prompts: list[str], payloads: list[list[dict]]) -> list[str]:
+        out = []
+        for turns in payloads:
+            ents = []
+            for t in turns:
+                for etype, surface, s, e, _ in _match_turn(self._patterns, t["text"] or ""):
+                    ents.append(
+                        {
+                            "entity_type": etype,
+                            "text": surface,
+                            "turn_idx": int(t["turn_idx"]),
+                            "start": s,
+                            "end": e,
+                            "confidence": self._confidence,
+                        }
+                    )
+            out.append(json.dumps({"entities": ents}))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# E11 — JSON repair ladder (fresh implementation of the *strategy list* in
+# json_response_parser.py:105-660: strip wrappers, cut to outermost object,
+# drop trailing commas, balance brackets, then give up -> None).
+# ---------------------------------------------------------------------------
+
+_FENCE_RE = re.compile(r"^```(?:json)?\s*|\s*```$", re.MULTILINE)
+_TRAILING_COMMA_RE = re.compile(r",\s*([}\]])")
+
+
+def repair_json(raw: str) -> dict | None:
+    if raw is None:
+        return None
+    candidates = [raw]
+    s = _FENCE_RE.sub("", raw).strip()
+    candidates.append(s)
+    # cut to outermost braces
+    if "{" in s:
+        cut = s[s.index("{"): s.rfind("}") + 1] if "}" in s else s[s.index("{"):]
+        candidates.append(cut)
+        candidates.append(_TRAILING_COMMA_RE.sub(r"\1", cut))
+        # balance brackets
+        opens = cut.count("{") - cut.count("}")
+        sq = cut.count("[") - cut.count("]")
+        if opens > 0 or sq > 0:
+            candidates.append(cut + "]" * max(sq, 0) + "}" * max(opens, 0))
+    for c in candidates:
+        try:
+            obj = json.loads(c)
+            if isinstance(obj, dict):
+                return obj
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return None
+
+
+def extract_mentions_model(
+    chunks: DataFrame,
+    client_factory: Callable[[], BatchedExtractorClient] | None = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """chunk rows -> mention rows (method='model').
+
+    One client per Python worker (created lazily inside the iterator — the
+    executor-side analog of the reference's per-process vLLM session),
+    one ``generate_batch`` call per Arrow batch.
+    """
+    factory = client_factory or (lambda: RuleBackedClient(config))
+    default_conf = config.model_confidence
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = factory()
+        for pdf in batches:
+            prompts, payloads = [], []
+            for turns in pdf["turns"]:
+                body = "\n".join(
+                    f"[{t['turn_idx']}] {t['role']}: {t['text'] or ''}" for t in turns
+                )
+                prompts.append(PROMPT_TEMPLATE.format(body=body))
+                payloads.append(
+                    [
+                        {
+                            "turn_idx": int(t["turn_idx"]),
+                            "role": t["role"],
+                            "text": t["text"],
+                            "turn_offset": int(t["turn_offset"]),
+                        }
+                        for t in turns
+                    ]
+                )
+            responses = client.generate_batch(prompts, payloads)
+
+            rows = []
+            for conv_id, chunk_idx, turns, resp in zip(
+                pdf["conv_id"], pdf["chunk_idx"], payloads, responses
+            ):
+                obj = repair_json(resp)
+                if not obj:
+                    continue
+                offsets = {t["turn_idx"]: t["turn_offset"] for t in turns}
+                texts = {t["turn_idx"]: t["text"] or "" for t in turns}
+                for ent in obj.get("entities", []):
+                    try:
+                        ti = int(ent["turn_idx"])
+                        s, e = int(ent["start"]), int(ent["end"])
+                        surface = str(ent["text"])
+                        etype = str(ent["entity_type"])
+                    except (KeyError, TypeError, ValueError):
+                        continue
+                    # validate span against source text (T6-style existence
+                    # discipline applied at the mention level)
+                    if ti not in texts or texts[ti][s:e] != surface:
+                        continue
+                    norm = normalize_text_py(surface)
+                    rows.append(
+                        (
+                            conv_id, ti, int(chunk_idx), etype, surface, norm,
+                            group_norm_py(norm), s, e, offsets[ti] + s,
+                            float(ent.get("confidence", default_conf)), "model",
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in MENTION_SCHEMA.fields])
+
+    return chunks.mapInPandas(run, schema=MENTION_SCHEMA)

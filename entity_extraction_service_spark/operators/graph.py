@@ -1,0 +1,65 @@
+"""Stage 10+ — graph materialization stats (reference L8/L9, EntityGraph).
+
+- degree + top-k (the flagship query shape, SURVEY.md §7.3)
+- centrality = 0.7*(degree/max_degree) + 0.3*min(1, occurrences/100)
+  (entity_registry.py:689-717)
+- communities = connected components over the final edge list
+  (entity_registry.py:719-758), reusing the linking CC machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .linking import connected_components
+
+
+def entity_degrees(edges: DataFrame) -> DataFrame:
+    """Undirected degree per canonical entity (bidirectional edges counted
+    once per endpoint, matching the reference's doubled adjacency)."""
+    ends = edges.select(F.col("subj_id").alias("entity_id")).union(
+        edges.select(F.col("obj_id").alias("entity_id"))
+    )
+    return ends.groupBy("entity_id").agg(F.count("*").alias("degree"))
+
+
+def top_entities_by_degree(entities: DataFrame, edges: DataFrame, k: int = 10) -> DataFrame:
+    deg = entity_degrees(edges)
+    return (
+        entities.join(deg, "entity_id")
+        .select("entity_id", "entity_text", "entity_type", "occurrence_count", "degree")
+        .orderBy(F.col("degree").desc(), F.col("entity_id"))
+        .limit(k)
+    )
+
+
+def centrality(entities: DataFrame, edges: DataFrame) -> DataFrame:
+    """0.7*(degree/max_degree) + 0.3*min(1, occurrences/100)."""
+    deg = entity_degrees(edges)
+    max_deg = deg.agg(F.max("degree").alias("m"))
+    scored = entities.join(deg, "entity_id", "left").withColumn(
+        "degree", F.coalesce("degree", F.lit(0))
+    )
+    return scored.crossJoin(F.broadcast(max_deg)).select(
+        "entity_id",
+        "entity_text",
+        "entity_type",
+        "degree",
+        F.round(
+            0.7 * F.col("degree") / F.greatest(F.col("m"), F.lit(1))
+            + 0.3 * F.least(F.lit(1.0), F.col("occurrence_count") / F.lit(100.0)),
+            6,
+        ).alias("centrality"),
+    )
+
+
+def communities(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """L8 — connected components over the final (subj, obj) edge list."""
+    e = edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
+    )
+    return connected_components(verts, e, max_iterations=max_iterations).withColumnRenamed(
+        "id", "entity_id"
+    )

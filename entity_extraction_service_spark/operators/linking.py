@@ -1,0 +1,232 @@
+"""Stage 4-7 — blocking, pairwise scoring, connected components, canonical agg.
+
+Reference semantics (entity_registry.py): candidates from exact-text and
+same-type indices (L1, :243-258), weighted SequenceMatcher score with
+threshold 0.85 (L2, :283-330), greedy pairwise merge (L5, :517-648),
+first-mention canonical text + occurrence-weighted confidence (L6,
+:173-241, 633-638).
+
+Spark-first re-expression:
+
+- The unit of linking is the **distinct surface form** (entity_type,
+  group_norm) — NOT the mention. Aggregating before the self-join is the
+  primary hot-entity skew treatment: an entity appearing in 30% of
+  conversations is *one* row here, so the pairwise stage is O(|distinct
+  surfaces|²/blocks), independent of corpus size. (SURVEY.md §4 skew row.)
+- L1 blocking = self-join on (entity_type, first token of group_norm),
+  with a block-size cap as the residual-skew guard, plus cheap JVM-side
+  prefilters (length ratio, token Jaccard) before the Python scoring UDF
+  — the manual pushdown the reference does with pattern relevance
+  (regex_engine.py:629-835).
+- L2 scoring = Arrow-batched pandas UDF (difflib.SequenceMatcher — same
+  stdlib ratio as the reference).
+- L5 = connected components over the ≥-threshold match edges: transitive
+  closure via iterative min-label propagation (small-diameter components;
+  each iteration = one join + one agg, localCheckpoint to cut lineage).
+  The reference merges greedily pairwise; thresholds make them agree on
+  realistic variant families (SURVEY.md §7.4 hard-part 2).
+- L6 canonical row = groupBy(component): representative = member with
+  the highest total occurrence count (lexicographic min as tiebreak);
+  canonical entity_id = md5(type:canonical_group_norm)[:16] — exactly the
+  representative member's surface_id (S5 invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.similarity import jaccard_tokens_col, pair_score_udf
+
+
+def surface_forms(mentions: DataFrame) -> DataFrame:
+    """Distinct surface forms with corpus-wide stats: one row per
+    (entity_type, group_norm)."""
+    by_raw = mentions.groupBy("entity_type", "group_norm", "surface_id").agg(
+        F.count("*").alias("occurrence_count"),
+        F.approx_count_distinct("conv_id").alias("conv_count"),
+    )
+    # representative raw text = most frequent raw surface for this norm
+    raw_counts = mentions.groupBy("entity_type", "group_norm", "text").count()
+    w = Window.partitionBy("entity_type", "group_norm").orderBy(
+        F.col("count").desc(), F.col("text")
+    )
+    rep = (
+        raw_counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("entity_type", "group_norm", F.col("text").alias("rep_text"))
+    )
+    return (
+        by_raw
+        .join(rep, ["entity_type", "group_norm"])
+        .withColumn("block_key", F.split("group_norm", r"\s+").getItem(0))
+    )
+
+
+def candidate_pairs(
+    surfaces: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """L1 — blocked candidate pairs with JVM-side prefilters.
+
+    Exact-norm duplicates already share surface_id; pairs here are only
+    *near*-duplicates within (entity_type, first token). Blocks larger
+    than ``blocking_max_block_size`` are dropped (counted by the caller's
+    metrics) — at 100 TB a pathological block ("the court") would
+    otherwise create a quadratic task.
+    """
+    block_sizes = surfaces.groupBy("entity_type", "block_key").agg(
+        F.count("*").alias("block_n")
+    )
+    # no broadcast hint: block_sizes cardinality tracks |distinct surfaces|,
+    # which can be large at 100 TB — AQE picks broadcast when it fits
+    s = surfaces.join(
+        block_sizes.where(F.col("block_n") <= config.blocking_max_block_size),
+        ["entity_type", "block_key"],
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.entity_type") == F.col("b.entity_type"))
+        & (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.group_norm") < F.col("b.group_norm")),
+    ).select(
+        F.col("a.entity_type").alias("entity_type"),
+        F.col("a.group_norm").alias("norm_a"),
+        F.col("a.rep_text").alias("text_a"),
+        F.col("a.surface_id").alias("id_a"),
+        F.col("b.group_norm").alias("norm_b"),
+        F.col("b.rep_text").alias("text_b"),
+        F.col("b.surface_id").alias("id_b"),
+    )
+    # SequenceMatcher.ratio >= t needs len ratio >= t/(2-t); for t=.85 that's
+    # ~0.74 — prune JVM-side before the Python UDF
+    len_a, len_b = F.length("norm_a"), F.length("norm_b")
+    pairs = pairs.where(
+        F.least(len_a, len_b) / F.greatest(len_a, len_b)
+        >= F.lit(config.similarity_threshold / (2 - config.similarity_threshold))
+    )
+    return pairs.where(jaccard_tokens_col(F.col("norm_a"), F.col("norm_b")) >= 0.2)
+
+
+def match_edges(pairs: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """L2 — score candidate pairs, keep score >= threshold (0.85)."""
+    scored = pairs.withColumn(
+        "score",
+        pair_score_udf("text_a", "norm_a", "entity_type", "text_b", "norm_b", "entity_type"),
+    )
+    return scored.where(F.col("score") >= config.similarity_threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "score"
+    )
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label propagation CC over an undirected edge list.
+
+    Each iteration: join labels to the symmetric edge list, take the min
+    label seen across self + neighbors. Converges in O(diameter)
+    iterations — variant families have diameter <= 3. localCheckpoint per
+    iteration truncates lineage so plans don't grow exponentially.
+    Returns (id, component).
+    """
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    labels = vertices.select(F.col(id_col).alias("u"), F.col(id_col).alias("component"))
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select("u", F.least("component", F.coalesce("ncomp", "component")).alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+        )
+        converged = changed.isEmpty()
+        labels = new_labels
+        if converged:
+            break
+    return labels.select(F.col("u").alias(id_col), "component")
+
+
+def canonical_entities(
+    mentions: DataFrame,
+    surfaces: DataFrame,
+    components: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> tuple[DataFrame, DataFrame]:
+    """L6 + S5 — canonical entity table and the surface→canonical map.
+
+    Returns (entities, surface_to_canonical):
+      entities(entity_id, entity_text, entity_type, variants,
+               confidence, document_ids, occurrence_count)
+      surface_to_canonical(surface_id, entity_id)
+    """
+    labeled = surfaces.join(
+        components.withColumnRenamed("id", "surface_id"), "surface_id", "left"
+    ).withColumn("component", F.coalesce("component", "surface_id"))
+
+    # representative member = max occurrence_count, tiebreak min group_norm
+    w = Window.partitionBy("component").orderBy(
+        F.col("occurrence_count").desc(), F.col("group_norm")
+    )
+    with_rep = labeled.withColumn("_rn", F.row_number().over(w))
+    reps = with_rep.where(F.col("_rn") == 1).select(
+        "component",
+        F.col("surface_id").alias("entity_id"),  # == md5(type:canonical_norm)[:16]
+        F.col("rep_text").alias("entity_text"),
+        F.col("group_norm").alias("canonical_norm"),
+    )
+    surface_to_canonical = labeled.join(reps, "component").select("surface_id", "entity_id")
+
+    # occurrence-weighted aggregate over the mention set (L6,
+    # entity_registry.py:201-206: sum(conf*n)/sum(n))
+    m = mentions.join(surface_to_canonical, "surface_id")
+    agg = m.groupBy("entity_id").agg(
+        (F.sum(F.col("confidence")) / F.count("*")).alias("confidence"),
+        F.array_sort(F.collect_set("text")).alias("variants"),
+        F.array_sort(F.collect_set("conv_id")).alias("document_ids"),
+        F.count("*").alias("occurrence_count"),
+        F.first("entity_type").alias("entity_type"),
+    )
+    entities = agg.join(
+        reps.select("entity_id", "entity_text", "canonical_norm"), "entity_id"
+    ).select(
+        "entity_id", "entity_text", "entity_type", "canonical_norm", "variants",
+        F.round("confidence", 6).alias("confidence"),
+        "document_ids", "occurrence_count",
+    )
+    return entities, surface_to_canonical
+
+
+def link_entities(
+    mentions: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> tuple[DataFrame, DataFrame]:
+    """Full linking stage: mentions -> (canonical entities, surface map)."""
+    surfaces = surface_forms(mentions)
+    pairs = candidate_pairs(surfaces, config)
+    edges = match_edges(pairs, config)
+    # only vertices that have at least one match edge need iterating;
+    # isolated surfaces default to their own component (coalesce in L6)
+    touched = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comps = connected_components(touched, edges, max_iterations=config.cc_max_iterations)
+    return canonical_entities(mentions, surfaces, comps, config)

@@ -1,0 +1,192 @@
+"""Stage 2a — pattern-based mention detection (reference E1/E2/E3 analog).
+
+The reference ships 1,771 curated regex patterns in YAML
+(/root/reference/src/utils/pattern_loader.py:190-571) compiled once and
+run per document. We do the Spark-native equivalent: a compact pattern
+table for the transcript domain (PERSON/ORG/TOOL/CONCEPT), compiled once
+on the driver, broadcast, and applied inside an Arrow-batched
+``mapInPandas`` over chunk rows — a vectorized per-batch loop, never a
+row-at-a-time Spark Python UDF (E1, regex_engine.py:81-1688).
+
+Overlap conflict resolution (E2, regex_engine.py:882-988) is re-expressed
+as JVM-side window functions: same-type transitively-overlapping spans
+form groups via a running cumulative-max of ``end``; the max-confidence
+row per group survives. Different entity types may coexist on overlapping
+spans (regex_engine.py:940-943), hence the partition includes
+``entity_type``.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.ids import entity_id_py
+from ..functions.normalize import group_norm_py, normalize_text_py
+
+# ---------------------------------------------------------------------------
+# Pattern table (S3 analog — the engine's "pattern YAML"). Each entry:
+# (pattern, entity_type, confidence). Confidence defaults mirror
+# extraction_service.py:3036-3062 (regex .8).
+# ---------------------------------------------------------------------------
+
+ORG_SUFFIXES = (
+    "Corporation", "Corporations", "Corp", "Systems", "System", "Labs",
+    "Technologies", "Technology", "Group", "Foundation", "Industries",
+    "University", "Inc", "LLC", "Ltd",
+)
+
+TOOL_VOCAB = (
+    "kubectl", "terraform", "pytest", "airflow", "docker", "grafana",
+    "prometheus", "ansible", "jenkins", "datadog", "pagerduty", "redis",
+    "kafka", "spark", "flink", "presto",
+)
+
+CONCEPT_VOCAB = (
+    "zero trust", "data mesh", "event sourcing", "chaos engineering",
+    "blue green deployment", "feature flags", "schema evolution",
+    "stream processing", "capacity planning", "incident response",
+    "service mesh", "observability", "canary release", "cost attribution",
+)
+
+
+@dataclass(frozen=True)
+class MentionPattern:
+    regex: re.Pattern
+    entity_type: str
+    confidence: float
+
+
+def build_pattern_table(config: PipelineConfig = DEFAULT_CONFIG) -> list[MentionPattern]:
+    suffix_alt = "|".join(ORG_SUFFIXES)
+    org = rf"\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)*\s+(?:{suffix_alt})\.?)(?=[\s.,;:!?)]|$)"
+    person = r"\b([A-Z][a-z]+\s+[A-Z][a-z]+)\b"
+    tool = r"(?<![\w-])(" + "|".join(TOOL_VOCAB) + r")(?![\w-])"
+    concept = r"(?<![\w-])(" + "|".join(CONCEPT_VOCAB) + r")(?![\w-])"
+    c = config.regex_confidence
+    return [
+        MentionPattern(re.compile(org), "ORG", c),
+        MentionPattern(re.compile(person), "PERSON", c),
+        MentionPattern(re.compile(tool), "TOOL", c),
+        MentionPattern(re.compile(concept), "CONCEPT", c),
+    ]
+
+
+_ORG_SUFFIX_SET = {s.lower() for s in ORG_SUFFIXES}
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("entity_type", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("norm_text", T.StringType(), False),
+        T.StructField("group_norm", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("global_start", T.LongType(), False),
+        T.StructField("confidence", T.DoubleType(), False),
+        T.StructField("method", T.StringType(), False),
+    ]
+)
+
+
+def _match_turn(patterns: list[MentionPattern], text: str) -> list[tuple]:
+    """Run the pattern table over one turn's text; returns
+    (etype, surface, start, end, conf) tuples with validation rules applied
+    (the E1 validation analog, regex_engine.py:564-628)."""
+    out = []
+    for p in patterns:
+        # pattern relevance pre-filter (regex_engine.py:629-835): skip the
+        # full scan when a cheap anchor can't be present
+        if p.entity_type in ("TOOL", "CONCEPT") and not any(ch.islower() for ch in text):
+            continue
+        for m in p.regex.finditer(text):
+            surface = m.group(1)
+            if p.entity_type == "PERSON":
+                last_tok = surface.split()[-1].rstrip(".").lower()
+                if last_tok in _ORG_SUFFIX_SET:
+                    continue  # "Stark Technologies" is an ORG, not a person
+            out.append((p.entity_type, surface, m.start(1), m.end(1), p.confidence))
+    return out
+
+
+def extract_mentions_regex(
+    chunks: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """chunk rows -> mention rows (method='regex').
+
+    Positions are turn-local (exact, since chunks are turn-aligned);
+    ``global_start`` is the document-global offset (C4 analog) computed
+    from the carried ``turn_offset``.
+    """
+    patterns = build_pattern_table(config)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, chunk_idx, turns in zip(
+                pdf["conv_id"], pdf["chunk_idx"], pdf["turns"]
+            ):
+                for t in turns:
+                    text = t["text"] or ""
+                    for etype, surface, s, e, conf in _match_turn(patterns, text):
+                        norm = normalize_text_py(surface)
+                        rows.append(
+                            (
+                                conv_id, int(t["turn_idx"]), int(chunk_idx), etype,
+                                surface, norm, group_norm_py(norm), s, e,
+                                int(t["turn_offset"]) + s, conf, "regex",
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in MENTION_SCHEMA.fields])
+
+    return chunks.mapInPandas(run, schema=MENTION_SCHEMA)
+
+
+def resolve_conflicts(mentions: DataFrame) -> DataFrame:
+    """E2 — same-type overlapping spans: keep highest confidence per
+    transitive overlap group (regex_engine.py:882-988), as pure window ops.
+
+    Group boundary: a span starts a new group iff its ``start`` >= the
+    cumulative max ``end`` of all earlier spans in the partition (classic
+    interval merge). Partition = (conv_id, turn_idx, entity_type):
+    different types coexist (regex_engine.py:940-943).
+    """
+    part = ["conv_id", "turn_idx", "entity_type"]
+    w_order = Window.partitionBy(*part).orderBy("start", "end")
+    prev_max_end = F.max("end").over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    df = mentions.withColumn(
+        "_new_grp", F.when(prev_max_end.isNull() | (F.col("start") >= prev_max_end), 1).otherwise(0)
+    ).withColumn(
+        "_grp", F.sum("_new_grp").over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    w_pick = Window.partitionBy(*part, "_grp").orderBy(
+        F.col("confidence").desc(), F.col("start"), F.col("end").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .drop("_new_grp", "_grp", "_rn")
+    )
+
+
+def with_entity_surface_id(mentions: DataFrame) -> DataFrame:
+    """Surface-form entity id (S5 invariant): md5(type:group_norm)[:16].
+
+    Mentions with identical (type, group-normalized text) share an id on
+    any executor with no coordination."""
+    # JVM twin exists (functions.ids.entity_id_col) but group_norm was
+    # produced by the parity Python path, so hash it JVM-side from that col.
+    return mentions.withColumn(
+        "surface_id",
+        F.substring(F.md5(F.concat_ws(":", "entity_type", F.lower(F.trim("group_norm")))), 1, 16),
+    )

@@ -1,0 +1,292 @@
+"""Stage 8-9 — (subj, pred, obj) triple extraction, validation, dedup.
+
+Producers (each a DataFrame stage, method-tagged so T7/T8 can merge):
+
+- T1 pattern triples (legal_relationship_patterns.py /
+  relationship_extractor.py:299-439): verb-cue regex spans found by a tiny
+  Arrow-batched UDF over turn text; subject = nearest mention ending at/
+  before the cue, object = nearest mention starting at/after it — the
+  Spark join shape of the reference's "entities contained in match span,
+  first-two fallback" (:357-374). Pattern confidence 0.85.
+- T3 proximity triples (relationship_extractor.py:632-727): position-
+  ordered mention pairs in the same turn with gap <= proximity_window
+  (100); confidence = max(0.5, 1 - distance/max_entity_distance) (:665-
+  669); predicate from the type-pair table (:698-727), checked forward
+  then reversed, default related_to; subject = earlier mention.
+- T5 batched model triples (extraction_orchestrator.py:783-975): one
+  prompt per chunk embedding <=50 entity summaries; guided-JSON
+  {"relationships": [...]} parsed with the repair ladder. Deterministic
+  rule-backed client in the sandbox (same seam as extract_model).
+
+Post-processing:
+- T6 validation (extraction_orchestrator.py:1044-1105): subj/obj must
+  exist in the canonical entity set (inner joins ARE the existence
+  check), model-method triples need confidence >= 0.85, self-loops drop.
+- T7 dedup (:1107-1141): one row per (subj, pred, obj) — method-priority
+  keep-first.
+- T8 merge boost (relationship_extractor.py:787-819): same key across
+  methods: conf = min(1, best + 0.1 * sum(others)), methods recorded.
+- T9 overall filter (relationship_extractor.py:171-173): confidence >= 0.6.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+# verb-cue pattern table (T1 analog of RelationshipPattern entries,
+# legal_relationship_patterns.py:16-33, re-expressed for the transcript
+# domain's predicate vocabulary)
+VERB_PATTERNS: list[tuple[str, str]] = [
+    (r"\bworks\s+at\b|\bjoined\b|\binterviewed\s+at\b", "works_for"),
+    (r"\bran\b|\bused\b|\bstandardized\s+on\b|\bexecuted\b", "uses_tool"),
+    (r"\bis\s+migrating\s+to\b|\bhas\s+been\s+discussing\b|\bis\s+researching\b|\bdiscussed\b", "discusses"),
+    (r"\bmentioned\b", "mentions"),
+]
+PATTERN_TRIPLE_CONFIDENCE = 0.85
+
+VERB_SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("v_start", T.IntegerType(), False),
+        T.StructField("v_end", T.IntegerType(), False),
+    ]
+)
+
+TRIPLE_COLS = ["subj_id", "pred", "obj_id", "confidence", "conv_id", "turn_idx", "evidence", "method"]
+
+
+def _compiled_verbs() -> list[tuple[re.Pattern, str]]:
+    return [(re.compile(p, re.IGNORECASE), pred) for p, pred in VERB_PATTERNS]
+
+
+def verb_spans(transcripts: DataFrame) -> DataFrame:
+    """Find verb-cue spans per turn (tiny Arrow-batched UDF — regex with
+    positions isn't expressible as a Catalyst function)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        patterns = _compiled_verbs()
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                if not text:
+                    continue
+                for rx, pred in patterns:
+                    for m in rx.finditer(text):
+                        rows.append((conv_id, int(turn_idx), pred, m.start(), m.end()))
+            yield pd.DataFrame(rows, columns=[f.name for f in VERB_SPAN_SCHEMA.fields])
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=VERB_SPAN_SCHEMA
+    )
+
+
+def pattern_triples(
+    transcripts: DataFrame, mentions: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """T1 — (left-adjacent mention, verb cue, right-adjacent mention)."""
+    spans = verb_spans(transcripts)
+    m = mentions.select(
+        "conv_id", "turn_idx", "entity_type", "text", "start", "end", "surface_id"
+    )
+
+    left = (
+        spans.join(m, ["conv_id", "turn_idx"])
+        .where(F.col("end") <= F.col("v_start"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("conv_id", "turn_idx", "pred", "v_start").orderBy(
+                    F.col("end").desc(), F.col("start").desc()
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "conv_id", "turn_idx", "pred", "v_start", "v_end",
+            F.col("surface_id").alias("subj_sid"),
+            F.col("text").alias("subj_text"),
+            F.col("end").alias("subj_end"),
+        )
+    )
+    right = (
+        spans.join(m, ["conv_id", "turn_idx"])
+        .where(F.col("start") >= F.col("v_end"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("conv_id", "turn_idx", "pred", "v_start").orderBy(
+                    F.col("start"), F.col("end")
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "conv_id", "turn_idx", "pred", "v_start",
+            F.col("surface_id").alias("obj_sid"),
+            F.col("text").alias("obj_text"),
+            F.col("start").alias("obj_start"),
+        )
+    )
+    joined = left.join(right, ["conv_id", "turn_idx", "pred", "v_start"])
+    # adjacency discipline: cue must sit between the two mentions with only
+    # a short gap (reference requires containment in the match span)
+    joined = joined.where(
+        (F.col("v_start") - F.col("subj_end") <= 3) & (F.col("obj_start") - F.col("v_end") <= 3)
+    )
+    return joined.select(
+        F.col("subj_sid").alias("subj_id"),
+        "pred",
+        F.col("obj_sid").alias("obj_id"),
+        F.lit(PATTERN_TRIPLE_CONFIDENCE).alias("confidence"),
+        "conv_id",
+        "turn_idx",
+        F.concat_ws(" ", "subj_text", "pred", "obj_text").alias("evidence"),
+        F.lit("pattern").alias("method"),
+    )
+
+
+def type_pair_predicate_df(spark, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    rows = [(a, b, p) for a, b, p in config.type_pair_predicates]
+    return spark.createDataFrame(rows, "type_a string, type_b string, pred string")
+
+
+def proximity_triples(
+    mentions: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """T3 — same-turn mention pairs with gap <= proximity_window.
+
+    Range self-join within (conv_id, turn_idx): bounded per turn, so no
+    quadratic blowup (turn text is short by construction; the reference's
+    break-at-200 loop bound maps to the join's distance predicate).
+    """
+    spark = mentions.sparkSession
+    base = mentions.select(
+        "conv_id", "turn_idx", "entity_type", "text", "start", "end", "surface_id"
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+        & (
+            (F.col("a.start") < F.col("b.start"))
+            | ((F.col("a.start") == F.col("b.start")) & (F.col("a.end") < F.col("b.end")))
+        )
+        & (F.col("b.start") - F.col("a.end") <= config.proximity_window),
+    ).select(
+        F.col("a.conv_id").alias("conv_id"),
+        F.col("a.turn_idx").alias("turn_idx"),
+        F.col("a.entity_type").alias("type_a"),
+        F.col("b.entity_type").alias("type_b"),
+        F.col("a.surface_id").alias("subj_id"),
+        F.col("b.surface_id").alias("obj_id"),
+        F.col("a.text").alias("subj_text"),
+        F.col("b.text").alias("obj_text"),
+        (F.col("b.start") - F.col("a.end")).alias("distance"),
+    )
+    preds = type_pair_predicate_df(spark, config)
+    fwd = preds.withColumnRenamed("pred", "pred_fwd")
+    rev = preds.select(
+        F.col("type_b").alias("type_a"), F.col("type_a").alias("type_b"),
+        F.col("pred").alias("pred_rev"),
+    )
+    pairs = (
+        pairs.join(F.broadcast(fwd), ["type_a", "type_b"], "left")
+        .join(F.broadcast(rev), ["type_a", "type_b"], "left")
+        .withColumn("pred", F.coalesce("pred_fwd", "pred_rev", F.lit("related_to")))
+    )
+    conf = F.greatest(
+        F.lit(config.proximity_confidence_floor),
+        F.least(F.lit(1.0), F.lit(1.0) - F.col("distance") / config.max_entity_distance),
+    )
+    return pairs.select(
+        "subj_id", "pred", "obj_id",
+        F.round(conf, 6).alias("confidence"),
+        "conv_id", "turn_idx",
+        F.concat_ws(" ~ ", "subj_text", "obj_text").alias("evidence"),
+        F.lit("proximity").alias("method"),
+    )
+
+
+TRIPLE_METHOD_PRIORITY = {"model": 4, "pattern": 3, "proximity": 2, "ml": 1}
+
+
+def validate_triples(
+    triples: DataFrame,
+    surface_to_canonical: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """T6 — canonicalize endpoints and validate.
+
+    The two inner joins against the canonical map are the existence check
+    (a dangling surface id simply doesn't join); model triples below the
+    0.85 floor drop; self-loops (post-canonicalization) drop.
+    """
+    s_map = surface_to_canonical.withColumnRenamed("surface_id", "subj_id").withColumnRenamed(
+        "entity_id", "subj_entity"
+    )
+    o_map = surface_to_canonical.withColumnRenamed("surface_id", "obj_id").withColumnRenamed(
+        "entity_id", "obj_entity"
+    )
+    t = (
+        triples.join(s_map, "subj_id")
+        .join(o_map, "obj_id")
+        .drop("subj_id", "obj_id")
+        .withColumnRenamed("subj_entity", "subj_id")
+        .withColumnRenamed("obj_entity", "obj_id")
+    )
+    t = t.where(
+        (F.col("method") != "model")
+        | (F.col("confidence") >= config.llm_triple_confidence_floor)
+    )
+    return t.where(F.col("subj_id") != F.col("obj_id"))
+
+
+def dedup_and_merge_triples(
+    triples: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """T7 + T8 — one row per (subj, pred, obj) with cross-method boost."""
+    prio = F.lit(0)
+    for m, p in TRIPLE_METHOD_PRIORITY.items():
+        prio = F.when(F.col("method") == m, F.lit(p)).otherwise(prio)
+    ranked = triples.withColumn("_prio", prio)
+    best = F.max_by(
+        F.struct("confidence", "evidence", "conv_id", "turn_idx", "method"),
+        F.struct(F.col("_prio"), F.col("confidence")),
+    ).alias("best")
+    agg = ranked.groupBy("subj_id", "pred", "obj_id").agg(
+        best,
+        F.sum("confidence").alias("_conf_sum"),
+        F.max("confidence").alias("_conf_max"),
+        F.array_sort(F.collect_set("method")).alias("methods"),
+        F.count("*").alias("support"),
+    )
+    boosted = F.least(
+        F.lit(1.0),
+        F.col("best.confidence")
+        + config.confidence_boost_factor * (F.col("_conf_sum") - F.col("best.confidence")),
+    )
+    return agg.select(
+        "subj_id", "pred", "obj_id",
+        F.round(boosted, 6).alias("confidence"),
+        F.col("best.conv_id").alias("conv_id"),
+        F.col("best.turn_idx").alias("turn_idx"),
+        F.col("best.evidence").alias("evidence"),
+        F.col("best.method").alias("method"),
+        "methods", "support",
+    )
+
+
+def filter_triples(triples: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """T9 — overall confidence floor."""
+    return triples.where(F.col("confidence") >= config.triple_confidence_floor)

@@ -1,0 +1,3 @@
+from .pipeline import PipelineResult, run_pipeline
+
+__all__ = ["PipelineResult", "run_pipeline"]

@@ -1,0 +1,108 @@
+"""The end-to-end KG-construction plan (SURVEY.md §7.1).
+
+transcripts ─▶ chunk ─▶ mentions (regex ⊕ batched model) ─▶ E2 conflicts
+  ─▶ D5 cross-source merge ─▶ coref virtual mentions ─▶ linking (L1-L6)
+  ─▶ triples (T1 pattern + T3 proximity [+ T5 model]) ─▶ T6 validate
+  ─▶ T7/T8 dedup+boost ─▶ T9 filter ─▶ entities/edges tables + metrics.
+
+Shuffle budget (local[32] and cluster alike): 1 for chunk groupBy, 1 for
+the mention window dedups (same keys reused), 1 for surface rollup,
+1 self-join for blocking, O(diameter) small CC iterations, 1 for triple
+dedup — every groupBy/window key starts with conv_id or an entity hash,
+so AQE coalesces and no stage needs a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..operators.assemble import chunk_turns
+from ..operators.coref import resolve_pronouns
+from ..operators.dedup import merge_cross_source
+from ..operators.extract_model import extract_mentions_model
+from ..operators.linking import link_entities
+from ..operators.mentions import (
+    extract_mentions_regex,
+    resolve_conflicts,
+    with_entity_surface_id,
+)
+from ..operators.triples import (
+    dedup_and_merge_triples,
+    filter_triples,
+    pattern_triples,
+    proximity_triples,
+    validate_triples,
+)
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    entities: DataFrame
+    surface_to_canonical: DataFrame
+    edges: DataFrame
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    use_model: bool = True,
+    client_factory=None,
+) -> DataFrame:
+    """Stages 1-3: chunk -> extract (both methods) -> E2 -> D5 -> ids."""
+    chunks = chunk_turns(transcripts, config)
+    streams = [extract_mentions_regex(chunks, config)]
+    if use_model:
+        streams.append(extract_mentions_model(chunks, client_factory, config))
+    raw = streams[0]
+    for s in streams[1:]:
+        raw = raw.unionByName(s)
+    resolved = resolve_conflicts(raw)
+    merged = merge_cross_source(resolved)
+    return with_entity_surface_id(merged)
+
+
+def run_pipeline(
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    use_model: bool = True,
+    use_coref: bool = True,
+    client_factory=None,
+) -> PipelineResult:
+    mentions = extract_mentions(transcripts, config, use_model, client_factory)
+    # reuse the mention set across linking + two triple producers
+    mentions = mentions.persist()
+
+    entities, surface_map = link_entities(mentions, config)
+
+    triple_mentions = mentions
+    if use_coref:
+        virtual = resolve_pronouns(transcripts, mentions)
+        triple_mentions = mentions.unionByName(virtual)
+
+    raw_triples = pattern_triples(transcripts, triple_mentions, config).unionByName(
+        proximity_triples(triple_mentions, config)
+    )
+    validated = validate_triples(raw_triples, surface_map, config)
+    edges = filter_triples(dedup_and_merge_triples(validated, config), config)
+
+    return PipelineResult(
+        mentions=mentions,
+        entities=entities,
+        surface_to_canonical=surface_map,
+        edges=edges,
+    )
+
+
+def pipeline_tables(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> dict[str, DataFrame]:
+    """Checkpoint-friendly wrapper: subset of transcripts -> output tables."""
+    r = run_pipeline(transcripts, config)
+    return {
+        "mentions": r.mentions,
+        "entities": r.entities.withColumn("conv_id", F.explode("document_ids")),
+        "edges": r.edges,
+    }

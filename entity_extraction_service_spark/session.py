@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Settings chosen for a 1000-executor / 100 TB deployment and scaled down for
+local[N] testing:
+- AQE on (runtime coalesce, skew-join split) — SURVEY.md §4.
+- Arrow on for all pandas UDF exchange; bounded batch size so one Arrow
+  batch of long transcripts can't blow executor memory.
+- shuffle partitions sized by caller (tests: 32; cluster: ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+
+
+def build_session(
+    app_name: str = "entity-extraction-service-spark",
+    master: str | None = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(config.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(config.arrow_max_records_per_batch),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

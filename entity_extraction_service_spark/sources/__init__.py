@@ -1,0 +1,15 @@
+from .transcripts import (
+    TRANSCRIPT_SCHEMA,
+    GroundTruth,
+    read_transcripts,
+    synthesize_transcripts,
+    transcripts_from_documents,
+)
+
+__all__ = [
+    "TRANSCRIPT_SCHEMA",
+    "GroundTruth",
+    "read_transcripts",
+    "synthesize_transcripts",
+    "transcripts_from_documents",
+]

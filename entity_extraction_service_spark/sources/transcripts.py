@@ -1,0 +1,320 @@
+"""Transcript source: readers + deterministic synthetic generator.
+
+Input model (BASELINE.json input_hint): table
+``transcripts(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)``. In production this is an Iceberg table
+partitioned by ``bucket(conv_id)`` / ``days(ts)``; here we read parquet
+or synthesize.
+
+The synthesizer is the analog of the reference's fixture corpus
+(/root/reference/tests/e2e/tier3_fixtures.py — one fact per one-sentence
+fixture): every generated turn is either a known fact sentence with a
+known (subj, pred, obj) ground-truth triple, a coreference follow-up, or
+an entity-free distractor. It is fully deterministic (seeded PRNG, fixed
+base timestamp) and returns the ground-truth mention / entity / triple
+sets alongside the rows, which the pytest P/R harness (SURVEY.md §5
+item 2) compares against pipeline output.
+
+Skew knobs (FIXTURES.md §1): one long-tail conversation (``skew_factor`` x
+median turns — mirrors the reference's LARGE routing category,
+/root/reference/src/routing/size_detector.py:72-75) and one hot entity
+present in ~30% of conversations (exercises blocking-key salting).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.ids import entity_id_py
+from ..functions.normalize import group_norm_py, normalize_text_py
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+BASE_TS = datetime(2025, 1, 1, 0, 0, 0)
+
+# ---------------------------------------------------------------------------
+# Entity catalog (closed vocabulary; the extractor's gazetteer/pattern set in
+# operators/mentions.py is derived from the same shapes, mirroring how the
+# reference ships curated pattern YAMLs — src/patterns/**, S3 in SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+FIRST_NAMES = [
+    "Dana", "Priya", "Miguel", "Aisha", "Viktor", "Mei", "Tomas", "Zara",
+    "Kofi", "Ingrid", "Rafael", "Yuki", "Amara", "Stefan", "Leila", "Omar",
+]
+# last names selected so that no same-first-name pair clears the L2 merge
+# threshold (score < 0.84 for every (first, lastA) vs (first, lastB)) — the
+# reference's 0.85 formula genuinely merges e.g. "Tomas Novak"/"Tomas
+# Nakamura" (0.86), so fixture names must not collide (reference fixtures
+# don't either)
+LAST_NAMES = [
+    "Rivera", "Sharma", "Okonkwo", "Lindqvist", "Tanaka", "Petrov", "Alvarez",
+    "Haddad", "Kowalski", "Mensah", "Bergstrom", "Castillo", "Fitzgerald", "Dubois",
+]
+
+ORG_NAMES = [
+    "Acme Corporation", "Globex Systems", "Initech Labs", "Umbrella Group",
+    "Stark Technologies", "Wayne Foundation", "Hooli Systems", "Vandelay Industries",
+    "Cyberdyne Labs", "Tyrell Corporation", "Wonka Industries", "Aperture Labs",
+    "Nakatomi Group", "Oscorp Technologies", "Weyland Systems", "Zorin Industries",
+]
+
+# variant surface forms that the linking stage (L2 similarity >= 0.85) must
+# merge into the canonical org — near-identical strings (plural / trailing
+# qualifier) chosen so SequenceMatcher ratio clears the 0.85 threshold.
+ORG_VARIANTS = {
+    "Acme Corporation": ["Acme Corporations"],
+    "Globex Systems": ["Globex System"],
+    "Stark Technologies": ["Stark Technology"],
+}
+
+TOOL_NAMES = [
+    "kubectl", "terraform", "pytest", "airflow", "docker", "grafana",
+    "prometheus", "ansible", "jenkins", "datadog", "pagerduty", "redis",
+    "kafka", "spark", "flink", "presto",
+]
+
+CONCEPT_NAMES = [
+    "zero trust", "data mesh", "event sourcing", "chaos engineering",
+    "blue green deployment", "feature flags", "schema evolution",
+    "stream processing", "capacity planning", "incident response",
+    "service mesh", "observability", "canary release", "cost attribution",
+]
+
+DISTRACTOR_TURNS = [
+    "the build is green again.",
+    "retro notes were posted to the channel.",
+    "standup moved to 10am tomorrow.",
+    "reminder: lock the release branch tonight.",
+    "all quiet on the paging front this week.",
+    "lunch and learn is cancelled this friday.",
+]
+
+TOOL_OUTPUT_TURNS = [
+    ("ci", "exit code 0; 212 tests passed."),
+    ("linter", "0 errors, 3 warnings."),
+    ("deploy", "rollout complete: 12/12 pods healthy."),
+    ("monitor", "p99 latency 240ms, error rate 0.02%."),
+]
+
+# fact templates: (template, subj_type, obj_type, predicate)
+# subject always precedes object; gaps are < proximity_window chars so the
+# T3 proximity rule fires; the verb phrase also matches a T1 pattern.
+FACT_TEMPLATES = [
+    ("{s} works at {o}.", "PERSON", "ORG", "works_for"),
+    ("{s} joined {o} last quarter.", "PERSON", "ORG", "works_for"),
+    ("{s} ran {o} to fix the build.", "PERSON", "TOOL", "uses_tool"),
+    ("{s} used {o} for the deployment.", "PERSON", "TOOL", "uses_tool"),
+    ("{s} is researching {o} this sprint.", "PERSON", "CONCEPT", "discusses"),
+    ("{s} is migrating to {o}.", "ORG", "CONCEPT", "discusses"),
+    ("{s} has been discussing {o} internally.", "ORG", "CONCEPT", "discusses"),
+    ("{s} standardized on {o} last year.", "ORG", "TOOL", "uses_tool"),
+    ("{s} mentioned {o} in the standup.", "PERSON", "PERSON", "mentions"),
+]
+
+COREF_FOLLOWUPS = [
+    ("they ran {o} after the incident.", "TOOL", "uses_tool"),
+    ("they used {o} to verify the fix.", "TOOL", "uses_tool"),
+]
+
+
+@dataclass
+class GroundTruth:
+    """Expected outputs for a synthesized corpus (FIXTURES.md §3)."""
+
+    mentions: list[dict] = field(default_factory=list)
+    triples: set[tuple[str, str, str]] = field(default_factory=set)
+    triples_rows: list[dict] = field(default_factory=list)
+    entities: dict[str, dict] = field(default_factory=dict)  # entity_id -> info
+
+    def canonical_id(self, entity_type: str, surface: str) -> str:
+        norm = group_norm_py(normalize_text_py(surface))
+        canon = _VARIANT_CANON.get((entity_type, norm), norm)
+        return entity_id_py(entity_type, canon)
+
+
+# variant norm -> canonical norm lookup, derived from ORG_VARIANTS
+_VARIANT_CANON: dict[tuple[str, str], str] = {}
+for _canon, _vars in ORG_VARIANTS.items():
+    _cn = group_norm_py(normalize_text_py(_canon))
+    for _v in _vars:
+        _VARIANT_CANON[("ORG", group_norm_py(normalize_text_py(_v)))] = _cn
+
+
+def _record_entity(gt: GroundTruth, etype: str, surface: str, conv_id: str) -> str:
+    eid = gt.canonical_id(etype, surface)
+    info = gt.entities.setdefault(
+        eid,
+        {"entity_id": eid, "entity_type": etype, "variants": set(), "conv_ids": set(), "count": 0},
+    )
+    info["variants"].add(surface)
+    info["conv_ids"].add(conv_id)
+    info["count"] += 1
+    return eid
+
+
+def _record_mention(
+    gt: GroundTruth, conv_id: str, turn_idx: int, etype: str, surface: str, text: str
+) -> None:
+    start = text.index(surface)
+    gt.mentions.append(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn_idx,
+            "entity_type": etype,
+            "text": surface,
+            "start": start,
+            "end": start + len(surface),
+        }
+    )
+
+
+def _record_triple(gt: GroundTruth, conv_id: str, s_id: str, pred: str, o_id: str) -> None:
+    if s_id == o_id:  # self-loops are dropped by T6; never expected
+        return
+    key = (s_id, pred, o_id)
+    gt.triples.add(key)
+    gt.triples_rows.append({"subj_id": s_id, "pred": pred, "obj_id": o_id, "conv_id": conv_id})
+
+
+def synthesize_transcripts(
+    spark: SparkSession,
+    n_convs: int = 100,
+    seed: int = 42,
+    mean_turns: int = 12,
+    skew_factor: int = 0,
+    hot_entity_share: float = 0.3,
+    with_truth: bool = True,
+) -> tuple[DataFrame, GroundTruth]:
+    """Deterministic synthetic transcript corpus + ground truth.
+
+    ``skew_factor`` > 0 makes conversation 0 have ``skew_factor * mean_turns``
+    turns (the long-tail LARGE conversation). ``hot_entity_share`` of
+    conversations contain the hot org (blocking-key skew).
+    """
+    rng = random.Random(seed)
+    persons = [f"{f} {l}" for f in FIRST_NAMES for l in LAST_NAMES]
+    hot_org = ORG_NAMES[0]
+
+    rows: list[tuple] = []
+    gt = GroundTruth()
+
+    for ci in range(n_convs):
+        conv_id = f"conv_{ci:06d}"
+        n_turns = mean_turns + rng.randint(-mean_turns // 3, mean_turns // 3)
+        if skew_factor and ci == 0:
+            n_turns = mean_turns * skew_factor
+        last_person: str | None = None
+        ts = BASE_TS + timedelta(hours=ci)
+        use_hot = rng.random() < hot_entity_share
+
+        for ti in range(n_turns):
+            ts = ts + timedelta(seconds=30)
+            roll = rng.random()
+            role, tool, text = "user", None, None
+
+            if roll < 0.15:
+                tool, text = rng.choice(TOOL_OUTPUT_TURNS)
+                role = "tool"
+            elif roll < 0.35:
+                text = rng.choice(DISTRACTOR_TURNS)
+                role = rng.choice(["user", "assistant"])
+            elif roll < 0.45 and last_person is not None:
+                # coreference follow-up: pronoun resolves to last PERSON (L7)
+                tmpl, obj_type, pred = rng.choice(COREF_FOLLOWUPS)
+                obj = rng.choice(TOOL_NAMES)
+                text = tmpl.format(o=obj)
+                role = "assistant"
+                if with_truth:
+                    s_id = gt.canonical_id("PERSON", last_person)
+                    o_id = _record_entity(gt, obj_type, obj, conv_id)
+                    _record_mention(gt, conv_id, ti, obj_type, obj, text)
+                    _record_triple(gt, conv_id, s_id, pred, o_id)
+            else:
+                tmpl, s_type, o_type, pred = rng.choice(FACT_TEMPLATES)
+                subj = _pick(rng, s_type, persons, use_hot, hot_org)
+                obj = _pick(rng, o_type, persons, use_hot, hot_org)
+                # occasionally swap the org for a near-variant surface form
+                if o_type == "ORG" and obj in ORG_VARIANTS and rng.random() < 0.25:
+                    obj = rng.choice(ORG_VARIANTS[obj])
+                while s_type == o_type and obj == subj:
+                    obj = _pick(rng, o_type, persons, False, hot_org)
+                text = tmpl.format(s=subj, o=obj)
+                role = rng.choice(["user", "assistant"])
+                # the pronoun antecedent is the latest PERSON mention by
+                # position (L7 semantics, entity_registry.py:495-513) — for
+                # PERSON->PERSON facts that's the object
+                if o_type == "PERSON":
+                    last_person = obj
+                elif s_type == "PERSON":
+                    last_person = subj
+                if with_truth:
+                    s_id = _record_entity(gt, s_type, subj, conv_id)
+                    o_id = _record_entity(gt, o_type, obj, conv_id)
+                    _record_mention(gt, conv_id, ti, s_type, subj, text)
+                    _record_mention(gt, conv_id, ti, o_type, obj, text)
+                    _record_triple(gt, conv_id, s_id, pred, o_id)
+
+            rows.append((conv_id, ti, role, text, tool, ts))
+
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    return df, gt
+
+
+def _pick(rng: random.Random, etype: str, persons: list[str], use_hot: bool, hot_org: str) -> str:
+    if etype == "PERSON":
+        return rng.choice(persons)
+    if etype == "ORG":
+        if use_hot and rng.random() < 0.5:
+            return hot_org
+        return rng.choice(ORG_NAMES)
+    if etype == "TOOL":
+        return rng.choice(TOOL_NAMES)
+    return rng.choice(CONCEPT_NAMES)
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Read a transcripts table (Iceberg identifier or parquet path)."""
+    if "/" not in path and "." in path:
+        return spark.read.table(path)
+    return spark.read.parquet(path)
+
+
+def transcripts_from_documents(spark: SparkSession, sf_dir: str, turns_per_doc: int = 8) -> DataFrame:
+    """Derive a transcripts-shaped table from the driver's documents.parquet.
+
+    Used by ``__spark_entry__.entry`` so the flagship query runs over driver
+    data: each document becomes a conversation, its text split into
+    sentence-ish turns. Deterministic (pure function of the input)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    turns = (
+        docs.select(
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.posexplode(F.split(F.col("text"), r"(?<=[.!?])\s+")).alias("turn_idx", "text"),
+        )
+        .where(F.length("text") > 0)
+        .where(F.col("turn_idx") < turns_per_doc)
+    )
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit(BASE_TS) + F.make_interval(secs=F.col("turn_idx") * 30)).alias("ts"),
+    )

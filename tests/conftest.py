@@ -1,0 +1,20 @@
+import pytest
+
+from entity_extraction_service_spark.session import build_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(app_name="ees-spark-tests", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus(spark):
+    """Shared synthetic corpus + ground truth (deterministic, seed 42)."""
+    from entity_extraction_service_spark.sources.transcripts import synthesize_transcripts
+
+    df, gt = synthesize_transcripts(spark, n_convs=60, seed=42, mean_turns=12, skew_factor=8)
+    return df.persist(), gt

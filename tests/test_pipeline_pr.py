@@ -1,0 +1,57 @@
+"""End-to-end P/R harness (SURVEY.md §5 item 2, BASELINE gate P/R >= 0.95).
+
+Runs the full pipeline on the synthetic fixture corpus and compares the
+emitted (subj_id, pred, obj_id) triple set against ground truth — the
+same comparison the driver makes against the reference's emitted triples
+(matching key per FIXTURES.md §3.3, T7 dedup applied, self-loops excluded).
+"""
+
+from entity_extraction_service_spark.plans.pipeline import run_pipeline
+
+
+def _pr(predicted: set, expected: set) -> tuple[float, float]:
+    if not predicted or not expected:
+        return 0.0, 0.0
+    tp = len(predicted & expected)
+    return tp / len(predicted), tp / len(expected)
+
+
+def test_triples_pr(corpus):
+    transcripts, gt = corpus
+    result = run_pipeline(transcripts)
+    rows = result.edges.select("subj_id", "pred", "obj_id").collect()
+    predicted = {(r["subj_id"], r["pred"], r["obj_id"]) for r in rows}
+    precision, recall = _pr(predicted, gt.triples)
+    assert precision >= 0.95, f"precision {precision:.4f} < 0.95 ({len(predicted)} predicted)"
+    assert recall >= 0.95, f"recall {recall:.4f} < 0.95 ({len(gt.triples)} expected)"
+
+
+def test_mentions_match_truth(corpus):
+    transcripts, gt = corpus
+    from entity_extraction_service_spark.plans.pipeline import extract_mentions
+
+    m = extract_mentions(transcripts).select(
+        "conv_id", "turn_idx", "entity_type", "text", "start", "end"
+    )
+    predicted = {tuple(r) for r in m.collect()}
+    expected = {
+        (x["conv_id"], x["turn_idx"], x["entity_type"], x["text"], x["start"], x["end"])
+        for x in gt.mentions
+    }
+    tp = len(predicted & expected)
+    precision = tp / len(predicted)
+    recall = tp / len(expected)
+    assert precision >= 0.95, f"mention precision {precision:.4f}"
+    assert recall >= 0.95, f"mention recall {recall:.4f}"
+
+
+def test_canonical_entities_ids(corpus):
+    transcripts, gt = corpus
+    result = run_pipeline(transcripts)
+    got = {r["entity_id"] for r in result.entities.select("entity_id").collect()}
+    expected = set(gt.entities)
+    missing = expected - got
+    extra = got - expected
+    # allow tiny slack for variant families whose canonical pick differs
+    assert len(missing) / len(expected) <= 0.05, f"missing {len(missing)}/{len(expected)}: {sorted(missing)[:5]}"
+    assert len(extra) / max(len(got), 1) <= 0.05, f"extra {len(extra)}: {sorted(extra)[:5]}"
