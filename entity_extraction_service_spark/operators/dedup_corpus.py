@@ -1,0 +1,196 @@
+"""Corpus-scale deduplication suite (training-data pipeline operators).
+
+Not present in the reference service (it dedups mentions, not documents) —
+these are the document-level dedup operators a 100 TB training-data
+pipeline needs, built Spark-first:
+
+- exact dedup: md5 fingerprint of whitespace-normalized text; groupBy is
+  the whole operator (hash shuffle on the fingerprint; map-side partial
+  agg makes repeated content cheap).
+- unigram-Jaccard near-dup: token-set Jaccard via array_intersect /
+  array_union — pure Catalyst, used both standalone and as the verify
+  step after LSH candidate generation.
+- MinHash: per-seed signature value = min(md5(token || '|' || seed)) over
+  the token set. Using md5 keeps the signature engine-portable (the DuckDB
+  oracle computes the identical value) — no dependence on Spark's
+  internal hash. explode + groupBy(min) stays JVM-side.
+- MinHash-LSH banding: band hash = md5(concat_ws of the band's signature
+  values); candidate pairs join on (band_idx, band_hash) — the classic
+  shingle→minhash→band→bucket-join pipeline; candidates are then verified
+  with true Jaccard so false positives cost only the verify.
+- SimHash: 64-bit majority-vote fingerprint over xxhash64(token); Hamming
+  distance <= k => near-dup. Bit arithmetic via bitwise aggs on the
+  exploded token hashes — no Python in the loop.
+- embedding cosine near-dup: see ann.py (shares the similarity kernel).
+
+At 100 TB: every operator here is a scan + one shuffle (groupBy/join on a
+hash key), no driver-side state; LSH bucket skew (a viral duplicated doc)
+is bounded by ``lsh_max_bucket`` the same way blocking caps L1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_stats import fingerprint
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(text_col: str = "text") -> F.Column:
+    return F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct content fingerprint: keeper id + dup count."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Blocked all-pairs unigram Jaccard (block on a partition-friendly key)."""
+    t = docs.select(
+        F.col(block_col).alias("block"), F.col(id_col).alias("id"), _tokens(text_col).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(jac, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sig: array<string>) — md5-based MinHash, engine-portable."""
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
+    mins = [
+        F.min(F.md5(F.concat_ws("|", "tok", F.lit(str(seed))))).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    agg = toks.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{s}" for s in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 2, max_bucket: int = 10_000
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate pairs (id_a < id_b)."""
+    bands = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig").getItem(i * rows_per_band + j)
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    sizes = bands.groupBy("band_idx", "band_hash").agg(F.count("*").alias("n"))
+    bounded = bands.join(
+        sizes.where(F.col("n") <= max_bucket), ["band_idx", "band_hash"]
+    )
+    a, b = bounded.alias("a"), bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates verified by true Jaccard."""
+    sigs = minhash_signatures(docs, n_hashes, id_col, text_col)
+    cands = minhash_lsh_candidates(sigs, n_bands, n_hashes // n_bands)
+    t = docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
+    verified = (
+        cands.join(t.withColumnsRenamed({"id": "id_a", "toks": "toks_a"}), "id_a")
+        .join(t.withColumnsRenamed({"id": "id_b", "toks": "toks_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return verified.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: bit i set iff the majority of token hashes
+    have bit i set. Exploded-token bit votes as JVM aggregations."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dups by Hamming distance on SimHash, blocked to bound the join."""
+    fps = simhash_fingerprints(docs, id_col, text_col).join(
+        docs.select(F.col(id_col).alias("id"), F.col(block_col).alias("block")), "id"
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = a.join(
+        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id"))
+    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

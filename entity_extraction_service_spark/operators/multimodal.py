@@ -1,0 +1,128 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary).
+
+The Spark-side contract is real and tested: typed metadata struct, binary
+payload column, Arrow-batched ``mapInPandas`` decode/feature/resize/
+frame-sample stages with bounded batch sizes (binary rows are big — the
+Arrow batch cap in session.py is what keeps executor memory flat at
+100 TB). The *codec* step is stubbed: the container has no image/audio
+libraries, so decoders raise NotImplementedError unless
+``deterministic_fake=True``, which produces seeded, content-derived fake
+features so the pipeline shape is testable end-to-end.
+
+Schema convention:
+  media(media_id string, kind string in {image,audio,video},
+        payload binary, meta struct<width int, height int, sample_rate
+        int, n_frames int, mime string>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("feature_dim", T.IntegerType(), True),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(256 + (i % 5) * 64)
+        meta = {
+            "width": 64 if kind != "audio" else None,
+            "height": 64 if kind != "audio" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "n_frames": 30 if kind == "video" else None,
+            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+        }
+        rows.append((f"media_{i:04d}", kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Content-derived deterministic fake feature: md5-seeded projection."""
+    h = hashlib.md5(payload or b"").digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+    return rng.standard_normal(dim).astype("float32").tolist()
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, deterministic_fake: bool = True
+) -> DataFrame:
+    """Decode + feature-extract stage over binary payloads.
+
+    Real deployments replace ``_fake_feature`` with an actual decoder /
+    model inside the same batched loop (the Arrow batch is the inference
+    batch, exactly like extract_model.py)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "set deterministic_fake=True or plug a real decoder"
+                )
+            feats = [
+                _fake_feature(bytes(p) if p is not None else b"", dim)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "feature_dim": dim,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one row per sampled frame index —
+    pure Catalyst (sequence + explode); the decode of each frame would
+    happen in extract_features."""
+    video = media.where(F.col("kind") == "video")
+    return video.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

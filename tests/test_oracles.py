@@ -1,0 +1,73 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry against its oracle_sql() via DuckDB on the same parquet and compare
+row count + columns + order-insensitive values (sf0.001 for speed; the
+driver uses sf0.01)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(df):
+    cols = sorted(df.columns)
+    rows = []
+    for _, row in df[cols].iterrows():
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(round(v, 6))
+            else:
+                vals.append(str(v))
+        rows.append(tuple(vals))
+    return cols, sorted(map(str, rows))
+
+
+ORACLES = sorted(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLES)
+def test_oracle(spark, name):
+    q = entry_mod.queries()[name]
+    spark_df = q(spark, SF_DIR).toPandas()
+    duck_df = _duck(entry_mod.oracle_sql()[name])
+    s_cols, s_rows = _normalize(spark_df)
+    d_cols, d_rows = _normalize(duck_df)
+    assert s_cols == d_cols, f"{name}: columns {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), f"{name}: {len(s_rows)} vs {len(d_rows)} rows"
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, d_rows) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "entity_id" in df.columns
+
+
+ROWS_ONLY = [k for k in entry_mod.queries() if k not in entry_mod.oracle_sql()]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    assert df.count() >= 0
