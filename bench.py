@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is total wall seconds for the suite; the JSON also
+carries ``triples_per_sec`` for the end-to-end KG pipeline (the
+BASELINE.json north-rule metric) so scaling runs at two parallelism
+levels can compute efficiency (see BENCH.md / scripts/scaling_bench.py).
+
+Each query is materialized with a noop-format write so the full plan
+(including all output columns) executes — ``.count()`` would let Catalyst
+prune work a real sink pays for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline subset of __spark_entry__.queries(): the KG path end-to-end plus
+# the shuffle-heavy relational/corpus operators. Names match queries().
+HEADLINE = [
+    "kg_mentions",
+    "kg_edges",
+    "d2_dedup_group_max",
+    "e2_interval_conflicts",
+    "t3_proximity_pairs",
+    "topk_by_degree",
+    "exact_dedup_docs",
+    "minhash_lsh_near_dups",
+    "simhash_fingerprints",
+    "embedding_topk",
+    "token_stats",
+]
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+    from entity_extraction_service_spark.session import build_session
+
+    import __spark_entry__ as entry_mod
+
+    cfg = DEFAULT_CONFIG
+    spark = build_session(
+        app_name=f"bench-sf{sf}",
+        master=f"local[{cpus}]",
+        config=cfg,
+        extra={"spark.sql.shuffle.partitions": str(max(cpus, 16))},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entry_mod.queries()
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+
+    # End-to-end KG pipeline (the north-rule metric): count triples once so
+    # triples/sec is reportable, then time the materialization run.
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    t0 = time.perf_counter()
+    result = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
+    n_triples = result.edges.count()
+    _materialize(result.entities)
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline_e2e"] = round(kg_sec, 3)
+
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = time.perf_counter() - t_suite
+    out = {
+        "metric": "headline_suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_sec, 2) if kg_sec > 0 else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -295,21 +295,63 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def transcripts_from_documents(spark: SparkSession, sf_dir: str, turns_per_doc: int = 8) -> DataFrame:
+def transcripts_from_documents(
+    spark: SparkSession, sf_dir: str, turns_per_doc: int = 8, with_facts: bool = True
+) -> DataFrame:
     """Derive a transcripts-shaped table from the driver's documents.parquet.
 
     Used by ``__spark_entry__.entry`` so the flagship query runs over driver
     data: each document becomes a conversation, its text split into
-    sentence-ish turns. Deterministic (pure function of the input)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    turns = (
+    sentence-ish turns. The driver's document text is entity-free word
+    salad, so with ``with_facts`` each conversation is prefixed with three
+    fact turns whose entities are chosen by hashing ``doc_id`` — a pure,
+    distributed column computation (no driver-side loop, no randomness),
+    making the whole table a deterministic function of the input while
+    giving the KG path (mentions → linking → triples) real work and real
+    output. This synthesises the north-rule transcript shape from driver
+    data (sandbox contract: synthesise the input table deterministically).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("conv_id"), "text"
+    )
+
+    n_facts = 3 if with_facts else 0
+    text_turns = (
         docs.select(
-            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("conv_id"),
-            F.posexplode(F.split(F.col("text"), r"(?<=[.!?])\s+")).alias("turn_idx", "text"),
+            "conv_id",
+            F.posexplode(F.split(F.col("text"), r"(?<=[.!?])\s+")).alias("pos", "text"),
         )
         .where(F.length("text") > 0)
-        .where(F.col("turn_idx") < turns_per_doc)
+        .where(F.col("pos") < turns_per_doc)
+        .select("conv_id", (F.col("pos") + n_facts).alias("turn_idx"), "text")
     )
+
+    turns = text_turns
+    if with_facts:
+        persons = [f"{f} {l}" for f in FIRST_NAMES for l in LAST_NAMES]
+        p_arr = F.array(*[F.lit(p) for p in persons])
+        o_arr = F.array(*[F.lit(o) for o in ORG_NAMES])
+        t_arr = F.array(*[F.lit(t) for t in TOOL_NAMES])
+        c_arr = F.array(*[F.lit(c) for c in CONCEPT_NAMES])
+
+        def pick(arr: F.Column, n: int, salt: int) -> F.Column:
+            return F.element_at(arr, (F.pmod(F.hash("conv_id", F.lit(salt)), F.lit(n)) + 1))
+
+        person = pick(p_arr, len(persons), 1)
+        person2 = pick(p_arr, len(persons), 2)
+        org = pick(o_arr, len(ORG_NAMES), 3)
+        tool = pick(t_arr, len(TOOL_NAMES), 4)
+        concept = pick(c_arr, len(CONCEPT_NAMES), 5)
+        fact_texts = F.array(
+            F.concat(person, F.lit(" works at "), org, F.lit(".")),
+            F.concat(person2, F.lit(" ran "), tool, F.lit(" to fix the build.")),
+            F.concat(org, F.lit(" has been discussing "), concept, F.lit(" internally.")),
+        )
+        fact_turns = docs.select(
+            "conv_id", F.posexplode(fact_texts).alias("turn_idx", "text")
+        ).select("conv_id", F.col("turn_idx"), "text")
+        turns = fact_turns.unionByName(text_turns)
+
     return turns.select(
         "conv_id",
         F.col("turn_idx").cast("int"),
