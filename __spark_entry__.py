@@ -224,6 +224,165 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "vec_id", "rank")
 
 
+def q_l7_last_antecedent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 coref antecedent shape: last non-null prior value per user
+    (last ... ignore nulls over unbounded-preceding frame)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.when(F.col("value") >= 50, F.col("value")).alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return e.select(
+        "user_id", "event_id", F.last("v", ignorenulls=True).over(w).alias("antecedent")
+    )
+
+
+def q_t3_lead_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 adjacency via lead(): next event id + gap seconds per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt_id = F.lead("event_id").over(w)
+    gap = F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    return e.select(
+        "user_id", "event_id", nxt_id.alias("next_event_id"), gap.alias("gap_sec")
+    ).where(F.col("next_event_id").isNotNull())
+
+
+def q_k1_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 resume: anti-join input against the 'committed' set."""
+    o = _t(spark, sf_dir, "orders")
+    committed = o.where(F.pmod(F.col("o_orderkey"), 4) < 2).select("o_orderkey")
+    return o.join(committed, "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (E6/E13 union analog + except): low-nation customers minus
+    big spenders, unioned with intersection of both."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    low_nation = c.where(F.col("c_nationkey") < 5).select(F.col("c_custkey").alias("k"))
+    big = (
+        o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        .where(F.col("s") > 50_000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return (
+        low_nation.exceptAll(big).withColumn("segment", F.lit("low_only"))
+        .unionByName(low_nation.intersect(big).withColumn("segment", F.lit("both")))
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup revenue by (returnflag, linestatus) — beyond-reference
+    relational coverage (grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # decimal accumulation: bit-exact across engines regardless of
+    # aggregation order (double sums are association-order-dependent)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(price).cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_t8_conf_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 merge boost formula: best + 0.1 * (sum - best), capped."""
+    li = _t(spark, sf_dir, "lineitem")
+    # decimal aggregation (order-independent exact), then ONE ieee double
+    # expression — identical bits in any engine, no rounding-mode traps
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    boosted = F.max(p).cast("double") + (F.sum(p) - F.max(p)).cast("double") / 10
+    return li.groupBy("l_orderkey").agg(
+        boosted.alias("boosted"),
+        F.count("*").alias("support"),
+    )
+
+
+def q_d5_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 position-overlap range join: intervals [value, value+5] per user,
+    overlap predicate a.s < b.e AND a.e > b.s."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("value").alias("s"), (F.col("value") + 5).alias("e")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.s") < F.col("b.e"))
+        & (F.col("a.e") > F.col("b.s")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+    )
+
+
+def q_c4_running_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 global-offset shape: running sum of prior values per user."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 2).alias("run_offset"),
+    )
+
+
+def q_l9_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 centrality: 0.7*(degree/max_degree) + 0.3*min(1, occurrences/100)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    deg = o.groupBy("o_custkey").agg(F.count("*").alias("degree"))
+    occ = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("occurrences"))
+    )
+    j = deg.join(occ, "o_custkey")
+    max_deg = Window.partitionBy()
+    return j.select(
+        "o_custkey",
+        F.round(
+            0.7 * (F.col("degree") / F.max("degree").over(max_deg))
+            + 0.3 * F.least(F.lit(1.0), F.col("occurrences") / 100.0),
+            6,
+        ).alias("centrality"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowered text."""
+    from entity_extraction_service_spark.functions.text_stats import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword composite."""
+    from entity_extraction_service_spark.functions.text_stats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the documents table's marker words."""
+    from entity_extraction_service_spark.functions.text_stats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (non-SQL-expressible: pandas-UDF extraction, CC,
 # engine-native hashes, binary plumbing)
@@ -266,6 +425,16 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=3)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_service_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=3)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_service_spark.operators.multimodal import (
         extract_features,
@@ -273,6 +442,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return extract_features(synthesize_media(spark, n=32), dim=8)
+
+
+def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    r = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
+    return r.entities.select(
+        "entity_id", "entity_text", "entity_type", "occurrence_count"
+    )
+
+
+def q_e12_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_service_spark.operators.candidates import candidate_mentions
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    return candidate_mentions(transcripts_from_documents(spark, sf_dir))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extraction_service_spark.operators.ann import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.95)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -292,13 +484,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "embedding_topk": q_embedding_topk,
+        "l7_last_antecedent": q_l7_last_antecedent,
+        "t3_lead_adjacent": q_t3_lead_adjacent,
+        "k1_resume_anti_join": q_k1_resume_anti_join,
+        "set_ops_segments": q_set_ops_segments,
+        "rollup_revenue": q_rollup_revenue,
+        "t8_conf_boost": q_t8_conf_boost,
+        "d5_overlap_join": q_d5_overlap_join,
+        "c4_running_offset": q_c4_running_offset,
+        "l9_centrality": q_l9_centrality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
         # rows-only (no oracle):
         "kg_mentions": q_kg_mentions,
         "kg_edges": q_kg_edges,
+        "kg_entities": q_kg_entities,
         "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "embedding_near_dups": q_embedding_near_dups,
+        "e12_candidates": q_e12_candidates,
     }
 
 
@@ -418,6 +626,132 @@ def oracle_sql() -> dict[str, str]:
                    min(md5(concat_ws('|', tok, '2'))) AS h2,
                    min(md5(concat_ws('|', tok, '3'))) AS h3
             FROM toks GROUP BY doc_id
+        """,
+        "l7_last_antecedent": """
+            SELECT user_id, event_id,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS antecedent
+            FROM (SELECT user_id, event_id,
+                         CASE WHEN value >= 50 THEN value END AS v
+                  FROM events)
+        """,
+        "t3_lead_adjacent": """
+            SELECT user_id, event_id, next_event_id,
+                   date_diff('second', ts, next_ts) AS gap_sec
+            FROM (
+                SELECT user_id, event_id, ts,
+                       lead(event_id) OVER w AS next_event_id,
+                       lead(ts) OVER w AS next_ts
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE next_event_id IS NOT NULL
+        """,
+        "k1_resume_anti_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 4 >= 2
+        """,
+        "set_ops_segments": """
+            WITH low_nation AS (
+                SELECT c_custkey AS k FROM customer WHERE c_nationkey < 5
+            ), big AS (
+                SELECT o_custkey AS k FROM orders
+                GROUP BY o_custkey HAVING sum(o_totalprice) > 50000
+            )
+            SELECT k, 'low_only' AS segment FROM (
+                SELECT k FROM low_nation EXCEPT ALL SELECT k FROM big
+            )
+            UNION ALL
+            SELECT k, 'both' AS segment FROM (
+                SELECT k FROM low_nation INTERSECT SELECT k FROM big
+            )
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "t8_conf_boost": """
+            SELECT l_orderkey,
+                   CAST(max(p) AS DOUBLE)
+                     + CAST(sum(p) - max(p) AS DOUBLE) / 10 AS boosted,
+                   count(*) AS support
+            FROM (SELECT l_orderkey,
+                         CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+                  FROM lineitem)
+            GROUP BY l_orderkey
+        """,
+        "d5_overlap_join": """
+            WITH iv AS (
+                SELECT user_id, event_id, value AS s, value + 5 AS e FROM events
+            )
+            SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b
+            FROM iv a JOIN iv b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND a.s < b.e AND a.e > b.s
+        """,
+        "c4_running_offset": """
+            SELECT user_id, event_id,
+                   round(coalesce(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0.0), 2) AS run_offset
+            FROM events
+        """,
+        "l9_centrality": """
+            WITH deg AS (
+                SELECT o_custkey, count(*) AS degree FROM orders GROUP BY o_custkey
+            ), occ AS (
+                SELECT o_custkey, count(*) AS occurrences
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY o_custkey
+            )
+            SELECT d.o_custkey AS o_custkey,
+                   round(0.7 * (d.degree / CAST(max(d.degree) OVER () AS DOUBLE))
+                         + 0.3 * least(1.0, o.occurrences / 100.0), 6) AS centrality
+            FROM deg d JOIN occ o ON d.o_custkey = o.o_custkey
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "doc_quality": """
+            SELECT doc_id, round(
+                0.4 * least(length(text) / 500.0, 1.0)
+              + 0.3 * (1.0 - least(4 * (CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                         / length(text)
+                    ELSE 0.0 END), 1.0))
+              + 0.3 * least(len(list_intersect(
+                    list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                    ['the','of','and','to','in','a','is','that','it','for',
+                     'on','was','with','as','are','this','be','at','by','from']
+                )) / 5.0, 1.0), 6) AS quality
+            FROM documents
+        """,
+        "doc_lang_id": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       len(list_intersect(toks, ['the','and','of','is','that'])) AS h_en,
+                       len(list_intersect(toks, ['der','die','und','ist','das'])) AS h_de,
+                       len(list_intersect(toks, ['le','la','et','est','les'])) AS h_fr,
+                       len(list_intersect(toks, ['el','la','que','de','es'])) AS h_es
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM h
         """,
         "embedding_topk": """
             WITH q AS (

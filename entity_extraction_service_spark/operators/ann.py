@@ -80,30 +80,148 @@ def lsh_signature_col(vec_col: str, planes: np.ndarray) -> F.Column:
     return F.concat(*bits)
 
 
+def _multi_table_buckets(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int) -> F.Column:
+    """Array of 'table:signature' bucket keys — one per hash table
+    (OR-amplification: candidate if ANY table agrees)."""
+    keys = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1013 * t)
+        keys.append(F.concat(F.lit(f"{t}:"), lsh_signature_col(vec_col, planes)))
+    return F.array(*keys)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-bucket join, exact cosine re-rank.
+    """Approximate top-k: multi-table hyperplane-bucket join, exact cosine
+    re-rank.
 
-    Recall rises with fewer planes (bigger buckets) or multiple probe
-    tables; both are config, the join shape is fixed.
+    Recall amplification is OR-across-tables (candidate if any of the
+    ``n_tables`` signatures matches); candidates are deduped per
+    (query, vec) before the exact re-rank so each pair is scored once.
+    The join key stays a short string — the 100 TB-friendly shape.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("bucket", lsh_signature_col("cvec", planes))
+    ).withColumn("bucket", F.explode(_multi_table_buckets("cvec", dim, n_planes, n_tables, seed)))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("bucket", lsh_signature_col("qvec", planes))
-    joined = c.join(q, "bucket").where(F.col("vec_id") != F.col("query_id"))
+    ).withColumn("bucket", F.explode(_multi_table_buckets("qvec", dim, n_planes, n_tables, seed)))
+    cand = (
+        c.join(q, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cosine_sim_col("qvec", "cvec"), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, iterations: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means for the IVF coarse quantizer.
+    Runs on a bounded driver-side sample (the classic IVF train step);
+    everything downstream is distributed."""
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iterations):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for ci in range(len(cents)):
+            members = sample[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(0)
+    return cents
+
+
+def _centroid_dists_col(vec_col: str, cents: np.ndarray) -> F.Column:
+    """Array of squared L2 distances to each centroid (pure Catalyst)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    sample_every: int = 3,
+    max_train: int = 4096,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, cell-bucketed join.
+
+    Corpus rows are assigned to their nearest centroid cell (one pass,
+    embarrassingly parallel); each query probes its ``n_probe`` nearest
+    cells (explode), candidates come from the cell equi-join, and exact
+    cosine re-ranks. At 100 TB the cell id is a tiny join key and cell
+    sizes are balanced by the quantizer — same shape as lsh_topk, better
+    recall per candidate at equal probe budget.
+    """
+    train = np.array(
+        [
+            r["v"]
+            for r in corpus.where(F.col(id_col) % sample_every == 0)
+            .select(F.col(vec_col).alias("v"))
+            .limit(max_train)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    cents = _kmeans_centroids(train, n_centroids, seed=seed)
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    c = c.withColumn("_d", _centroid_dists_col("cvec", cents)).withColumn(
+        "cell", F.expr("array_position(_d, array_min(_d))").cast("int")
+    ).drop("_d")
+
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    probe = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    _centroid_dists_col("qvec", cents),
+                    F.sequence(F.lit(1), F.lit(len(cents))),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        n_probe,
+    )
+    q = q.withColumn("cell", F.explode(probe))
+
+    joined = c.join(q, "cell").where(F.col("vec_id") != F.col("query_id"))
     scored = joined.select(
         "query_id", "vec_id", F.round(cosine_sim_col("qvec", "cvec"), 6).alias("cosine")
     )

@@ -1,0 +1,55 @@
+"""E12 — unpatterned entity candidate generation (recall booster).
+
+Reference: /root/reference/src/core/unpatterned/entity_candidates.py
+:181-933 runs capitalization / quoted-span / noun-phrase generators over
+text to surface mentions no curated pattern caught. Spark-native shape:
+all three generators are JVM-side Catalyst expressions (regexp_extract_all
+over the turn text — no Python), emitting low-confidence UNKNOWN-typed
+candidate rows that downstream scoring/linking may confirm. Excluded from
+the default triple path; unioned in only when recall mode is on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+# generator -> (regex, confidence). Mirrors the reference's generator list
+# (capitalized sequences :349-428, quoted spans :430-500, acronyms).
+CANDIDATE_GENERATORS = {
+    "capitalized": (r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)+)\b", 0.5),
+    "quoted": (r"\"([^\"]{2,60})\"|'([^']{2,60})'", 0.45),
+    "acronym": (r"\b([A-Z]{2,6})\b", 0.4),
+}
+
+
+def candidate_mentions(
+    transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Turn text -> candidate mention rows
+    (conv_id, turn_idx, generator, text, confidence)."""
+    streams = []
+    for gen, (rx, conf) in CANDIDATE_GENERATORS.items():
+        hits = F.regexp_extract_all(F.col("text"), F.lit(rx), 1)
+        streams.append(
+            transcripts.select(
+                "conv_id",
+                "turn_idx",
+                F.explode(hits).alias("text"),
+                F.lit(gen).alias("generator"),
+                F.lit(conf).alias("confidence"),
+            ).where(F.length("text") > 1)
+        )
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    # keep-first per (conv, turn, surface): generator priority by confidence
+    return (
+        out.groupBy("conv_id", "turn_idx", "text")
+        .agg(
+            F.max_by("generator", "confidence").alias("generator"),
+            F.max("confidence").alias("confidence"),
+        )
+    )

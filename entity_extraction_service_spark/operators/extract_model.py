@@ -27,6 +27,7 @@ from typing import Protocol
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.normalize import group_norm_py, normalize_text_py
@@ -115,6 +116,7 @@ def extract_mentions_fused(
     chunks: DataFrame,
     client_factory: Callable[[], BatchedExtractorClient] | None = None,
     config: PipelineConfig = DEFAULT_CONFIG,
+    emit_verb_spans: bool = False,
 ) -> DataFrame:
     """Single-scan fusion of the regex stage and the batched-model stage.
 
@@ -124,9 +126,18 @@ def extract_mentions_fused(
     at 100 TB the chunk scan is the largest input, so halving it halves
     the dominant IO + Arrow transfer. The model client is still invoked
     once per Arrow batch (the E8 batched seam is unchanged).
+
+    With ``emit_verb_spans`` the same scan additionally emits the T1
+    verb-cue spans as rows tagged ``method='verb'`` (entity_type = the
+    predicate, start/end = the cue span) — the third consumer of the chunk
+    scan folded into the same pass; the pipeline splits the stream on the
+    tag after persisting it.
     """
+    from .triples import _compiled_verbs
+
     factory = client_factory or (lambda: RuleBackedClient(config))
     patterns = build_pattern_table(config)
+    verbs = _compiled_verbs() if emit_verb_spans else []
     default_conf = config.model_confidence
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -155,6 +166,18 @@ def extract_mentions_fused(
             for conv_id, chunk_idx, turns, resp in zip(
                 pdf["conv_id"], pdf["chunk_idx"], payloads, responses
             ):
+                # verb-cue stream (T1 input) — method='verb'
+                for t in turns:
+                    text = t["text"] or ""
+                    for rx, pred in verbs:
+                        for vm in rx.finditer(text):
+                            rows.append(
+                                (
+                                    conv_id, int(t["turn_idx"]), int(chunk_idx), pred,
+                                    vm.group(0), "", "", vm.start(), vm.end(),
+                                    int(t["turn_offset"]) + vm.start(), 1.0, "verb",
+                                )
+                            )
                 # regex stream (E1) — same pattern table, method='regex'
                 for t in turns:
                     text = t["text"] or ""
@@ -194,6 +217,168 @@ def extract_mentions_fused(
             yield pd.DataFrame(rows, columns=[f.name for f in MENTION_SCHEMA.fields])
 
     return chunks.mapInPandas(run, schema=MENTION_SCHEMA)
+
+
+FUSED_SCHEMA = T.StructType(
+    [T.StructField("kind", T.StringType(), False)]
+    + [T.StructField(f.name, f.dataType, True) for f in MENTION_SCHEMA.fields]
+    + [
+        T.StructField("surface_id", T.StringType(), True),
+        T.StructField("subj_id", T.StringType(), True),
+        T.StructField("pred", T.StringType(), True),
+        T.StructField("obj_id", T.StringType(), True),
+        T.StructField("evidence", T.StringType(), True),
+    ]
+)
+
+
+def extract_all_fused(
+    chunks: DataFrame,
+    client_factory: Callable[[], BatchedExtractorClient] | None = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    gen_triples: bool = True,
+    emit_verbs: bool = True,
+) -> DataFrame:
+    """ONE chunk scan -> resolved mentions + verb spans [+ T1/T3 triples].
+
+    The scale-defining pass: regex matching, the batched model call, E2
+    overlap resolution, D5 cross-source merge, and (when ``gen_triples``)
+    T1 pattern + T3 proximity triple generation all happen turn-locally
+    inside this UDF (see operators/local_resolve.py for why that is
+    exact). Output rows are tagged ``kind`` ∈ {mention, verb, triple};
+    the pipeline persists the stream once and splits by tag. Shuffles of
+    the (dominant) mention stream drop from ~6 to 2.
+    """
+    from .local_resolve import (
+        pattern_triples_local,
+        proximity_triples_local,
+        resolve_and_merge,
+        surface_id_py,
+    )
+    from .triples import PATTERN_TRIPLE_CONFIDENCE, _compiled_verbs
+
+    factory = client_factory or (lambda: RuleBackedClient(config))
+    patterns = build_pattern_table(config)
+    verbs = _compiled_verbs()
+    rules = {(a, b): p for a, b, p in config.type_pair_predicates}
+    default_conf = config.model_confidence
+    prox_w, max_d, conf_floor = (
+        config.proximity_window,
+        config.max_entity_distance,
+        config.proximity_confidence_floor,
+    )
+    cols = [f.name for f in FUSED_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = factory()
+        norm_cache: dict[tuple[str, str], tuple[str, str, str]] = {}
+
+        def norm_of(etype: str, surface: str) -> tuple[str, str, str]:
+            key = (etype, surface)
+            got = norm_cache.get(key)
+            if got is None:
+                n = normalize_text_py(surface)
+                g = group_norm_py(n)
+                got = (n, g, surface_id_py(etype, g))
+                norm_cache[key] = got
+            return got
+
+        for pdf in batches:
+            prompts, payloads = [], []
+            for turns in pdf["turns"]:
+                body = "\n".join(
+                    f"[{t['turn_idx']}] {t['role']}: {t['text'] or ''}" for t in turns
+                )
+                prompts.append(PROMPT_TEMPLATE.format(body=body))
+                payloads.append(
+                    [
+                        {
+                            "turn_idx": int(t["turn_idx"]),
+                            "role": t["role"],
+                            "text": t["text"],
+                            "turn_offset": int(t["turn_offset"]),
+                        }
+                        for t in turns
+                    ]
+                )
+            responses = client.generate_batch(prompts, payloads)
+
+            rows = []
+            for conv_id, chunk_idx, turns, resp in zip(
+                pdf["conv_id"], pdf["chunk_idx"], payloads, responses
+            ):
+                ci = int(chunk_idx)
+                # model matches per turn_idx, validated against source text
+                model_by_turn: dict[int, list[tuple]] = {}
+                obj = repair_json(resp)
+                texts = {t["turn_idx"]: t["text"] or "" for t in turns}
+                if obj:
+                    for ent in obj.get("entities", []):
+                        try:
+                            ti = int(ent["turn_idx"])
+                            s, e = int(ent["start"]), int(ent["end"])
+                            surface = str(ent["text"])
+                            etype = str(ent["entity_type"])
+                        except (KeyError, TypeError, ValueError):
+                            continue
+                        if ti not in texts or texts[ti][s:e] != surface:
+                            continue
+                        model_by_turn.setdefault(ti, []).append(
+                            (etype, surface, s, e,
+                             float(ent.get("confidence", default_conf)), "model")
+                        )
+
+                for t in turns:
+                    ti, off = int(t["turn_idx"]), int(t["turn_offset"])
+                    text = t["text"] or ""
+                    matches = [
+                        (etype, surface, s, e, conf, "regex")
+                        for etype, surface, s, e, conf in _match_turn(patterns, text)
+                    ] + model_by_turn.get(ti, [])
+                    vspans = [
+                        (pred, vm.start(), vm.end())
+                        for rx, pred in verbs
+                        for vm in rx.finditer(text)
+                    ]
+                    resolved = resolve_and_merge(matches)
+                    with_ids = []
+                    for etype, surface, s, e, conf, method in resolved:
+                        n, g, sid = norm_of(etype, surface)
+                        rows.append(
+                            ("mention", conv_id, ti, ci, etype, surface, n, g,
+                             s, e, off + s, conf, method, sid,
+                             None, None, None, None)
+                        )
+                        with_ids.append((etype, surface, s, e, conf, method, sid))
+                    if emit_verbs:
+                        for pred, vs, ve in vspans:
+                            rows.append(
+                                ("verb", conv_id, ti, ci, pred, text[vs:ve], "", "",
+                                 vs, ve, off + vs, 1.0, "verb", None,
+                                 None, None, None, None)
+                            )
+                    if gen_triples:
+                        t1 = pattern_triples_local(
+                            with_ids, vspans, confidence=PATTERN_TRIPLE_CONFIDENCE
+                        )
+                        for sid, pred, oid, conf, ev in t1:
+                            rows.append(
+                                ("triple", conv_id, ti, ci, None, None, None, None,
+                                 -1, -1, -1, conf, "pattern", None,
+                                 sid, pred, oid, ev)
+                            )
+                        t3 = proximity_triples_local(
+                            with_ids, rules, prox_w, max_d, conf_floor
+                        )
+                        for sid, pred, oid, conf, ev in t3:
+                            rows.append(
+                                ("triple", conv_id, ti, ci, None, None, None, None,
+                                 -1, -1, -1, conf, "proximity", None,
+                                 sid, pred, oid, ev)
+                            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return chunks.mapInPandas(run, schema=FUSED_SCHEMA)
 
 
 def extract_mentions_model(

@@ -1,0 +1,145 @@
+"""Turn-local resolution kernels for the fused extraction scan.
+
+E2 overlap-conflict resolution, D5 cross-source merge, T1 pattern triples
+and T3 proximity triples are all keyed WITHIN one turn — (conv_id,
+turn_idx, ...) partitions — so running them inside the extraction UDF on
+the matches already in hand is semantically exact and removes three
+full shuffles of the mention stream (measured: the two window stages +
+the proximity self-join were ~40% of pipeline wall at 32 cores on a
+21M-turn corpus). The window/join operator implementations remain in
+mentions.py/dedup.py/triples.py — they are the driver-contract/oracle
+surface and the path used when coref's virtual mentions must join in —
+and tests assert both paths produce identical rows.
+
+Every function here is pure Python over plain tuples: unit-testable
+without Spark, deterministic regardless of batch composition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# match tuple layout used by mentions._match_turn consumers:
+# (entity_type, surface, start, end, confidence, method)
+METHOD_PRIORITY = {"model": 3, "hybrid": 2, "coref": 2, "regex": 1}
+
+
+def surface_id_py(entity_type: str, group_norm: str) -> str:
+    """S5 invariant twin of functions.ids / with_entity_surface_id:
+    md5(f"{type}:{group_norm.lower().strip()}")[:16]."""
+    key = f"{entity_type}:{group_norm.lower().strip()}"
+    return hashlib.md5(key.encode("utf-8")).hexdigest()[:16]
+
+
+def _overlap_groups(ms: list[tuple]) -> list[list[tuple]]:
+    """Interval-merge over (start, end)-sorted matches (the running
+    cumulative-max-end grouping of mentions.resolve_conflicts)."""
+    groups: list[list[tuple]] = []
+    cur: list[tuple] = []
+    max_end: int | None = None
+    for m in sorted(ms, key=lambda m: (m[2], m[3])):
+        if max_end is not None and m[2] < max_end:
+            cur.append(m)
+            max_end = max(max_end, m[3])
+        else:
+            if cur:
+                groups.append(cur)
+            cur = [m]
+            max_end = m[3]
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def resolve_and_merge(matches: list[tuple]) -> list[tuple]:
+    """E2 then D5 for one turn's matches (both method streams together).
+
+    E2 (resolve_conflicts): per entity_type, transitively-overlapping
+    spans keep the best row by (confidence desc, start asc, end desc).
+    D5 (merge_cross_source): regroup survivors, keep best by
+    (method priority desc, confidence desc, start asc, end desc).
+    Output sorted by (start, end, entity_type) for determinism.
+    """
+    by_type: dict[str, list[tuple]] = {}
+    for m in matches:
+        by_type.setdefault(m[0], []).append(m)
+
+    survivors: list[tuple] = []
+    for ms in by_type.values():
+        # E2
+        stage1 = [
+            min(g, key=lambda m: (-m[4], m[2], -m[3]))
+            for g in _overlap_groups(ms)
+        ]
+        # D5 (same partition keys -> same per-type grouping)
+        stage2 = [
+            min(
+                g,
+                key=lambda m: (-METHOD_PRIORITY.get(m[5], 0), -m[4], m[2], -m[3]),
+            )
+            for g in _overlap_groups(stage1)
+        ]
+        survivors.extend(stage2)
+    survivors.sort(key=lambda m: (m[2], m[3], m[0]))
+    return survivors
+
+
+def pattern_triples_local(
+    mentions: list[tuple], verbs: list[tuple], max_gap: int = 3, confidence: float = 0.85
+) -> list[tuple]:
+    """T1 for one turn: nearest-left / nearest-right mention around each
+    verb cue (triples.pattern_triples_from_spans struct-min/max semantics).
+
+    mentions: (etype, surface, start, end, conf, method, surface_id)
+    verbs: (pred, v_start, v_end)
+    returns (subj_sid, pred, obj_sid, confidence, evidence)
+    """
+    out = []
+    for pred, v_start, v_end in verbs:
+        subj = max(
+            (m for m in mentions if m[3] <= v_start),
+            key=lambda m: (m[3], m[2], m[6], m[1]),
+            default=None,
+        )
+        obj = min(
+            (m for m in mentions if m[2] >= v_end),
+            key=lambda m: (m[2], m[3], m[6], m[1]),
+            default=None,
+        )
+        if subj is None or obj is None:
+            continue
+        if v_start - subj[3] > max_gap or obj[2] - v_end > max_gap:
+            continue
+        out.append((subj[6], pred, obj[6], confidence, f"{subj[1]} {pred} {obj[1]}"))
+    return out
+
+
+def proximity_triples_local(
+    mentions: list[tuple],
+    type_pair_rules: dict[tuple[str, str], str],
+    proximity_window: int = 100,
+    max_entity_distance: int = 200,
+    confidence_floor: float = 0.5,
+) -> list[tuple]:
+    """T3 for one turn: ordered mention pairs with gap <= window
+    (triples.proximity_triples join predicate, confidence formula, and
+    forward-then-reverse predicate lookup, default related_to).
+
+    mentions: (etype, surface, start, end, conf, method, surface_id)
+    returns (subj_sid, pred, obj_sid, confidence, evidence)
+    """
+    out = []
+    ordered = sorted(mentions, key=lambda m: (m[2], m[3]))
+    for i, a in enumerate(ordered):
+        for b in ordered[i + 1 :]:
+            if (a[2], a[3]) >= (b[2], b[3]):
+                continue
+            dist = b[2] - a[3]
+            if dist > proximity_window:
+                break  # ordered by start: once too far, rest are farther
+            pred = type_pair_rules.get((a[0], b[0])) or type_pair_rules.get(
+                (b[0], a[0]), "related_to"
+            )
+            conf = max(confidence_floor, min(1.0, 1.0 - dist / max_entity_distance))
+            out.append((a[6], pred, b[6], round(conf, 6), f"{a[1]} ~ {b[1]}"))
+    return out

@@ -90,69 +90,66 @@ def verb_spans(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def pattern_triples(
-    transcripts: DataFrame, mentions: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+def pattern_triples_from_spans(
+    spans: DataFrame, mentions: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """T1 — (left-adjacent mention, verb cue, right-adjacent mention)."""
-    spans = verb_spans(transcripts)
-    m = mentions.select(
-        "conv_id", "turn_idx", "entity_type", "text", "start", "end", "surface_id"
-    )
+    """T1 — (nearest-left mention, verb cue, nearest-right mention).
 
-    left = (
-        spans.join(m, ["conv_id", "turn_idx"])
-        .where(F.col("end") <= F.col("v_start"))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("conv_id", "turn_idx", "pred", "v_start").orderBy(
-                    F.col("end").desc(), F.col("start").desc()
-                )
-            ),
-        )
-        .where(F.col("_rn") == 1)
-        .select(
-            "conv_id", "turn_idx", "pred", "v_start", "v_end",
-            F.col("surface_id").alias("subj_sid"),
-            F.col("text").alias("subj_text"),
-            F.col("end").alias("subj_end"),
-        )
+    One join + one aggregation: mentions join cue spans on (conv_id,
+    turn_idx); per span, the subject is the mention with max (end, start)
+    among those ending at/before the cue (struct max = the reference's
+    nearest-preceding pick), the object the min (start, end) among those
+    starting at/after it. Replaces the previous two-join/two-window shape
+    — half the shuffles on the scale-dominant mention stream.
+    """
+    m = mentions.select("conv_id", "turn_idx", "text", "start", "end", "surface_id")
+    j = spans.join(m, ["conv_id", "turn_idx"])
+    g = j.groupBy("conv_id", "turn_idx", "pred", "v_start", "v_end").agg(
+        F.max(
+            F.when(
+                F.col("end") <= F.col("v_start"),
+                F.struct(
+                    F.col("end").alias("end"), F.col("start").alias("start"),
+                    F.col("surface_id").alias("sid"), F.col("text").alias("txt"),
+                ),
+            )
+        ).alias("subj"),
+        F.min(
+            F.when(
+                F.col("start") >= F.col("v_end"),
+                F.struct(
+                    F.col("start").alias("start"), F.col("end").alias("end"),
+                    F.col("surface_id").alias("sid"), F.col("text").alias("txt"),
+                ),
+            )
+        ).alias("obj"),
     )
-    right = (
-        spans.join(m, ["conv_id", "turn_idx"])
-        .where(F.col("start") >= F.col("v_end"))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("conv_id", "turn_idx", "pred", "v_start").orderBy(
-                    F.col("start"), F.col("end")
-                )
-            ),
-        )
-        .where(F.col("_rn") == 1)
-        .select(
-            "conv_id", "turn_idx", "pred", "v_start",
-            F.col("surface_id").alias("obj_sid"),
-            F.col("text").alias("obj_text"),
-            F.col("start").alias("obj_start"),
-        )
-    )
-    joined = left.join(right, ["conv_id", "turn_idx", "pred", "v_start"])
     # adjacency discipline: cue must sit between the two mentions with only
     # a short gap (reference requires containment in the match span)
-    joined = joined.where(
-        (F.col("v_start") - F.col("subj_end") <= 3) & (F.col("obj_start") - F.col("v_end") <= 3)
+    g = g.where(
+        F.col("subj").isNotNull()
+        & F.col("obj").isNotNull()
+        & (F.col("v_start") - F.col("subj.end") <= 3)
+        & (F.col("obj.start") - F.col("v_end") <= 3)
     )
-    return joined.select(
-        F.col("subj_sid").alias("subj_id"),
+    return g.select(
+        F.col("subj.sid").alias("subj_id"),
         "pred",
-        F.col("obj_sid").alias("obj_id"),
+        F.col("obj.sid").alias("obj_id"),
         F.lit(PATTERN_TRIPLE_CONFIDENCE).alias("confidence"),
         "conv_id",
         "turn_idx",
-        F.concat_ws(" ", "subj_text", "pred", "obj_text").alias("evidence"),
+        F.concat_ws(" ", "subj.txt", "pred", "obj.txt").alias("evidence"),
         F.lit("pattern").alias("method"),
     )
+
+
+def pattern_triples(
+    transcripts: DataFrame, mentions: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """T1 from raw transcripts (standalone path; the pipeline feeds
+    pattern_triples_from_spans from the fused extraction scan instead)."""
+    return pattern_triples_from_spans(verb_spans(transcripts), mentions, config)
 
 
 def type_pair_predicate_df(spark, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -216,6 +213,155 @@ def proximity_triples(
         F.concat_ws(" ~ ", "subj_text", "obj_text").alias("evidence"),
         F.lit("proximity").alias("method"),
     )
+
+
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("subj_id", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj_id", T.StringType(), False),
+        T.StructField("confidence", T.DoubleType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("evidence", T.StringType(), True),
+        T.StructField("method", T.StringType(), False),
+    ]
+)
+
+TRIPLE_PROMPT_TEMPLATE = (
+    "Given these entities {entities}, list relationships as JSON "
+    '{{"relationships": [{{"source_entity_id", "target_entity_id", '
+    '"relationship_type", "confidence", "context"}}]}}.'
+)
+
+
+class RuleBackedTripleClient:
+    """Deterministic sandbox stand-in for the wave-4 relationship model
+    (reference T5, extraction_orchestrator.py:783-975): applies the
+    type-pair predicate table to adjacent mention pairs in the payload.
+    Same batched seam a vLLM/HTTP client would implement."""
+
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+        self._rules = {(a, b): p for a, b, p in config.type_pair_predicates}
+        self._window = config.proximity_window
+
+    def generate_batch(self, prompts: list[str], payloads: list[list[dict]]) -> list[str]:
+        import json
+
+        out = []
+        for ents in payloads:
+            rels = []
+            ordered = sorted(ents, key=lambda e: (e["turn_idx"], e["start"]))
+            for a, b in zip(ordered, ordered[1:]):
+                if a["turn_idx"] != b["turn_idx"]:
+                    continue
+                if b["start"] - a["end"] > self._window:
+                    continue
+                pred = self._rules.get((a["entity_type"], b["entity_type"])) or self._rules.get(
+                    (b["entity_type"], a["entity_type"])
+                )
+                if not pred:
+                    continue
+                rels.append(
+                    {
+                        "source_entity_id": a["surface_id"],
+                        "target_entity_id": b["surface_id"],
+                        "relationship_type": pred,
+                        "confidence": 0.9,
+                        "context": f'{a["text"]} .. {b["text"]}',
+                        "turn_idx": a["turn_idx"],
+                    }
+                )
+            out.append(json.dumps({"relationships": rels}))
+        return out
+
+
+def model_triples(
+    mentions: DataFrame,
+    client_factory=None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """T5 — batched model relationship extraction (method='model').
+
+    One prompt per (conv_id, chunk_idx) embedding <= ``max_prompt_entities``
+    entity summaries {id, type, text} (extraction_orchestrator.py:851-869);
+    the whole Arrow batch of prompts goes to the client in ONE
+    generate_batch call (E8 seam); guided-JSON responses are parsed through
+    the repair ladder, and triples whose endpoint ids are not in the
+    prompt's entity set are dropped at parse time (the in-UDF half of T6).
+    """
+    from .extract_model import repair_json
+
+    factory = client_factory or (lambda: RuleBackedTripleClient(config))
+    cap = config.max_prompt_entities
+
+    grouped = mentions.groupBy("conv_id", "chunk_idx").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("turn_idx", "start", "end", "surface_id", "entity_type", "text")
+                )
+            ),
+            1,
+            cap,
+        ).alias("ents")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        client = factory()
+        cols = [f.name for f in TRIPLE_SCHEMA.fields]
+        for pdf in batches:
+            prompts, payloads = [], []
+            for ents in pdf["ents"]:
+                summaries = [
+                    {
+                        "surface_id": e["surface_id"],
+                        "entity_type": e["entity_type"],
+                        "text": e["text"],
+                        "turn_idx": int(e["turn_idx"]),
+                        "start": int(e["start"]),
+                        "end": int(e["end"]),
+                    }
+                    for e in ents
+                ]
+                prompts.append(
+                    TRIPLE_PROMPT_TEMPLATE.format(
+                        entities=[
+                            {"id": s["surface_id"], "type": s["entity_type"], "text": s["text"]}
+                            for s in summaries
+                        ]
+                    )
+                )
+                payloads.append(summaries)
+            responses = client.generate_batch(prompts, payloads)
+
+            rows = []
+            for conv_id, ents, resp in zip(pdf["conv_id"], payloads, responses):
+                obj = repair_json(resp)
+                if not obj:
+                    continue
+                known = {e["surface_id"] for e in ents}
+                for r in obj.get("relationships", []):
+                    try:
+                        s_id, o_id = str(r["source_entity_id"]), str(r["target_entity_id"])
+                        pred = str(r["relationship_type"])
+                        conf = float(r.get("confidence", 0.9))
+                    except (KeyError, TypeError, ValueError):
+                        continue
+                    if s_id not in known or o_id not in known:
+                        continue
+                    rows.append(
+                        (
+                            s_id, pred, o_id, conf, conv_id,
+                            int(r.get("turn_idx", 0)),
+                            str(r.get("context", "")), "model",
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return grouped.mapInPandas(run, schema=TRIPLE_SCHEMA)
 
 
 TRIPLE_METHOD_PRIORITY = {"model": 4, "pattern": 3, "proximity": 2, "ml": 1}

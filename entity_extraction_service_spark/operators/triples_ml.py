@@ -1,0 +1,156 @@
+"""T2 / T4 — parser- and classifier-backed triple producers.
+
+T2 (dependency-parse triples, reference
+relationship_extractor.py:441-630): spaCy dependency paths between
+entity-pair head tokens, classified by a (dep, lemma) table. spaCy is not
+in this container, so the operator raises a clear NotImplementedError
+unless a model loader is injected — the Spark plumbing (mapInPandas with
+one parser per executor process, never per row) is real and tested via a
+fake loader.
+
+T4 (ML-model triples, reference relationship_extractor.py:729-785 +
+relationship_models.py:450-496): candidate pairs <= max_entity_distance
+apart go to a sequence classifier in batches of ``batch_size``; scores
+below 0.75 drop. The classifier seam mirrors E8: one predict call per
+accumulated batch. The default sandbox classifier is deterministic
+(type-pair-table prior with a distance decay), so outputs are stable
+across partitionings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from .triples import TRIPLE_SCHEMA
+
+ML_THRESHOLD = 0.75  # relationship_extractor.py:56 ml confidence floor
+ML_BATCH_SIZE = 32   # relationship_models.py:450-496 batch_predict size
+
+
+class RuleBackedPairClassifier:
+    """Deterministic stand-in for the sequence classifier: prior from the
+    type-pair predicate table, decayed by pair distance."""
+
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+        self._rules = {(a, b): p for a, b, p in config.type_pair_predicates}
+        self._max_d = config.max_entity_distance
+
+    def predict_batch(self, pairs: list[dict]) -> list[tuple[str | None, float]]:
+        out = []
+        for p in pairs:
+            pred = self._rules.get((p["type_a"], p["type_b"])) or self._rules.get(
+                (p["type_b"], p["type_a"])
+            )
+            if pred is None:
+                out.append((None, 0.0))
+                continue
+            score = round(max(0.0, 0.95 - 0.1 * (p["distance"] / self._max_d)), 6)
+            out.append((pred, score))
+        return out
+
+
+def ml_triples(
+    mentions: DataFrame,
+    classifier_factory: Callable[[], RuleBackedPairClassifier] | None = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """T4 — classifier-scored proximity pairs (method='ml').
+
+    Pair generation is the same bounded same-turn range join as T3 (scale
+    notes there apply); only the scoring moves to the batched classifier.
+    """
+    factory = classifier_factory or (lambda: RuleBackedPairClassifier(config))
+
+    base = mentions.select(
+        "conv_id", "turn_idx", "entity_type", "text", "start", "end", "surface_id"
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.turn_idx") == F.col("b.turn_idx"))
+        & (
+            (F.col("a.start") < F.col("b.start"))
+            | ((F.col("a.start") == F.col("b.start")) & (F.col("a.end") < F.col("b.end")))
+        )
+        & (F.col("b.start") - F.col("a.end") <= config.max_entity_distance),
+    ).select(
+        F.col("a.conv_id").alias("conv_id"),
+        F.col("a.turn_idx").alias("turn_idx"),
+        F.col("a.entity_type").alias("type_a"),
+        F.col("b.entity_type").alias("type_b"),
+        F.col("a.surface_id").alias("sid_a"),
+        F.col("b.surface_id").alias("sid_b"),
+        F.col("a.text").alias("text_a"),
+        F.col("b.text").alias("text_b"),
+        (F.col("b.start") - F.col("a.end")).alias("distance"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        clf = factory()
+        cols = [f.name for f in TRIPLE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            records = pdf.to_dict("records")
+            for i in range(0, len(records), ML_BATCH_SIZE):
+                chunk = records[i : i + ML_BATCH_SIZE]
+                for p, (pred, score) in zip(chunk, clf.predict_batch(chunk)):
+                    if pred is None or score < ML_THRESHOLD:
+                        continue
+                    rows.append(
+                        (
+                            p["sid_a"], pred, p["sid_b"], float(score),
+                            p["conv_id"], int(p["turn_idx"]),
+                            f'{p["text_a"]} ~ {p["text_b"]}', "ml",
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pairs.mapInPandas(run, schema=TRIPLE_SCHEMA)
+
+
+def dependency_triples(
+    transcripts: DataFrame,
+    parser_loader: Callable[[], object] | None = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """T2 — dependency-path triples (method='dep').
+
+    ``parser_loader`` must return an object with ``parse(texts) ->
+    list[list[(subj_text, pred, obj_text, confidence)]]`` (one list per
+    input text, batched). One parser instance per Python worker process —
+    the executor-side model-cache pattern for heavyweight NLP models.
+    Without a loader (no spaCy in this container) this raises
+    NotImplementedError — the documented stub per the build contract.
+    """
+    if parser_loader is None:
+        try:
+            import spacy  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "dependency_triples needs spaCy (not in this container) or an "
+                "injected parser_loader; see docstring for the loader contract"
+            ) from e
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parser = parser_loader()
+        cols = [f.name for f in TRIPLE_SCHEMA.fields]
+        for pdf in batches:
+            texts = [t or "" for t in pdf["text"]]
+            parsed = parser.parse(texts)
+            rows = []
+            for conv_id, turn_idx, rels in zip(pdf["conv_id"], pdf["turn_idx"], parsed):
+                for subj, pred, obj, conf in rels:
+                    rows.append(
+                        (subj, pred, obj, float(conf), conv_id, int(turn_idx), "", "dep")
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=TRIPLE_SCHEMA
+    )

@@ -23,7 +23,7 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..operators.assemble import chunk_turns
 from ..operators.coref import resolve_pronouns
 from ..operators.dedup import merge_cross_source
-from ..operators.extract_model import extract_mentions_fused
+from ..operators.extract_model import extract_all_fused
 from ..operators.linking import link_entities
 from ..operators.mentions import (
     extract_mentions_regex,
@@ -33,7 +33,9 @@ from ..operators.mentions import (
 from ..operators.triples import (
     dedup_and_merge_triples,
     filter_triples,
+    model_triples,
     pattern_triples,
+    pattern_triples_from_spans,
     proximity_triples,
     validate_triples,
 )
@@ -55,17 +57,67 @@ def extract_mentions(
 ) -> DataFrame:
     """Stages 1-3: chunk -> extract (both methods) -> E2 -> D5 -> ids.
 
-    Both method streams come from ONE fused chunk scan (see
-    extract_mentions_fused) — row-identical to the regex ∪ model union but
-    half the input IO, which dominates at 100 TB."""
+    With ``use_model`` the whole thing is ONE fused chunk scan with
+    turn-local E2/D5 resolution (operators/extract_model.extract_all_fused
+    + operators/local_resolve — exact, zero extra shuffles); without it,
+    the window-operator path over the regex stream."""
+    mentions, _, _ = _extract_fused(
+        transcripts, config, use_model, client_factory, gen_triples=False
+    )
+    return mentions
+
+
+_MENTION_COLS = [
+    "conv_id", "turn_idx", "chunk_idx", "entity_type", "text", "norm_text",
+    "group_norm", "start", "end", "global_start", "confidence", "method",
+    "surface_id",
+]
+
+_TRIPLE_COLS = [
+    "subj_id", "pred", "obj_id", "confidence", "conv_id", "turn_idx",
+    "evidence", "method",
+]
+
+
+def _extract_fused(
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    use_model: bool = True,
+    client_factory=None,
+    gen_triples: bool = True,
+    emit_verbs: bool = True,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """One chunk scan -> (resolved mentions, verb spans, local T1/T3 triples).
+
+    The tagged stream is persisted once (DISK_ONLY: at this width the
+    columnar heap cache would evict under an 8g pool and silently
+    recompute the whole UDF — disk is tmpfs-backed and eviction-free) and
+    split by tag; at 100 TB the transcript scan is the single largest
+    input and every stage that can share it does. Without ``use_model``
+    falls back to the pure window-operator path."""
+    from pyspark import StorageLevel
+
     chunks = chunk_turns(transcripts, config)
-    if use_model:
-        raw = extract_mentions_fused(chunks, client_factory, config)
-    else:
+    if not use_model:
         raw = extract_mentions_regex(chunks, config)
-    resolved = resolve_conflicts(raw)
-    merged = merge_cross_source(resolved)
-    return with_entity_surface_id(merged)
+        resolved = resolve_conflicts(raw)
+        merged = merge_cross_source(resolved)
+        return with_entity_surface_id(merged), None, None
+
+    fused = extract_all_fused(
+        chunks, client_factory, config, gen_triples, emit_verbs
+    ).persist(StorageLevel.DISK_ONLY)
+    mentions = fused.where(F.col("kind") == "mention").select(*_MENTION_COLS)
+    spans = fused.where(F.col("kind") == "verb").select(
+        "conv_id", "turn_idx",
+        F.col("entity_type").alias("pred"),
+        F.col("start").alias("v_start"),
+        F.col("end").alias("v_end"),
+    )
+    triples = None
+    if gen_triples:
+        triples = fused.where(F.col("kind") == "triple").select(*_TRIPLE_COLS)
+    return mentions, spans, triples
 
 
 def run_pipeline(
@@ -73,11 +125,26 @@ def run_pipeline(
     config: PipelineConfig = DEFAULT_CONFIG,
     use_model: bool = True,
     use_coref: bool = True,
+    use_model_triples: bool = False,
     client_factory=None,
+    triple_client_factory=None,
 ) -> PipelineResult:
-    mentions = extract_mentions(transcripts, config, use_model, client_factory)
-    # reuse the mention set across linking + two triple producers
-    mentions = mentions.persist()
+    # triples are generated turn-locally inside the fused scan unless
+    # coref is on (virtual mentions must join in -> operator path)
+    local_triples_ok = use_model and not use_coref
+    mentions, spans, local_triples = _extract_fused(
+        transcripts, config, use_model, client_factory,
+        gen_triples=local_triples_ok,
+        # verb rows only matter when the operator-path T1 must run (coref)
+        emit_verbs=not local_triples_ok,
+    )
+    # reuse the mention set across linking + triple producers. DISK_ONLY:
+    # the columnar heap cache evicts at this size under the sandbox pool
+    # and silently recomputes; tmpfs-backed disk cache is eviction-free
+    # (cluster analog: executor local NVMe).
+    from pyspark import StorageLevel
+
+    mentions = mentions.persist(StorageLevel.DISK_ONLY)
 
     entities, surface_map = link_entities(mentions, config)
     # surface_map feeds BOTH sides of T6's existence joins (subj + obj) and
@@ -90,9 +157,18 @@ def run_pipeline(
         virtual = resolve_pronouns(transcripts, mentions)
         triple_mentions = mentions.unionByName(virtual)
 
-    raw_triples = pattern_triples(transcripts, triple_mentions, config).unionByName(
-        proximity_triples(triple_mentions, config)
-    )
+    if local_triples is not None:
+        raw_triples = local_triples
+    else:
+        if spans is not None:
+            t1 = pattern_triples_from_spans(spans, triple_mentions, config)
+        else:
+            t1 = pattern_triples(transcripts, triple_mentions, config)
+        raw_triples = t1.unionByName(proximity_triples(triple_mentions, config))
+    if use_model_triples:
+        raw_triples = raw_triples.unionByName(
+            model_triples(triple_mentions, triple_client_factory, config)
+        )
     validated = validate_triples(raw_triples, surface_map, config)
     edges = filter_triples(dedup_and_merge_triples(validated, config), config)
 

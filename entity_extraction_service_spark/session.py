@@ -24,22 +24,39 @@ def build_session(
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    # shuffle spill dir: tmpfs when available — local-mode shuffle IO is
+    # otherwise a serial resource that caps multi-core scaling (on a real
+    # cluster this is per-executor local NVMe, which scales with executors)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(config.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # chunked transcript text is small in bytes but heavy in UDF CPU;
+        # the default 1m floor lets AQE coalesce a few-MB shuffle down to a
+        # handful of partitions, serializing every pandas-UDF stage. A 64k
+        # floor keeps parallelism-first coalescing at defaultParallelism.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            str(config.arrow_max_records_per_batch),
+            os.environ.get("SPARK_ARROW_BATCH", str(config.arrow_max_records_per_batch)),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # local mode: the driver heap IS the whole cluster's executor
+        # memory. Measured on this sandbox: an oversized heap (48g) runs
+        # 2x SLOWER than 8g on the same job — the microVM's RAM appears
+        # thin-provisioned, so touching a huge heap faults at host level.
+        # 8g + tmpfs shuffle dirs is the sweet spot here.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.local.dir", local_dir or "/tmp")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

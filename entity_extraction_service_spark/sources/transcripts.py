@@ -192,6 +192,81 @@ def _record_triple(gt: GroundTruth, conv_id: str, s_id: str, pred: str, o_id: st
     gt.triples_rows.append({"subj_id": s_id, "pred": pred, "obj_id": o_id, "conv_id": conv_id})
 
 
+def _conv_rows(
+    ci: int,
+    seed: int,
+    mean_turns: int,
+    skew_factor: int,
+    hot_entity_share: float,
+    persons: list[str],
+    gt: GroundTruth | None,
+) -> list[tuple]:
+    """Generate one conversation's rows. Seeded per conversation
+    (``seed * 1_000_003 + ci``) so the driver-side and distributed
+    generators produce byte-identical corpora for the same parameters,
+    independent of partitioning."""
+    rng = random.Random(seed * 1_000_003 + ci)
+    hot_org = ORG_NAMES[0]
+    conv_id = f"conv_{ci:06d}"
+    n_turns = mean_turns + rng.randint(-mean_turns // 3, mean_turns // 3)
+    if skew_factor and ci == 0:
+        n_turns = mean_turns * skew_factor
+    last_person: str | None = None
+    ts = BASE_TS + timedelta(hours=ci)
+    use_hot = rng.random() < hot_entity_share
+    rows: list[tuple] = []
+
+    for ti in range(n_turns):
+        ts = ts + timedelta(seconds=30)
+        roll = rng.random()
+        role, tool, text = "user", None, None
+
+        if roll < 0.15:
+            tool, text = rng.choice(TOOL_OUTPUT_TURNS)
+            role = "tool"
+        elif roll < 0.35:
+            text = rng.choice(DISTRACTOR_TURNS)
+            role = rng.choice(["user", "assistant"])
+        elif roll < 0.45 and last_person is not None:
+            # coreference follow-up: pronoun resolves to last PERSON (L7)
+            tmpl, obj_type, pred = rng.choice(COREF_FOLLOWUPS)
+            obj = rng.choice(TOOL_NAMES)
+            text = tmpl.format(o=obj)
+            role = "assistant"
+            if gt is not None:
+                s_id = gt.canonical_id("PERSON", last_person)
+                o_id = _record_entity(gt, obj_type, obj, conv_id)
+                _record_mention(gt, conv_id, ti, obj_type, obj, text)
+                _record_triple(gt, conv_id, s_id, pred, o_id)
+        else:
+            tmpl, s_type, o_type, pred = rng.choice(FACT_TEMPLATES)
+            subj = _pick(rng, s_type, persons, use_hot, hot_org)
+            obj = _pick(rng, o_type, persons, use_hot, hot_org)
+            # occasionally swap the org for a near-variant surface form
+            if o_type == "ORG" and obj in ORG_VARIANTS and rng.random() < 0.25:
+                obj = rng.choice(ORG_VARIANTS[obj])
+            while s_type == o_type and obj == subj:
+                obj = _pick(rng, o_type, persons, False, hot_org)
+            text = tmpl.format(s=subj, o=obj)
+            role = rng.choice(["user", "assistant"])
+            # the pronoun antecedent is the latest PERSON mention by
+            # position (L7 semantics, entity_registry.py:495-513) — for
+            # PERSON->PERSON facts that's the object
+            if o_type == "PERSON":
+                last_person = obj
+            elif s_type == "PERSON":
+                last_person = subj
+            if gt is not None:
+                s_id = _record_entity(gt, s_type, subj, conv_id)
+                o_id = _record_entity(gt, o_type, obj, conv_id)
+                _record_mention(gt, conv_id, ti, s_type, subj, text)
+                _record_mention(gt, conv_id, ti, o_type, obj, text)
+                _record_triple(gt, conv_id, s_id, pred, o_id)
+
+        rows.append((conv_id, ti, role, text, tool, ts))
+    return rows
+
+
 def synthesize_transcripts(
     spark: SparkSession,
     n_convs: int = 100,
@@ -207,73 +282,48 @@ def synthesize_transcripts(
     turns (the long-tail LARGE conversation). ``hot_entity_share`` of
     conversations contain the hot org (blocking-key skew).
     """
-    rng = random.Random(seed)
     persons = [f"{f} {l}" for f in FIRST_NAMES for l in LAST_NAMES]
-    hot_org = ORG_NAMES[0]
-
-    rows: list[tuple] = []
     gt = GroundTruth()
-
+    rows: list[tuple] = []
     for ci in range(n_convs):
-        conv_id = f"conv_{ci:06d}"
-        n_turns = mean_turns + rng.randint(-mean_turns // 3, mean_turns // 3)
-        if skew_factor and ci == 0:
-            n_turns = mean_turns * skew_factor
-        last_person: str | None = None
-        ts = BASE_TS + timedelta(hours=ci)
-        use_hot = rng.random() < hot_entity_share
-
-        for ti in range(n_turns):
-            ts = ts + timedelta(seconds=30)
-            roll = rng.random()
-            role, tool, text = "user", None, None
-
-            if roll < 0.15:
-                tool, text = rng.choice(TOOL_OUTPUT_TURNS)
-                role = "tool"
-            elif roll < 0.35:
-                text = rng.choice(DISTRACTOR_TURNS)
-                role = rng.choice(["user", "assistant"])
-            elif roll < 0.45 and last_person is not None:
-                # coreference follow-up: pronoun resolves to last PERSON (L7)
-                tmpl, obj_type, pred = rng.choice(COREF_FOLLOWUPS)
-                obj = rng.choice(TOOL_NAMES)
-                text = tmpl.format(o=obj)
-                role = "assistant"
-                if with_truth:
-                    s_id = gt.canonical_id("PERSON", last_person)
-                    o_id = _record_entity(gt, obj_type, obj, conv_id)
-                    _record_mention(gt, conv_id, ti, obj_type, obj, text)
-                    _record_triple(gt, conv_id, s_id, pred, o_id)
-            else:
-                tmpl, s_type, o_type, pred = rng.choice(FACT_TEMPLATES)
-                subj = _pick(rng, s_type, persons, use_hot, hot_org)
-                obj = _pick(rng, o_type, persons, use_hot, hot_org)
-                # occasionally swap the org for a near-variant surface form
-                if o_type == "ORG" and obj in ORG_VARIANTS and rng.random() < 0.25:
-                    obj = rng.choice(ORG_VARIANTS[obj])
-                while s_type == o_type and obj == subj:
-                    obj = _pick(rng, o_type, persons, False, hot_org)
-                text = tmpl.format(s=subj, o=obj)
-                role = rng.choice(["user", "assistant"])
-                # the pronoun antecedent is the latest PERSON mention by
-                # position (L7 semantics, entity_registry.py:495-513) — for
-                # PERSON->PERSON facts that's the object
-                if o_type == "PERSON":
-                    last_person = obj
-                elif s_type == "PERSON":
-                    last_person = subj
-                if with_truth:
-                    s_id = _record_entity(gt, s_type, subj, conv_id)
-                    o_id = _record_entity(gt, o_type, obj, conv_id)
-                    _record_mention(gt, conv_id, ti, s_type, subj, text)
-                    _record_mention(gt, conv_id, ti, o_type, obj, text)
-                    _record_triple(gt, conv_id, s_id, pred, o_id)
-
-            rows.append((conv_id, ti, role, text, tool, ts))
-
+        rows.extend(
+            _conv_rows(
+                ci, seed, mean_turns, skew_factor, hot_entity_share,
+                persons, gt if with_truth else None,
+            )
+        )
     df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
     return df, gt
+
+
+def synthesize_transcripts_distributed(
+    spark: SparkSession,
+    n_convs: int,
+    seed: int = 42,
+    mean_turns: int = 12,
+    skew_factor: int = 0,
+    hot_entity_share: float = 0.3,
+) -> DataFrame:
+    """Distributed deterministic corpus generator (no ground truth).
+
+    Same per-conversation seeded logic as ``synthesize_transcripts`` —
+    byte-identical output for the same parameters — but generated inside
+    executors via mapInPandas over ``spark.range(n_convs)``, so bench
+    corpora of 10^7+ turns never touch the driver."""
+    mt, sf_, hs, sd = mean_turns, skew_factor, hot_entity_share, seed
+
+    def gen(batches):
+        import pandas as pd  # noqa: local import for worker
+
+        persons = [f"{f} {l}" for f in FIRST_NAMES for l in LAST_NAMES]
+        cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for ci in pdf["id"]:
+                rows.extend(_conv_rows(int(ci), sd, mt, sf_, hs, persons, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n_convs).mapInPandas(gen, TRANSCRIPT_SCHEMA)
 
 
 def _pick(rng: random.Random, etype: str, persons: list[str], use_hot: bool, hot_org: str) -> str:

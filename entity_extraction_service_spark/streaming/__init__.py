@@ -1,0 +1,22 @@
+"""Structured Streaming surface: incremental KG construction.
+
+The reference is a request/response service — each POST is effectively a
+micro-batch of one document (SURVEY.md §2.10 notes the reference has no
+streaming). The Spark-native continuous analog: transcripts land in the
+table continuously, mention extraction runs incrementally, and windowed
+entity statistics maintain themselves with watermarked state.
+"""
+
+from .incremental import (
+    stream_transcripts,
+    streaming_entity_counts,
+    streaming_mentions,
+    write_stream,
+)
+
+__all__ = [
+    "stream_transcripts",
+    "streaming_mentions",
+    "streaming_entity_counts",
+    "write_stream",
+]

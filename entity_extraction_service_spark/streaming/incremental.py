@@ -1,0 +1,150 @@
+"""Incremental mention extraction + windowed entity stats.
+
+Streaming restatement of the batch stages (SURVEY.md §3.1): the per-turn
+mention extractor is a stateless Arrow-batched ``mapInPandas`` (streaming-
+legal), E2 overlap-conflict resolution happens *inside* the UDF — overlap
+groups never span turns, so the per-turn resolution needs no shuffle and
+is exact, matching the batch path's window-function result
+(/root/reference/src/core/regex_engine.py:882-988 semantics). Entity
+statistics aggregate over event-time windows with a watermark bounding
+state for late turns.
+
+At production scale this runs against an Iceberg-backed stream
+(``spark.readStream.format("iceberg")``); the sandbox uses the parquet
+file source with the same schema.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.normalize import group_norm_py, normalize_text_py
+from ..operators.mentions import _match_turn, build_pattern_table
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+STREAM_MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("entity_type", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("norm_text", T.StringType(), False),
+        T.StructField("group_norm", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("confidence", T.DoubleType(), False),
+        T.StructField("method", T.StringType(), False),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    """File-source transcript stream (schema per BASELINE input_hint)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def _resolve_local(matches: list[tuple]) -> list[tuple]:
+    """E2 within one turn: same-type transitively-overlapping spans keep the
+    max-confidence member (regex_engine.py:882-988). Pure-Python interval
+    merge — matches the batch window-function result exactly."""
+    out: list[tuple] = []
+    by_type: dict[str, list[tuple]] = {}
+    for m in matches:
+        by_type.setdefault(m[0], []).append(m)
+    for _, ms in by_type.items():
+        ms.sort(key=lambda m: (m[2], m[3]))  # (start, end)
+        group: list[tuple] = []
+        max_end = None
+        for m in ms:
+            if max_end is not None and m[2] < max_end:
+                group.append(m)
+                max_end = max(max_end, m[3])
+            else:
+                if group:
+                    out.append(max(group, key=lambda g: (g[4], -g[2], g[3])))
+                group = [m]
+                max_end = m[3]
+        if group:
+            out.append(max(group, key=lambda g: (g[4], -g[2], g[3])))
+    out.sort(key=lambda m: (m[2], m[3], m[0]))
+    return out
+
+
+def streaming_mentions(
+    transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Stateless per-turn mention extraction (streaming-legal mapInPandas)."""
+    patterns = build_pattern_table(config)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in STREAM_MENTION_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, ts, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["ts"], pdf["text"]
+            ):
+                matches = _match_turn(patterns, text or "")
+                for etype, surface, s, e, conf in _resolve_local(matches):
+                    norm = normalize_text_py(surface)
+                    rows.append(
+                        (
+                            conv_id, int(turn_idx), ts, etype, surface, norm,
+                            group_norm_py(norm), s, e, conf, "regex",
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return transcripts.select("conv_id", "turn_idx", "ts", "text").mapInPandas(
+        run, schema=STREAM_MENTION_SCHEMA
+    )
+
+
+def streaming_entity_counts(
+    mentions: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked event-time windowed entity statistics.
+
+    State is bounded: the watermark drops turns later than ``watermark``
+    behind the max event time, so at 10^12-turn scale the state store
+    holds only the open windows."""
+    return (
+        mentions.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "entity_type", "group_norm")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.approx_count_distinct("conv_id").alias("n_convs"),
+            F.max("confidence").alias("max_confidence"),
+        )
+    )
+
+
+def write_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    fmt: str = "parquet",
+):
+    """Start an availableNow write — processes everything pending, then
+    stops (the batch-boundary trigger used for incremental backfills)."""
+    return (
+        df.writeStream.format(fmt)
+        .outputMode(output_mode)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

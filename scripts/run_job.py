@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: transcripts -> KG tables with checkpoint/resume.
+
+Cluster usage (the north-rule deployment shape):
+
+    zip -r ees_spark.zip entity_extraction_service_spark
+    spark-submit --py-files ees_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.shuffle.partitions=<2-3x total cores> \
+        scripts/run_job.py \
+        --input catalog.db.transcripts --output s3://bucket/kg \
+        --buckets 256
+
+``--input`` is an Iceberg table identifier or a parquet path; ``--output``
+the base dir for the mentions/entities/edges tables plus the
+``_checkpoints`` and ``_metrics`` tables. A rerun with the same output
+resumes: committed conversation buckets are skipped via the checkpoint
+anti-join (operators/checkpoint.py). Per-stage confidence metrics are
+appended per run for lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="Iceberg table id or parquet path")
+    ap.add_argument("--output", required=True, help="output base directory")
+    ap.add_argument("--buckets", type=int, default=64, help="checkpoint buckets")
+    ap.add_argument("--no-coref", action="store_true")
+    ap.add_argument("--model-triples", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from entity_extraction_service_spark.operators.checkpoint import (
+        run_with_checkpoint,
+        stage_metrics,
+    )
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+    from entity_extraction_service_spark.sources.transcripts import read_transcripts
+
+    spark = SparkSession.builder.appName("kg-construct").getOrCreate()
+    transcripts = read_transcripts(spark, args.input)
+
+    def stage_fn(subset):
+        r = run_pipeline(
+            subset,
+            use_coref=not args.no_coref,
+            use_model_triples=args.model_triples,
+        )
+        from pyspark.sql import functions as F
+
+        return {
+            "mentions": r.mentions,
+            "entities": r.entities.withColumn("conv_id", F.explode("document_ids")),
+            "edges": r.edges,
+        }
+
+    paths = run_with_checkpoint(spark, transcripts, args.output, stage_fn, args.buckets)
+
+    # per-run stage metrics (V3/V4 lineage)
+    for name, path in paths.items():
+        df = spark.read.parquet(path)
+        if "confidence" in df.columns:
+            stage_metrics(df, name).write.mode("append").parquet(
+                os.path.join(args.output, "_metrics")
+            )
+
+    for name, path in sorted(paths.items()):
+        print(f"{name}: {path} rows={spark.read.parquet(path).count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling benchmark (north-rule N->4N evidence).
+
+The north rule requires >=0.8 throughput scaling efficiency from N to 4N
+executors. No real cluster exists in this sandbox, so per the driver
+contract we run the SAME job on the SAME input at local[8] and local[32]
+(fresh JVM each, identical configs otherwise) and report
+
+    efficiency = throughput(4N) / (4 * throughput(N))
+
+Writes the result table to BENCH.md and prints a JSON summary.
+
+Input: a deterministic synthetic transcript corpus (seeded generator,
+written once to .scaling_input/) large enough that task compute — not
+session fixed cost — dominates: ~3k conversations, ~72k turns, with the
+long-conversation and hot-entity skew knobs on so the run exercises the
+skew handling the north rule names.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+INPUT_DIR = os.path.join(REPO, ".scaling_input")
+INPUT_PATH = os.path.join(INPUT_DIR, "transcripts.parquet")
+N_SMALL = int(os.environ.get("SCALING_N", "8"))
+N_BIG = int(os.environ.get("SCALING_4N", "32"))
+
+
+def ensure_input() -> None:
+    if os.path.exists(os.path.join(INPUT_PATH, "_SUCCESS")):
+        return
+    from entity_extraction_service_spark.session import build_session
+    from entity_extraction_service_spark.sources.transcripts import (
+        synthesize_transcripts_distributed,
+    )
+
+    spark = build_session(app_name="scaling-input", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_convs = int(os.environ.get("SCALING_CONVS", "900000"))
+    df = synthesize_transcripts_distributed(
+        spark, n_convs=n_convs, mean_turns=24, skew_factor=40, hot_entity_share=0.3
+    )
+    df.repartition(256, "conv_id").write.mode("overwrite").parquet(INPUT_PATH)
+    spark.stop()
+
+
+def run_level(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "scaling_worker.py"), str(cpus), INPUT_PATH],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def best_of(cpus: int, repeats: int) -> dict:
+    """Min wall across repeats — the least host-steal-contaminated sample
+    (this microVM shows up to ~13% CPU steal in vmstat; single samples
+    vary ~1.5x)."""
+    runs = [run_level(cpus) for _ in range(repeats)]
+    best = min(runs, key=lambda r: r["wall_sec"])
+    best["all_walls"] = [r["wall_sec"] for r in runs]
+    return best
+
+
+def main() -> None:
+    ensure_input()
+    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    small = best_of(N_SMALL, repeats)
+    big = best_of(N_BIG, repeats)
+    ratio = N_BIG / N_SMALL
+    eff = big["triples_per_sec"] / (ratio * small["triples_per_sec"])
+
+    summary = {
+        "n_cpus": N_SMALL,
+        "n4_cpus": N_BIG,
+        "wall_n": small["wall_sec"],
+        "wall_4n": big["wall_sec"],
+        "walls_n": small["all_walls"],
+        "walls_4n": big["all_walls"],
+        "triples_per_sec_n": small["triples_per_sec"],
+        "triples_per_sec_4n": big["triples_per_sec"],
+        "n_triples": big["n_triples"],
+        "scaling_efficiency": round(eff, 3),
+        "meets_north_rule_0.8": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(
+            "# BENCH — two-parallelism scaling run (north-rule N→4N evidence)\n\n"
+            "Same job (`run_pipeline` end-to-end: extract → link → canonicalize →\n"
+            "materialize both tables), same input (deterministic synthetic corpus\n"
+            "generated distributed-side: 900k conversations / ~21M turns, long-conv\n"
+            "skew ×40 + hot entity in 30% of conversations), identical configs\n"
+            "except `master=local[N]`; fresh JVM per level; wall measured after\n"
+            "session startup. Each level is the MIN of repeated runs: this\n"
+            "sandbox microVM shows up to ~13% CPU steal (vmstat `st`), so the\n"
+            "min is the least-contaminated sample; all walls are listed.\n\n"
+            "| parallelism | wall (s) | triples/sec | all runs (s) |\n|---|---|---|---|\n"
+            f"| local[{N_SMALL}] (N) | {small['wall_sec']} | {small['triples_per_sec']} | {small['all_walls']} |\n"
+            f"| local[{N_BIG}] (4N) | {big['wall_sec']} | {big['triples_per_sec']} | {big['all_walls']} |\n\n"
+            f"**Scaling efficiency** = throughput(4N) / (4 × throughput(N)) = "
+            f"**{eff:.3f}** (north rule requires ≥ 0.8: "
+            f"{'MET' if eff >= 0.8 else 'NOT MET'}).\n\n"
+            f"Triples emitted: {big['n_triples']} (identical at both levels: "
+            f"{small['n_triples'] == big['n_triples']}).\n\n"
+            "Reproduce: `python scripts/scaling_bench.py`\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Run the end-to-end KG pipeline once at a given local parallelism.
+
+Usage: python scripts/scaling_worker.py <cpus> <input_parquet>
+
+Prints one JSON line {"cpus": N, "wall_sec": ..., "n_triples": ...,
+"triples_per_sec": ...}. Wall time starts after the SparkSession is up
+(JVM startup is identical at both levels and not part of the job), ends
+when both output tables are fully materialized. All configs other than
+master=local[N] are identical across levels — the sandbox evidence for
+the north rule's N->4N cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    input_path = sys.argv[2]
+
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+    from entity_extraction_service_spark.session import build_session
+
+    spark = build_session(app_name=f"scaling-{cpus}", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    transcripts = spark.read.parquet(input_path)
+    t0 = time.perf_counter()
+    result = run_pipeline(transcripts, use_coref=False)
+    edges = result.edges.persist()
+    n_triples = edges.count()
+    result.entities.write.format("noop").mode("overwrite").save()
+    edges.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "wall_sec": round(wall, 3),
+                "n_triples": n_triples,
+                "triples_per_sec": round(n_triples / wall, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

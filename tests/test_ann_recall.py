@@ -1,0 +1,42 @@
+"""ANN quality: approximate indexes (LSH, IVF) against the brute-force
+oracle — recall@k must clear sane floors, and the IVF probe path must
+return exactly-ranked candidates (re-rank is exact cosine)."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.ann import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 3
+
+
+def _recall(spark, approx, exact):
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    return len(a & e) / len(e)
+
+
+def test_ivf_and_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=K).persist()
+    assert exact.count() > 0
+
+    ivf = ivf_topk(emb, queries, k=K, n_centroids=16, n_probe=4)
+    r_ivf = _recall(spark, ivf, exact)
+    assert r_ivf >= 0.5, f"IVF recall@{K} {r_ivf:.2f}"
+
+    lsh = lsh_topk(emb, queries, k=K, n_planes=6)
+    r_lsh = _recall(spark, lsh, exact)
+    assert r_lsh >= 0.15, f"LSH recall@{K} {r_lsh:.2f}"
+
+    # determinism: same params -> identical result set
+    ivf2 = ivf_topk(emb, queries, k=K, n_centroids=16, n_probe=4)
+    sym = ivf.select("query_id", "vec_id").exceptAll(ivf2.select("query_id", "vec_id"))
+    assert sym.isEmpty()

@@ -1,0 +1,69 @@
+"""K1/K2 resume semantics (SURVEY.md §2.9): a completed bucket is never
+reprocessed, a rerun is a no-op, and a partially-checkpointed run
+processes exactly the pending buckets."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.checkpoint import (
+    completed_buckets,
+    record_buckets,
+    run_with_checkpoint,
+    stage_metrics,
+    with_bucket,
+)
+from entity_extraction_service_spark.plans.pipeline import pipeline_tables
+
+N_BUCKETS = 4
+
+
+def test_full_run_then_noop_rerun(spark, corpus, tmp_path):
+    transcripts, _ = corpus
+    base = str(tmp_path / "kg")
+
+    paths = run_with_checkpoint(spark, transcripts, base, pipeline_tables, N_BUCKETS)
+    assert set(paths) == {"mentions", "entities", "edges"}
+    counts = {k: spark.read.parquet(p).count() for k, p in paths.items()}
+    assert all(v > 0 for v in counts.values())
+    assert completed_buckets(spark, base) == set(range(N_BUCKETS))
+
+    # rerun: nothing pending -> same paths, no rows appended
+    paths2 = run_with_checkpoint(spark, transcripts, base, pipeline_tables, N_BUCKETS)
+    counts2 = {k: spark.read.parquet(p).count() for k, p in paths2.items()}
+    assert counts2 == counts
+
+
+def test_partial_resume_processes_only_pending(spark, corpus, tmp_path):
+    transcripts, _ = corpus
+    base = str(tmp_path / "kg2")
+    os.makedirs(base, exist_ok=True)
+
+    # pretend buckets {0,1} committed by an earlier (crashed-after-commit) run
+    record_buckets(spark, base, [0, 1], stage="pipeline")
+    run_with_checkpoint(spark, transcripts, base, pipeline_tables, N_BUCKETS)
+
+    mentions = spark.read.parquet(os.path.join(base, "mentions"))
+    got_buckets = {r["bucket"] for r in mentions.select("bucket").distinct().collect()}
+    assert got_buckets == {2, 3}, got_buckets
+    assert completed_buckets(spark, base) == set(range(N_BUCKETS))
+
+    # the pending-bucket outputs equal a from-scratch run restricted to
+    # those conversations (bucket = pure function of conv_id)
+    pending_convs = (
+        with_bucket(transcripts, N_BUCKETS)
+        .where(F.col("bucket").isin(2, 3))
+        .drop("bucket")
+    )
+    expected = pipeline_tables(pending_convs)["mentions"]
+    assert mentions.count() == expected.count()
+
+
+def test_stage_metrics_buckets(spark, corpus):
+    transcripts, _ = corpus
+    from entity_extraction_service_spark.plans.pipeline import extract_mentions
+
+    m = stage_metrics(extract_mentions(transcripts), "mentions")
+    rows = {r["conf_bucket"]: r["n"] for r in m.collect()}
+    assert sum(rows.values()) > 0
+    assert set(rows) <= {"high", "medium", "low"}

@@ -1,0 +1,64 @@
+"""Fused-scan path vs window/join operator path: row-identical outputs.
+
+The turn-local kernels (operators/local_resolve.py) must reproduce the
+window-function E2/D5 results and the join-based T1/T3 results exactly —
+this is the guarantee that lets the pipeline skip three shuffles of the
+mention stream without changing semantics."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.assemble import chunk_turns
+from entity_extraction_service_spark.operators.dedup import merge_cross_source
+from entity_extraction_service_spark.operators.extract_model import (
+    extract_mentions_model,
+)
+from entity_extraction_service_spark.operators.mentions import (
+    extract_mentions_regex,
+    resolve_conflicts,
+    with_entity_surface_id,
+)
+from entity_extraction_service_spark.operators.triples import (
+    pattern_triples_from_spans,
+    proximity_triples,
+)
+from entity_extraction_service_spark.plans.pipeline import (
+    _MENTION_COLS,
+    _TRIPLE_COLS,
+    _extract_fused,
+)
+
+
+def _sym_equal(a, b, cols):
+    assert a.select(cols).exceptAll(b.select(cols)).isEmpty(), "fused - operator"
+    assert b.select(cols).exceptAll(a.select(cols)).isEmpty(), "operator - fused"
+
+
+def test_fused_mentions_equal_operator_path(spark, corpus):
+    transcripts, _ = corpus
+    fused_m, _, _ = _extract_fused(transcripts, gen_triples=False)
+
+    chunks = chunk_turns(transcripts)
+    raw = extract_mentions_regex(chunks).unionByName(extract_mentions_model(chunks))
+    operator_m = with_entity_surface_id(merge_cross_source(resolve_conflicts(raw)))
+
+    assert fused_m.count() == operator_m.count()
+    _sym_equal(fused_m, operator_m, _MENTION_COLS)
+
+
+def test_fused_triples_equal_operator_path(spark, corpus):
+    transcripts, _ = corpus
+    mentions, spans, local_triples = _extract_fused(transcripts, gen_triples=True)
+    mentions = mentions.persist()
+
+    operator_t = pattern_triples_from_spans(spans, mentions).unionByName(
+        proximity_triples(mentions)
+    )
+    assert local_triples.count() == operator_t.count()
+    _sym_equal(local_triples, operator_t, _TRIPLE_COLS)
+
+
+def test_fused_verb_spans_nonempty(spark, corpus):
+    transcripts, _ = corpus
+    _, spans, _ = _extract_fused(transcripts, gen_triples=True)
+    assert spans.count() > 0
+    assert spans.where(F.col("v_end") <= F.col("v_start")).isEmpty()

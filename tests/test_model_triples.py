@@ -1,0 +1,52 @@
+"""T5 batched model-triple extraction (reference
+extraction_orchestrator.py:783-975 wave 4): the batched seam produces
+valid, endpoint-checked triples, and the four-producer pipeline
+(pattern + proximity + model) still meets the P/R gate."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.triples import (
+    RuleBackedTripleClient,
+    model_triples,
+)
+from entity_extraction_service_spark.plans.pipeline import extract_mentions, run_pipeline
+
+
+def test_model_triples_endpoints_exist(spark, corpus):
+    transcripts, _ = corpus
+    mentions = extract_mentions(transcripts).persist()
+    t5 = model_triples(mentions).persist()
+    assert t5.count() > 0
+    assert t5.where(F.col("method") != "model").isEmpty()
+    known = {r["surface_id"] for r in mentions.select("surface_id").distinct().collect()}
+    got = t5.select("subj_id", "obj_id").collect()
+    assert all(r["subj_id"] in known and r["obj_id"] in known for r in got)
+    assert t5.where(F.col("confidence") < 0.85).isEmpty()  # survives T6 floor
+
+
+def test_repair_ladder_on_broken_response(spark, corpus):
+    """A client emitting fenced/trailing-comma JSON still parses (E11)."""
+    transcripts, _ = corpus
+
+    class SloppyClient(RuleBackedTripleClient):
+        def generate_batch(self, prompts, payloads):
+            return [
+                "```json\n" + r.rstrip("}") + ",}\n```"
+                for r in super().generate_batch(prompts, payloads)
+            ]
+
+    mentions = extract_mentions(transcripts)
+    clean = model_triples(mentions).count()
+    sloppy = model_triples(mentions, client_factory=SloppyClient).count()
+    assert sloppy == clean
+
+
+def test_pipeline_pr_with_model_triples(corpus):
+    transcripts, gt = corpus
+    result = run_pipeline(transcripts, use_model_triples=True)
+    rows = result.edges.select("subj_id", "pred", "obj_id").collect()
+    predicted = {(r["subj_id"], r["pred"], r["obj_id"]) for r in rows}
+    tp = len(predicted & gt.triples)
+    precision, recall = tp / len(predicted), tp / len(gt.triples)
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert recall >= 0.95, f"recall {recall:.4f}"

@@ -1,0 +1,80 @@
+"""Structured Streaming surface tests: incremental mention extraction is
+exactly the batch per-turn extraction (streams and tables agree), resume
+from the stream checkpoint processes only new files, and watermarked
+windowed aggregation produces the batch-equivalent counts."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.streaming import (
+    stream_transcripts,
+    streaming_entity_counts,
+    streaming_mentions,
+    write_stream,
+)
+
+
+def _write_batch(df, path):
+    df.coalesce(2).write.mode("append").parquet(path)
+
+
+def test_stream_matches_batch_and_resumes(spark, corpus, tmp_path):
+    transcripts, _ = corpus
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = transcripts.where(F.col("conv_id") < "conv_000030")
+    second = transcripts.where(F.col("conv_id") >= "conv_000030")
+    _write_batch(first, src)
+
+    q = write_stream(streaming_mentions(stream_transcripts(spark, src)), out, ckpt)
+    q.awaitTermination()
+    got1 = spark.read.parquet(out)
+    batch1 = streaming_mentions(first)
+    assert got1.count() == batch1.count()
+
+    # late-arriving files: same checkpoint -> only the new files process,
+    # output accumulates to the full-batch result
+    _write_batch(second, src)
+    q = write_stream(streaming_mentions(stream_transcripts(spark, src)), out, ckpt)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    full = streaming_mentions(transcripts)
+    assert got.count() == full.count()
+
+    key = ["conv_id", "turn_idx", "entity_type", "text", "start", "end"]
+    assert got.select(key).exceptAll(full.select(key)).isEmpty()
+    assert full.select(key).exceptAll(got.select(key)).isEmpty()
+
+
+def test_windowed_entity_counts(spark, corpus, tmp_path):
+    transcripts, _ = corpus
+    src = str(tmp_path / "src")
+    _write_batch(transcripts, src)
+
+    counts = streaming_entity_counts(
+        streaming_mentions(stream_transcripts(spark, src)), window="1 hour"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("entity_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("entity_counts")
+
+    expected = (
+        streaming_mentions(transcripts)
+        .groupBy(F.window("ts", "1 hour"), "entity_type", "group_norm")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    assert got.count() == expected.count()
+    j = got.select("window", "entity_type", "group_norm", "n_mentions").exceptAll(
+        expected.select("window", "entity_type", "group_norm", "n_mentions")
+    )
+    assert j.isEmpty()

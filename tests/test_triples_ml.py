@@ -1,0 +1,52 @@
+"""T2/T4 producer seams: batched classifier triples and the
+dependency-parse plumbing (via an injected fake parser)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.triples_ml import (
+    ML_THRESHOLD,
+    dependency_triples,
+    ml_triples,
+)
+from entity_extraction_service_spark.plans.pipeline import extract_mentions
+
+
+def test_ml_triples_threshold_and_determinism(spark, corpus):
+    transcripts, _ = corpus
+    mentions = extract_mentions(transcripts).persist()
+    t4 = ml_triples(mentions).persist()
+    assert t4.count() > 0
+    assert t4.where(F.col("confidence") < ML_THRESHOLD).isEmpty()
+    assert t4.where(F.col("method") != "ml").isEmpty()
+    # repartitioning the input must not change the output set
+    t4b = ml_triples(mentions.repartition(7))
+    key = ["subj_id", "pred", "obj_id", "conv_id", "turn_idx"]
+    assert t4.select(key).exceptAll(t4b.select(key)).isEmpty()
+    assert t4b.select(key).exceptAll(t4.select(key)).isEmpty()
+
+
+def test_dependency_triples_needs_parser(spark, corpus):
+    transcripts, _ = corpus
+    with pytest.raises(NotImplementedError):
+        dependency_triples(transcripts)
+
+
+def test_dependency_triples_with_fake_parser(spark, corpus):
+    transcripts, _ = corpus
+
+    class FakeParser:
+        def parse(self, texts):
+            out = []
+            for t in texts:
+                rels = []
+                if " works at " in t:
+                    subj, rest = t.split(" works at ", 1)
+                    rels.append((subj.strip(), "works_for", rest.rstrip(". "), 0.9))
+                out.append(rels)
+            return out
+
+    t2 = dependency_triples(transcripts, parser_loader=FakeParser)
+    n_expected = transcripts.where(F.col("text").contains(" works at ")).count()
+    assert t2.count() == n_expected
+    assert t2.where(F.col("method") != "dep").isEmpty()
