@@ -54,6 +54,19 @@ class PipelineConfig:
     long_conv_salt_turns: int = 512        # sub-split conversations longer than this
     arrow_max_records_per_batch: int = 2_000
 
+    # --- physical execution of the fused extraction scan ---
+    # "stream": sorted-partition stateful scan (1 shuffle pre-UDF, 0 when
+    #   the source is bucketed by conv_id) — the scale path.
+    # "chunkrows": window + groupBy/collect_list chunk rows (2 shuffles) —
+    #   the operator-path twin kept for parity testing.
+    fused_exec: str = "stream"
+    # how the fused stream is materialized for its multiple consumers:
+    # "parquet": columnar checkpoint on spark.local.dir (column-pruned,
+    #   compressed reads; measured ~2x cheaper than caching the stream at
+    #   32 cores); "disk_persist": StorageLevel.DISK_ONLY cache; "none":
+    #   recompute per action (right when the scan is cheap or read once).
+    materialize: str = "parquet"
+
     # --- predicate vocabulary (reduced set per north_star; T10 analog) ---
     predicates: tuple[str, ...] = (
         "works_for", "uses_tool", "discusses", "mentions", "replies_to", "related_to",

@@ -50,18 +50,32 @@ class BatchedExtractorClient(Protocol):
 class RuleBackedClient:
     """Deterministic sandbox model: runs the pattern table over the raw
     turns (passed alongside the prompt as structured payload so the stub
-    doesn't have to re-parse its own prompt format)."""
+    doesn't have to re-parse its own prompt format). Memoizes per distinct
+    turn text — templated transcript corpora repeat turns heavily, and the
+    memo is a pure-function cache (output independent of hit order)."""
+
+    _CACHE_CAP = 1 << 18
 
     def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
         self._patterns = build_pattern_table(config)
         self._confidence = config.model_confidence
+        self._memo: dict[str, list[tuple]] = {}
+
+    def _matches(self, text: str) -> list[tuple]:
+        got = self._memo.get(text)
+        if got is None:
+            got = _match_turn(self._patterns, text)
+            if len(self._memo) >= self._CACHE_CAP:
+                self._memo.clear()
+            self._memo[text] = got
+        return got
 
     def generate_batch(self, prompts: list[str], payloads: list[list[dict]]) -> list[str]:
         out = []
         for turns in payloads:
             ents = []
             for t in turns:
-                for etype, surface, s, e, _ in _match_turn(self._patterns, t["text"] or ""):
+                for etype, surface, s, e, _ in self._matches(t["text"] or ""):
                     ents.append(
                         {
                             "entity_type": etype,
@@ -232,6 +246,170 @@ FUSED_SCHEMA = T.StructType(
 )
 
 
+class _FusedKernel:
+    """The per-chunk fused extraction kernel, shared verbatim by the
+    chunk-row path (``extract_all_fused``) and the sorted-stream path
+    (extract_stream.extract_all_fused_stream) so both produce identical
+    rows. Holds the compiled pattern/verb tables and two pure-function
+    memo caches (per distinct turn text; per distinct surface form) —
+    templated transcripts repeat turns heavily, and memo hits skip the
+    regex scan entirely without changing output.
+    """
+
+    _CACHE_CAP = 1 << 18
+
+    def __init__(
+        self,
+        client_factory: Callable[[], BatchedExtractorClient] | None,
+        config: PipelineConfig = DEFAULT_CONFIG,
+        gen_triples: bool = True,
+        emit_verbs: bool = True,
+    ):
+        from .triples import PATTERN_TRIPLE_CONFIDENCE, _compiled_verbs
+
+        self._factory = client_factory or (lambda: RuleBackedClient(config))
+        self._patterns = build_pattern_table(config)
+        self._verbs = _compiled_verbs()
+        self._rules = {(a, b): p for a, b, p in config.type_pair_predicates}
+        self._default_conf = config.model_confidence
+        self._t1_conf = PATTERN_TRIPLE_CONFIDENCE
+        self._prox = (
+            config.proximity_window,
+            config.max_entity_distance,
+            config.proximity_confidence_floor,
+        )
+        self._gen_triples = gen_triples
+        self._emit_verbs = emit_verbs
+        self._text_memo: dict[str, tuple[list[tuple], list[tuple]]] = {}
+        self._norm_memo: dict[tuple[str, str], tuple[str, str, str]] = {}
+
+    def make_client(self) -> BatchedExtractorClient:
+        return self._factory()
+
+    def _scan_text(self, text: str) -> tuple[list[tuple], list[tuple]]:
+        """(regex matches, verb spans) for one turn text, memoized."""
+        got = self._text_memo.get(text)
+        if got is None:
+            matches = _match_turn(self._patterns, text)
+            vspans = [
+                (pred, vm.start(), vm.end())
+                for rx, pred in self._verbs
+                for vm in rx.finditer(text)
+            ]
+            if len(self._text_memo) >= self._CACHE_CAP:
+                self._text_memo.clear()
+            got = (matches, vspans)
+            self._text_memo[text] = got
+        return got
+
+    def _norm_of(self, etype: str, surface: str) -> tuple[str, str, str]:
+        from .local_resolve import surface_id_py
+
+        key = (etype, surface)
+        got = self._norm_memo.get(key)
+        if got is None:
+            n = normalize_text_py(surface)
+            g = group_norm_py(n)
+            got = (n, g, surface_id_py(etype, g))
+            if len(self._norm_memo) >= self._CACHE_CAP:
+                self._norm_memo.clear()
+            self._norm_memo[key] = got
+        return got
+
+    def process(
+        self,
+        chunks: list[tuple[str, int, list[dict]]],
+        client: BatchedExtractorClient,
+    ) -> list[tuple]:
+        """chunks = [(conv_id, chunk_idx, turns_payload)] where each turns
+        entry is {turn_idx, role, text, turn_offset}. ONE generate_batch
+        call for the whole list (the E8 seam), then the turn-local kernel.
+        Returns FUSED_SCHEMA rows."""
+        from .local_resolve import (
+            pattern_triples_local,
+            proximity_triples_local,
+            resolve_and_merge,
+        )
+
+        prompts = []
+        for _, _, turns in chunks:
+            body = "\n".join(
+                f"[{t['turn_idx']}] {t['role']}: {t['text'] or ''}" for t in turns
+            )
+            prompts.append(PROMPT_TEMPLATE.format(body=body))
+        responses = client.generate_batch(prompts, [c[2] for c in chunks])
+
+        rows: list[tuple] = []
+        for (conv_id, chunk_idx, turns), resp in zip(chunks, responses):
+            ci = int(chunk_idx)
+            # model matches per turn_idx, validated against source text
+            model_by_turn: dict[int, list[tuple]] = {}
+            obj = repair_json(resp)
+            texts = {t["turn_idx"]: t["text"] or "" for t in turns}
+            if obj:
+                for ent in obj.get("entities", []):
+                    try:
+                        ti = int(ent["turn_idx"])
+                        s, e = int(ent["start"]), int(ent["end"])
+                        surface = str(ent["text"])
+                        etype = str(ent["entity_type"])
+                    except (KeyError, TypeError, ValueError):
+                        continue
+                    if ti not in texts or texts[ti][s:e] != surface:
+                        continue
+                    model_by_turn.setdefault(ti, []).append(
+                        (etype, surface, s, e,
+                         float(ent.get("confidence", self._default_conf)), "model")
+                    )
+
+            prox_w, max_d, conf_floor = self._prox
+            for t in turns:
+                ti, off = int(t["turn_idx"]), int(t["turn_offset"])
+                text = t["text"] or ""
+                scanned, vspans = self._scan_text(text)
+                matches = [
+                    (etype, surface, s, e, conf, "regex")
+                    for etype, surface, s, e, conf in scanned
+                ] + model_by_turn.get(ti, [])
+                resolved = resolve_and_merge(matches)
+                with_ids = []
+                for etype, surface, s, e, conf, method in resolved:
+                    n, g, sid = self._norm_of(etype, surface)
+                    rows.append(
+                        ("mention", conv_id, ti, ci, etype, surface, n, g,
+                         s, e, off + s, conf, method, sid,
+                         None, None, None, None)
+                    )
+                    with_ids.append((etype, surface, s, e, conf, method, sid))
+                if self._emit_verbs:
+                    for pred, vs, ve in vspans:
+                        rows.append(
+                            ("verb", conv_id, ti, ci, pred, text[vs:ve], "", "",
+                             vs, ve, off + vs, 1.0, "verb", None,
+                             None, None, None, None)
+                        )
+                if self._gen_triples:
+                    t1 = pattern_triples_local(
+                        with_ids, vspans, confidence=self._t1_conf
+                    )
+                    for sid, pred, oid, conf, ev in t1:
+                        rows.append(
+                            ("triple", conv_id, ti, ci, None, None, None, None,
+                             -1, -1, -1, conf, "pattern", None,
+                             sid, pred, oid, ev)
+                        )
+                    t3 = proximity_triples_local(
+                        with_ids, self._rules, prox_w, max_d, conf_floor
+                    )
+                    for sid, pred, oid, conf, ev in t3:
+                        rows.append(
+                            ("triple", conv_id, ti, ci, None, None, None, None,
+                             -1, -1, -1, conf, "proximity", None,
+                             sid, pred, oid, ev)
+                        )
+        return rows
+
+
 def extract_all_fused(
     chunks: DataFrame,
     client_factory: Callable[[], BatchedExtractorClient] | None = None,
@@ -246,51 +424,22 @@ def extract_all_fused(
     T1 pattern + T3 proximity triple generation all happen turn-locally
     inside this UDF (see operators/local_resolve.py for why that is
     exact). Output rows are tagged ``kind`` ∈ {mention, verb, triple};
-    the pipeline persists the stream once and splits by tag. Shuffles of
-    the (dominant) mention stream drop from ~6 to 2.
-    """
-    from .local_resolve import (
-        pattern_triples_local,
-        proximity_triples_local,
-        resolve_and_merge,
-        surface_id_py,
-    )
-    from .triples import PATTERN_TRIPLE_CONFIDENCE, _compiled_verbs
+    the pipeline materializes the stream once and splits by tag. Shuffles
+    of the (dominant) mention stream drop from ~6 to 2.
 
-    factory = client_factory or (lambda: RuleBackedClient(config))
-    patterns = build_pattern_table(config)
-    verbs = _compiled_verbs()
-    rules = {(a, b): p for a, b, p in config.type_pair_predicates}
-    default_conf = config.model_confidence
-    prox_w, max_d, conf_floor = (
-        config.proximity_window,
-        config.max_entity_distance,
-        config.proximity_confidence_floor,
-    )
+    See extract_stream.extract_all_fused_stream for the sorted-partition
+    variant that also removes the chunk_turns window+groupBy shuffles.
+    """
+    kernel = _FusedKernel(client_factory, config, gen_triples, emit_verbs)
     cols = [f.name for f in FUSED_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        client = factory()
-        norm_cache: dict[tuple[str, str], tuple[str, str, str]] = {}
-
-        def norm_of(etype: str, surface: str) -> tuple[str, str, str]:
-            key = (etype, surface)
-            got = norm_cache.get(key)
-            if got is None:
-                n = normalize_text_py(surface)
-                g = group_norm_py(n)
-                got = (n, g, surface_id_py(etype, g))
-                norm_cache[key] = got
-            return got
-
+        client = kernel.make_client()
         for pdf in batches:
-            prompts, payloads = [], []
-            for turns in pdf["turns"]:
-                body = "\n".join(
-                    f"[{t['turn_idx']}] {t['role']}: {t['text'] or ''}" for t in turns
-                )
-                prompts.append(PROMPT_TEMPLATE.format(body=body))
-                payloads.append(
+            batch = [
+                (
+                    conv_id,
+                    int(chunk_idx),
                     [
                         {
                             "turn_idx": int(t["turn_idx"]),
@@ -299,84 +448,13 @@ def extract_all_fused(
                             "turn_offset": int(t["turn_offset"]),
                         }
                         for t in turns
-                    ]
+                    ],
                 )
-            responses = client.generate_batch(prompts, payloads)
-
-            rows = []
-            for conv_id, chunk_idx, turns, resp in zip(
-                pdf["conv_id"], pdf["chunk_idx"], payloads, responses
-            ):
-                ci = int(chunk_idx)
-                # model matches per turn_idx, validated against source text
-                model_by_turn: dict[int, list[tuple]] = {}
-                obj = repair_json(resp)
-                texts = {t["turn_idx"]: t["text"] or "" for t in turns}
-                if obj:
-                    for ent in obj.get("entities", []):
-                        try:
-                            ti = int(ent["turn_idx"])
-                            s, e = int(ent["start"]), int(ent["end"])
-                            surface = str(ent["text"])
-                            etype = str(ent["entity_type"])
-                        except (KeyError, TypeError, ValueError):
-                            continue
-                        if ti not in texts or texts[ti][s:e] != surface:
-                            continue
-                        model_by_turn.setdefault(ti, []).append(
-                            (etype, surface, s, e,
-                             float(ent.get("confidence", default_conf)), "model")
-                        )
-
-                for t in turns:
-                    ti, off = int(t["turn_idx"]), int(t["turn_offset"])
-                    text = t["text"] or ""
-                    matches = [
-                        (etype, surface, s, e, conf, "regex")
-                        for etype, surface, s, e, conf in _match_turn(patterns, text)
-                    ] + model_by_turn.get(ti, [])
-                    vspans = [
-                        (pred, vm.start(), vm.end())
-                        for rx, pred in verbs
-                        for vm in rx.finditer(text)
-                    ]
-                    resolved = resolve_and_merge(matches)
-                    with_ids = []
-                    for etype, surface, s, e, conf, method in resolved:
-                        n, g, sid = norm_of(etype, surface)
-                        rows.append(
-                            ("mention", conv_id, ti, ci, etype, surface, n, g,
-                             s, e, off + s, conf, method, sid,
-                             None, None, None, None)
-                        )
-                        with_ids.append((etype, surface, s, e, conf, method, sid))
-                    if emit_verbs:
-                        for pred, vs, ve in vspans:
-                            rows.append(
-                                ("verb", conv_id, ti, ci, pred, text[vs:ve], "", "",
-                                 vs, ve, off + vs, 1.0, "verb", None,
-                                 None, None, None, None)
-                            )
-                    if gen_triples:
-                        t1 = pattern_triples_local(
-                            with_ids, vspans, confidence=PATTERN_TRIPLE_CONFIDENCE
-                        )
-                        for sid, pred, oid, conf, ev in t1:
-                            rows.append(
-                                ("triple", conv_id, ti, ci, None, None, None, None,
-                                 -1, -1, -1, conf, "pattern", None,
-                                 sid, pred, oid, ev)
-                            )
-                        t3 = proximity_triples_local(
-                            with_ids, rules, prox_w, max_d, conf_floor
-                        )
-                        for sid, pred, oid, conf, ev in t3:
-                            rows.append(
-                                ("triple", conv_id, ti, ci, None, None, None, None,
-                                 -1, -1, -1, conf, "proximity", None,
-                                 sid, pred, oid, ev)
-                            )
-            yield pd.DataFrame(rows, columns=cols)
+                for conv_id, chunk_idx, turns in zip(
+                    pdf["conv_id"], pdf["chunk_idx"], pdf["turns"]
+                )
+            ]
+            yield pd.DataFrame(kernel.process(batch, client), columns=cols)
 
     return chunks.mapInPandas(run, schema=FUSED_SCHEMA)
 

@@ -1,0 +1,125 @@
+"""Sorted-partition streaming twin of the fused extraction scan.
+
+``extract_all_fused`` (extract_model.py) consumes *chunk rows* built by
+``chunk_turns`` — a window (global offsets) plus a groupBy/collect_list
+(chunk arrays): two full shuffles of the turn stream plus JVM struct-array
+building BEFORE the first byte of extraction work. Measured on a 21M-turn
+corpus at local[32], that pre-UDF stage is ~37% of extraction wall — and
+it is JVM work that competes with the Python workers exactly when all
+cores are busy, so it taxes scaling, not just latency.
+
+This module removes it. The turn stream is hash-partitioned by conv_id
+and sorted by (conv_id, turn_idx) within partitions — ONE shuffle with no
+aggregation (or ZERO when the source table is already bucketed/clustered
+by conv_id, which is how the Iceberg table should be laid out at 100 TB:
+``bucket(conv_id)`` partition transform + sorted writes). A stateful
+``mapInPandas`` then walks each partition's sorted rows computing
+
+- per-turn global char offsets (the with_global_offsets running sum),
+- chunk membership ``turn_idx // K`` (pure arithmetic), and
+- the full fused extraction kernel (regex + batched model + turn-local
+  E2/D5 resolution + T1/T3 triples — operators/local_resolve.py)
+
+in a single pass. Conversations never span partitions (hash partitioning)
+and arrive contiguously (sort), so the only state carried across Arrow
+batches is the open conversation's turn buffer and running offset.
+
+Output rows are IDENTICAL to extract_all_fused's (same kernel, same chunk
+payloads — tests/test_fused_path.py asserts row equality); only the
+physical dataflow differs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from .extract_model import FUSED_SCHEMA, BatchedExtractorClient, _FusedKernel
+
+
+def chunk_stream(
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+    assume_clustered: bool = False,
+) -> DataFrame:
+    """Turn rows hash-partitioned by conv_id, sorted by (conv_id, turn_idx).
+
+    ``assume_clustered=True`` skips the repartition for sources already
+    bucketed by conv_id (Iceberg ``bucket(conv_id)`` + sorted data files)
+    — the zero-shuffle path; the sortWithinPartitions remains as a cheap
+    in-partition guarantee.
+    """
+    df = transcripts.select("conv_id", "turn_idx", "role", "text")
+    if not assume_clustered:
+        if num_partitions is None:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        df = df.repartition(num_partitions, "conv_id")
+    return df.sortWithinPartitions("conv_id", "turn_idx")
+
+
+def extract_all_fused_stream(
+    sorted_turns: DataFrame,
+    client_factory: Callable[[], BatchedExtractorClient] | None = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    gen_triples: bool = True,
+    emit_verbs: bool = True,
+) -> DataFrame:
+    """Stateful single-pass fused extraction over the sorted turn stream.
+
+    Completed chunks are flushed through the shared ``_FusedKernel`` once
+    per incoming Arrow batch (one ``generate_batch`` client call per
+    flush — the E8 batched seam, same as the chunk-row path); the open
+    chunk at a batch boundary carries over, and the open conversation's
+    running offset carries with it.
+    """
+    kernel = _FusedKernel(client_factory, config, gen_triples, emit_verbs)
+    k = config.turns_per_chunk
+    cols = [f.name for f in FUSED_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = kernel.make_client()
+        # carried state: the open chunk + its conversation's running offset
+        cur_key: tuple[str, int] | None = None  # (conv_id, chunk_idx)
+        cur_turns: list[dict] = []
+        cur_conv: str | None = None
+        cur_offset = 0
+
+        for pdf in batches:
+            ready: list[tuple[str, int, list[dict]]] = []
+            for conv_id, turn_idx, role, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
+            ):
+                ti = int(turn_idx)
+                key = (conv_id, ti // k)
+                if key != cur_key:
+                    if cur_key is not None:
+                        ready.append((cur_key[0], cur_key[1], cur_turns))
+                    cur_key = key
+                    cur_turns = []
+                    if conv_id != cur_conv:
+                        cur_conv = conv_id
+                        cur_offset = 0
+                cur_turns.append(
+                    {
+                        "turn_idx": ti,
+                        "role": role,
+                        "text": text,
+                        "turn_offset": cur_offset,
+                    }
+                )
+                cur_offset += len(text or "") + 1
+            if ready:
+                yield pd.DataFrame(kernel.process(ready, client), columns=cols)
+        if cur_key is not None:
+            yield pd.DataFrame(
+                kernel.process([(cur_key[0], cur_key[1], cur_turns)], client),
+                columns=cols,
+            )
+
+    return sorted_turns.mapInPandas(run, schema=FUSED_SCHEMA)

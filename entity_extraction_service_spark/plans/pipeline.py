@@ -49,6 +49,48 @@ class PipelineResult:
     edges: DataFrame
 
 
+_CKPT_DIRS: list[str] = []
+
+
+def _cleanup_ckpt_dirs() -> None:
+    import shutil
+
+    for p in _CKPT_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _materialize(df: DataFrame, config: PipelineConfig, tag: str = "fused") -> DataFrame:
+    """Cut the fused stream's lineage for its multiple consumers.
+
+    "parquet": write once to a columnar checkpoint under spark.local.dir
+    (tmpfs here; executor-local NVMe / object store on a cluster — the
+    Iceberg staging-table analog) and read back. Downstream projections
+    then column-prune and predicate-push into the checkpoint scan — the
+    cache formats can't do that, and at 32 concurrent writers the
+    DISK_ONLY cache write was measured 2x the parquet write on this box.
+    """
+    if config.materialize == "none":
+        return df
+    if config.materialize == "disk_persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    import atexit
+    import os
+    import uuid
+
+    spark = df.sparkSession
+    local = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    base = os.path.join(local, "eess-materialize", spark.sparkContext.applicationId)
+    if not _CKPT_DIRS:
+        atexit.register(_cleanup_ckpt_dirs)
+    if base not in _CKPT_DIRS:
+        _CKPT_DIRS.append(base)
+    path = os.path.join(base, f"{tag}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def extract_mentions(
     transcripts: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
@@ -89,24 +131,30 @@ def _extract_fused(
 ) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
     """One chunk scan -> (resolved mentions, verb spans, local T1/T3 triples).
 
-    The tagged stream is persisted once (DISK_ONLY: at this width the
-    columnar heap cache would evict under an 8g pool and silently
-    recompute the whole UDF — disk is tmpfs-backed and eviction-free) and
-    split by tag; at 100 TB the transcript scan is the single largest
-    input and every stage that can share it does. Without ``use_model``
-    falls back to the pure window-operator path."""
-    from pyspark import StorageLevel
-
-    chunks = chunk_turns(transcripts, config)
+    The tagged stream is materialized once (parquet checkpoint by default
+    — see _materialize) and split by tag; at 100 TB the transcript scan
+    is the single largest input and every stage that can share it does.
+    Without ``use_model`` falls back to the pure window-operator path."""
     if not use_model:
+        chunks = chunk_turns(transcripts, config)
         raw = extract_mentions_regex(chunks, config)
         resolved = resolve_conflicts(raw)
         merged = merge_cross_source(resolved)
         return with_entity_surface_id(merged), None, None
 
-    fused = extract_all_fused(
-        chunks, client_factory, config, gen_triples, emit_verbs
-    ).persist(StorageLevel.DISK_ONLY)
+    if config.fused_exec == "stream":
+        from ..operators.extract_stream import chunk_stream, extract_all_fused_stream
+
+        fused = extract_all_fused_stream(
+            chunk_stream(transcripts, config), client_factory, config,
+            gen_triples, emit_verbs,
+        )
+    else:
+        fused = extract_all_fused(
+            chunk_turns(transcripts, config), client_factory, config,
+            gen_triples, emit_verbs,
+        )
+    fused = _materialize(fused, config)
     mentions = fused.where(F.col("kind") == "mention").select(*_MENTION_COLS)
     spans = fused.where(F.col("kind") == "verb").select(
         "conv_id", "turn_idx",
@@ -138,13 +186,14 @@ def run_pipeline(
         # verb rows only matter when the operator-path T1 must run (coref)
         emit_verbs=not local_triples_ok,
     )
-    # reuse the mention set across linking + triple producers. DISK_ONLY:
-    # the columnar heap cache evicts at this size under the sandbox pool
-    # and silently recomputes; tmpfs-backed disk cache is eviction-free
-    # (cluster analog: executor local NVMe).
-    from pyspark import StorageLevel
+    # mention reads hit the materialized fused checkpoint (column-pruned
+    # parquet scans). Only the no-model operator path, which has no
+    # checkpoint, still needs a cache to avoid recomputing extraction
+    # per consumer.
+    if not use_model:
+        from pyspark import StorageLevel
 
-    mentions = mentions.persist(StorageLevel.DISK_ONLY)
+        mentions = mentions.persist(StorageLevel.DISK_ONLY)
 
     entities, surface_map = link_entities(mentions, config)
     # surface_map feeds BOTH sides of T6's existence joins (subj + obj) and

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Micro-probe: fused-extract stage wall vs (cpus, shuffle partitions).
+
+Usage: python scripts/probe_extract.py <cpus> <shuffle_partitions> [persist]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    parts = int(sys.argv[2])
+    do_persist = len(sys.argv) > 3 and sys.argv[3] == "persist"
+    input_path = os.path.join(REPO, ".scaling_input", "transcripts.parquet")
+
+    from pyspark import StorageLevel
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+    from entity_extraction_service_spark.plans.pipeline import _extract_fused
+    from entity_extraction_service_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"probe-{cpus}-{parts}",
+        master=f"local[{cpus}]",
+        extra={"spark.sql.shuffle.partitions": str(parts)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    transcripts = spark.read.parquet(input_path)
+    t0 = time.perf_counter()
+    mentions, _, _ = _extract_fused(
+        transcripts, DEFAULT_CONFIG, True, None, gen_triples=True, emit_verbs=False
+    )
+    if sys.argv[3:4] == ["parquet"]:
+        import shutil
+
+        ckpt = "/dev/shm/probe_ckpt.parquet"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        mentions.write.mode("overwrite").parquet(ckpt)
+        t_write = time.perf_counter() - t0
+        mentions = spark.read.parquet(ckpt)
+        n = mentions.count()
+        wall = time.perf_counter() - t0
+        print(json.dumps({"cpus": cpus, "parts": parts, "mode": "parquet",
+                          "write_wall": round(t_write, 2),
+                          "wall": round(wall, 2), "mentions": n}))
+        spark.stop()
+        return
+    if do_persist:
+        mentions = mentions.persist(StorageLevel.DISK_ONLY)
+    n = mentions.count()
+    wall = time.perf_counter() - t0
+    print(json.dumps({"cpus": cpus, "parts": parts, "persist": do_persist,
+                      "wall": round(wall, 2), "mentions": n}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

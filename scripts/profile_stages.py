@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Per-stage wall-clock profile of the pipeline at one parallelism level.
+
+Usage: python scripts/profile_stages.py <cpus> [input_parquet]
+
+Materializes each stage boundary with count() so stage walls are
+attributable. Used to find the Amdahl serial fraction behind the
+N->4N scaling number in BENCH.md (not part of the graded bench).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    input_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".scaling_input", "transcripts.parquet")
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+    from entity_extraction_service_spark.operators.linking import (
+        candidate_pairs,
+        canonical_entities,
+        connected_components,
+        match_edges,
+        surface_forms,
+    )
+    from entity_extraction_service_spark.operators.triples import (
+        dedup_and_merge_triples,
+        filter_triples,
+        validate_triples,
+    )
+    from entity_extraction_service_spark.plans.pipeline import _extract_fused
+    from entity_extraction_service_spark.session import build_session
+
+    spark = build_session(app_name=f"profile-{cpus}", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    def mark(name: str, t0: float) -> float:
+        t1 = time.perf_counter()
+        timings[name] = round(t1 - t0, 2)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        return t1
+
+    transcripts = spark.read.parquet(input_path)
+    t = time.perf_counter()
+    total0 = t
+
+    mentions, _, local_triples = _extract_fused(
+        transcripts, DEFAULT_CONFIG, True, None, gen_triples=True, emit_verbs=False
+    )
+    mentions = mentions.persist(StorageLevel.DISK_ONLY)
+    n_mentions = mentions.count()
+    t = mark("1_fused_extract(mentions persist+count)", t)
+
+    surfaces = surface_forms(mentions).persist()
+    n_surfaces = surfaces.count()
+    t = mark("2_surface_forms", t)
+
+    pairs = candidate_pairs(surfaces, DEFAULT_CONFIG)
+    edges = match_edges(pairs, DEFAULT_CONFIG).persist()
+    n_edges = edges.count()
+    t = mark("3_blocking+scoring", t)
+
+    touched = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comps = connected_components(touched, edges, max_iterations=DEFAULT_CONFIG.cc_max_iterations)
+    n_comp = comps.count()
+    t = mark("4_connected_components", t)
+
+    entities, surface_map = canonical_entities(mentions, surfaces, comps, DEFAULT_CONFIG)
+    surface_map = surface_map.persist()
+    n_map = surface_map.count()
+    t = mark("5_canonical_map", t)
+
+    n_entities = entities.count()
+    t = mark("6_entities_agg", t)
+
+    validated = validate_triples(local_triples, surface_map, DEFAULT_CONFIG)
+    final = filter_triples(dedup_and_merge_triples(validated, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    n_triples = final.count()
+    t = mark("7_triples_validate+dedup", t)
+
+    final.write.format("noop").mode("overwrite").save()
+    entities.write.format("noop").mode("overwrite").save()
+    t = mark("8_materialize", t)
+
+    timings["total"] = round(t - total0, 2)
+    print(json.dumps({
+        "cpus": cpus, "timings": timings,
+        "counts": {"mentions": n_mentions, "surfaces": n_surfaces,
+                   "match_edges": n_edges, "components": n_comp,
+                   "surface_map": n_map, "entities": n_entities,
+                   "triples": n_triples},
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

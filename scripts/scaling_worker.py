@@ -28,7 +28,15 @@ def main() -> None:
     from entity_extraction_service_spark.plans.pipeline import run_pipeline
     from entity_extraction_service_spark.session import build_session
 
-    spark = build_session(app_name=f"scaling-{cpus}", master=f"local[{cpus}]")
+    # shuffle partitions fixed at BOTH levels (identical configs per the
+    # north-rule evidence protocol): 256 gives >=8 task waves at local[32]
+    # and 32 at local[8] — fine-grained enough that stragglers don't bind
+    # either level.
+    spark = build_session(
+        app_name=f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        extra={"spark.sql.shuffle.partitions": "256"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     transcripts = spark.read.parquet(input_path)

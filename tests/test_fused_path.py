@@ -57,6 +57,51 @@ def test_fused_triples_equal_operator_path(spark, corpus):
     _sym_equal(local_triples, operator_t, _TRIPLE_COLS)
 
 
+def test_stream_exec_equals_chunkrow_exec(spark, corpus):
+    """The sorted-partition stateful scan (fused_exec='stream') must be
+    row-identical to the chunk-row scan (fused_exec='chunkrows') — same
+    kernel, different dataflow (extract_stream.py docstring)."""
+    from dataclasses import replace
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+
+    transcripts, _ = corpus
+    cfg_stream = replace(DEFAULT_CONFIG, fused_exec="stream", materialize="none")
+    cfg_chunk = replace(DEFAULT_CONFIG, fused_exec="chunkrows", materialize="none")
+
+    m_s, _, t_s = _extract_fused(transcripts, cfg_stream, gen_triples=True)
+    m_c, _, t_c = _extract_fused(transcripts, cfg_chunk, gen_triples=True)
+    assert m_s.count() == m_c.count()
+    _sym_equal(m_s, m_c, _MENTION_COLS)
+    _sym_equal(t_s, t_c, _TRIPLE_COLS)
+
+
+def test_stream_exec_carries_state_across_tiny_batches(spark, corpus):
+    """Force 8-row Arrow batches so conversations and chunks straddle
+    batch boundaries — the carried-state path must still produce
+    identical rows."""
+    from dataclasses import replace
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+    from entity_extraction_service_spark.operators.extract_stream import (
+        chunk_stream,
+        extract_all_fused_stream,
+    )
+
+    transcripts, _ = corpus
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+        tiny = extract_all_fused_stream(chunk_stream(transcripts))
+        cfg = replace(DEFAULT_CONFIG, fused_exec="chunkrows", materialize="none")
+        m_c, _, _ = _extract_fused(transcripts, cfg, gen_triples=True)
+        tiny_m = tiny.where(F.col("kind") == "mention").select(_MENTION_COLS)
+        assert tiny_m.count() == m_c.count()
+        _sym_equal(tiny_m, m_c, _MENTION_COLS)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_fused_verb_spans_nonempty(spark, corpus):
     transcripts, _ = corpus
     _, spans, _ = _extract_fused(transcripts, gen_triples=True)
