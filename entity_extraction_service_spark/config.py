@@ -39,6 +39,10 @@ class PipelineConfig:
     blocking_max_block_size: int = 1_000   # cap pairs per blocking key (hot-key guard)
     hot_key_salt_buckets: int = 16         # salting for skewed blocking keys
     cc_max_iterations: int = 20            # connected components fixpoint bound
+    # surface->canonical map is |distinct surfaces| rows — broadcast it into
+    # the T6 existence joins (two shuffles of the full triple stream saved);
+    # disable when the surface vocabulary exceeds broadcast size
+    broadcast_canonical_map: bool = True
 
     # --- triples (T1/T3/T5/T6/T9) ---
     proximity_window: int = 100            # relationship_extractor.py:54

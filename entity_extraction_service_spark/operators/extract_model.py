@@ -47,6 +47,20 @@ class BatchedExtractorClient(Protocol):
     def generate_batch(self, prompts: list[str], payloads: list[list[dict]]) -> list[str]: ...
 
 
+# Worker-process-global memo store. Executor Python workers are reused
+# across tasks (spark.python.worker.reuse), but UDF closures — and any
+# caches they hold — are deserialized fresh PER TASK. Keying the memos
+# here by pipeline config makes hit rates a property of the worker, not
+# of the partition count (measured: 256 tasks with per-task caches ran
+# 1.5x slower than 32 tasks on the same data purely from re-warming).
+# All memoized functions are pure, so sharing is semantics-free.
+_WORKER_MEMOS: dict = {}
+
+
+def _worker_memo(cfg: PipelineConfig, kind: str) -> dict:
+    return _WORKER_MEMOS.setdefault((cfg, kind), {})
+
+
 class RuleBackedClient:
     """Deterministic sandbox model: runs the pattern table over the raw
     turns (passed alongside the prompt as structured payload so the stub
@@ -59,7 +73,7 @@ class RuleBackedClient:
     def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
         self._patterns = build_pattern_table(config)
         self._confidence = config.model_confidence
-        self._memo: dict[str, list[tuple]] = {}
+        self._memo: dict[str, list[tuple]] = _worker_memo(config, "client_text")
 
     def _matches(self, text: str) -> list[tuple]:
         got = self._memo.get(text)
@@ -280,8 +294,17 @@ class _FusedKernel:
         )
         self._gen_triples = gen_triples
         self._emit_verbs = emit_verbs
-        self._text_memo: dict[str, tuple[list[tuple], list[tuple]]] = {}
-        self._norm_memo: dict[tuple[str, str], tuple[str, str, str]] = {}
+        self._config = config
+        # bound lazily on the worker (first process() call): the kernel is
+        # built on the driver and pickled per task, but the memos must be
+        # the worker-global ones (_WORKER_MEMOS), not per-task copies
+        self._text_memo: dict[str, tuple[list[tuple], list[tuple]]] | None = None
+        self._norm_memo: dict[tuple[str, str], tuple[str, str, str]] | None = None
+
+    def _ensure_memos(self) -> None:
+        if self._text_memo is None:
+            self._text_memo = _worker_memo(self._config, "kernel_text")
+            self._norm_memo = _worker_memo(self._config, "kernel_norm")
 
     def make_client(self) -> BatchedExtractorClient:
         return self._factory()
@@ -325,6 +348,7 @@ class _FusedKernel:
         entry is {turn_idx, role, text, turn_offset}. ONE generate_batch
         call for the whole list (the E8 seam), then the turn-local kernel.
         Returns FUSED_SCHEMA rows."""
+        self._ensure_memos()
         from .local_resolve import (
             pattern_triples_local,
             proximity_triples_local,

@@ -75,15 +75,14 @@ def candidate_pairs(
     metrics) — at 100 TB a pathological block ("the court") would
     otherwise create a quadratic task.
     """
-    block_sizes = surfaces.groupBy("entity_type", "block_key").agg(
-        F.count("*").alias("block_n")
-    )
-    # no broadcast hint: block_sizes cardinality tracks |distinct surfaces|,
-    # which can be large at 100 TB — AQE picks broadcast when it fits
-    s = surfaces.join(
-        block_sizes.where(F.col("block_n") <= config.blocking_max_block_size),
-        ["entity_type", "block_key"],
-    )
+    # block sizes via a window on the SAME key the self-join shuffles on —
+    # one co-partitioned exchange instead of a groupBy + join back (the
+    # exchange is reused by the join below; matters when |distinct
+    # surfaces| is large at 100 TB)
+    w_block = Window.partitionBy("entity_type", "block_key")
+    s = surfaces.withColumn("block_n", F.count("*").over(w_block)).where(
+        F.col("block_n") <= config.blocking_max_block_size
+    ).drop("block_n")
     a = s.alias("a")
     b = s.alias("b")
     pairs = a.join(
@@ -126,15 +125,58 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "id",
     max_iterations: int = 20,
+    driver_side_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Min-label propagation CC over an undirected edge list.
+    """Connected components over an undirected edge list -> (id, component).
 
-    Each iteration: join labels to the symmetric edge list, take the min
-    label seen across self + neighbors. Converges in O(diameter)
-    iterations — variant families have diameter <= 3. localCheckpoint per
-    iteration truncates lineage so plans don't grow exponentially.
-    Returns (id, component).
+    Two physical strategies behind one semantic:
+
+    - **small graphs** (|edges| <= ``driver_side_threshold``): collect the
+      edge list and run union-find on the driver. The match-edge graph is
+      already aggregated to *distinct surface forms*, so even a corpus
+      with billions of mentions typically yields only ~1e5-1e7 edges;
+      the distributed loop would spend O(iterations x jobs) of pure
+      scheduling latency on data that fits in one task. min-label
+      components == union-find components (same equivalence closure),
+      and the returned label is the component's min id in both paths.
+    - **large graphs**: iterative min-label propagation; each iteration =
+      one join + one agg, localCheckpoint to cut lineage. Converges in
+      O(diameter) iterations — variant families have diameter <= 3.
     """
+    n_edges = edges.limit(driver_side_threshold + 1).count()
+    if n_edges <= driver_side_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        seen: set = set()
+        pairs = edges.select("src", "dst").collect()
+        for row in pairs:
+            s, d = row["src"], row["dst"]
+            seen.add(s)
+            seen.add(d)
+            a, b = find(s), find(d)
+            if a != b:
+                # smaller root stays root, so a tree's final root is its
+                # component's min id — identical labels to min-propagation
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        labels = [(x, find(x)) for x in seen]
+        spark = edges.sparkSession
+        if not labels:
+            return vertices.select(
+                F.col(id_col).alias(id_col), F.col(id_col).alias("component")
+            ).where(F.lit(False))
+        comp = spark.createDataFrame(labels, [id_col, "component"])
+        # vertices not touched by any edge keep their own id (caller
+        # coalesces); restrict to requested vertex set for parity
+        return vertices.select(F.col(id_col)).join(comp, id_col, "inner")
     # localCheckpoint (NOT persist): iterative self-referential plans must
     # have their lineage truncated each round or Catalyst re-analyzes an
     # exponentially nesting tree every iteration — measured 7x slowdown
@@ -203,8 +245,15 @@ def canonical_entities(
     surface_to_canonical = labeled.join(reps, "component").select("surface_id", "entity_id")
 
     # occurrence-weighted aggregate over the mention set (L6,
-    # entity_registry.py:201-206: sum(conf*n)/sum(n))
-    m = mentions.join(surface_to_canonical, "surface_id")
+    # entity_registry.py:201-206: sum(conf*n)/sum(n)). The map side is
+    # |distinct surfaces| — broadcast so the 26M+ mention stream is not
+    # shuffled just to learn its canonical ids.
+    map_side = (
+        F.broadcast(surface_to_canonical)
+        if config.broadcast_canonical_map
+        else surface_to_canonical
+    )
+    m = mentions.join(map_side, "surface_id")
     agg = m.groupBy("entity_id").agg(
         (F.sum(F.col("confidence")) / F.count("*")).alias("confidence"),
         F.array_sort(F.collect_set("text")).alias("variants"),

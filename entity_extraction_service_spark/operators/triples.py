@@ -377,6 +377,12 @@ def validate_triples(
     The two inner joins against the canonical map are the existence check
     (a dangling surface id simply doesn't join); model triples below the
     0.85 floor drop; self-loops (post-canonicalization) drop.
+
+    The map side carries a broadcast hint by default: its cardinality is
+    |distinct surface forms| — orders of magnitude below the triple
+    stream, so broadcasting avoids two full shuffles of the triples. Set
+    ``config.broadcast_canonical_map=False`` when the surface vocabulary
+    itself is beyond broadcast size (then AQE decides).
     """
     s_map = surface_to_canonical.withColumnRenamed("surface_id", "subj_id").withColumnRenamed(
         "entity_id", "subj_entity"
@@ -384,6 +390,8 @@ def validate_triples(
     o_map = surface_to_canonical.withColumnRenamed("surface_id", "obj_id").withColumnRenamed(
         "entity_id", "obj_entity"
     )
+    if config.broadcast_canonical_map:
+        s_map, o_map = F.broadcast(s_map), F.broadcast(o_map)
     t = (
         triples.join(s_map, "subj_id")
         .join(o_map, "obj_id")

@@ -59,9 +59,10 @@ def main() -> None:
     mentions, _, local_triples = _extract_fused(
         transcripts, DEFAULT_CONFIG, True, None, gen_triples=True, emit_verbs=False
     )
-    mentions = mentions.persist(StorageLevel.DISK_ONLY)
+    # mentions/triples are projections of the parquet checkpoint written
+    # inside _extract_fused (materialize="parquet") — no extra persist
     n_mentions = mentions.count()
-    t = mark("1_fused_extract(mentions persist+count)", t)
+    t = mark("1_fused_extract(ckpt+count)", t)
 
     surfaces = surface_forms(mentions).persist()
     n_surfaces = surfaces.count()
@@ -89,8 +90,12 @@ def main() -> None:
     n_entities = entities.count()
     t = mark("6_entities_agg", t)
 
+    n_raw_triples = local_triples.count()
+    t = mark("7a_raw_triples_count", t)
+
     validated = validate_triples(local_triples, surface_map, DEFAULT_CONFIG)
     final = filter_triples(dedup_and_merge_triples(validated, DEFAULT_CONFIG), DEFAULT_CONFIG)
+    final = final.persist()
     n_triples = final.count()
     t = mark("7_triples_validate+dedup", t)
 
@@ -102,7 +107,7 @@ def main() -> None:
     print(json.dumps({
         "cpus": cpus, "timings": timings,
         "counts": {"mentions": n_mentions, "surfaces": n_surfaces,
-                   "match_edges": n_edges, "components": n_comp,
+                   "match_edges": n_edges, "components": n_comp, "raw_triples": n_raw_triples,
                    "surface_map": n_map, "entities": n_entities,
                    "triples": n_triples},
     }))
