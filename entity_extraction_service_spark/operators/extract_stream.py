@@ -69,6 +69,7 @@ def extract_all_fused_stream(
     config: PipelineConfig = DEFAULT_CONFIG,
     gen_triples: bool = True,
     emit_verbs: bool = True,
+    aggregate_triples: bool = True,
 ) -> DataFrame:
     """Stateful single-pass fused extraction over the sorted turn stream.
 
@@ -76,14 +77,20 @@ def extract_all_fused_stream(
     per incoming Arrow batch (one ``generate_batch`` client call per
     flush — the E8 batched seam, same as the chunk-row path); the open
     chunk at a batch boundary carries over, and the open conversation's
-    running offset carries with it.
+    running offset carries with it. With ``aggregate_triples`` the raw
+    turn-local triples fold into a partition-level exact partial
+    aggregate (_TripleAccumulator) before leaving the scan.
     """
+    from .extract_model import _TripleAccumulator
+
     kernel = _FusedKernel(client_factory, config, gen_triples, emit_verbs)
     k = config.turns_per_chunk
     cols = [f.name for f in FUSED_SCHEMA.fields]
+    do_agg = aggregate_triples and gen_triples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = kernel.make_client()
+        acc = _TripleAccumulator() if do_agg else None
         # carried state: the open chunk + its conversation's running offset
         cur_key: tuple[str, int] | None = None  # (conv_id, chunk_idx)
         cur_turns: list[dict] = []
@@ -115,11 +122,16 @@ def extract_all_fused_stream(
                 )
                 cur_offset += len(text or "") + 1
             if ready:
-                yield pd.DataFrame(kernel.process(ready, client), columns=cols)
+                rows = kernel.process(ready, client)
+                if acc is not None:
+                    rows = acc.add_rows(rows)
+                yield pd.DataFrame(rows, columns=cols)
+        tail_rows: list[tuple] = []
         if cur_key is not None:
-            yield pd.DataFrame(
-                kernel.process([(cur_key[0], cur_key[1], cur_turns)], client),
-                columns=cols,
-            )
+            tail_rows = kernel.process([(cur_key[0], cur_key[1], cur_turns)], client)
+        if acc is not None:
+            tail_rows = acc.add_rows(tail_rows) + acc.flush()
+        if tail_rows:
+            yield pd.DataFrame(tail_rows, columns=cols)
 
     return sorted_turns.mapInPandas(run, schema=FUSED_SCHEMA)

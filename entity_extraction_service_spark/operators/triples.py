@@ -409,21 +409,36 @@ def validate_triples(
 def dedup_and_merge_triples(
     triples: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """T7 + T8 — one row per (subj, pred, obj) with cross-method boost."""
+    """T7 + T8 — one row per (subj, pred, obj) with cross-method boost.
+
+    Accepts raw triple rows AND/OR partition-local partials (rows carrying
+    ``conf_sum``/``support`` from extract_model._TripleAccumulator): the
+    aggregate is associative — sums of sums, count as sum of supports, and
+    the representative row picked under the total order (method priority,
+    confidence, conv_id, turn_idx, evidence), which commutes with the
+    accumulator's per-(key, method, partition) max under the same order.
+    """
     prio = F.lit(0)
     for m, p in TRIPLE_METHOD_PRIORITY.items():
         prio = F.when(F.col("method") == m, F.lit(p)).otherwise(prio)
     ranked = triples.withColumn("_prio", prio)
+    if "conf_sum" in triples.columns:
+        ranked = ranked.withColumn(
+            "conf_sum", F.coalesce("conf_sum", "confidence")
+        ).withColumn("support", F.coalesce("support", F.lit(1)).cast("long"))
+    else:
+        ranked = ranked.withColumn("conf_sum", F.col("confidence")).withColumn(
+            "support", F.lit(1).cast("long")
+        )
     best = F.max_by(
         F.struct("confidence", "evidence", "conv_id", "turn_idx", "method"),
-        F.struct(F.col("_prio"), F.col("confidence")),
+        F.struct("_prio", "confidence", "conv_id", "turn_idx", "evidence"),
     ).alias("best")
     agg = ranked.groupBy("subj_id", "pred", "obj_id").agg(
         best,
-        F.sum("confidence").alias("_conf_sum"),
-        F.max("confidence").alias("_conf_max"),
+        F.sum("conf_sum").alias("_conf_sum"),
         F.array_sort(F.collect_set("method")).alias("methods"),
-        F.count("*").alias("support"),
+        F.sum("support").alias("support"),
     )
     boosted = F.least(
         F.lit(1.0),

@@ -59,7 +59,12 @@ def _cleanup_ckpt_dirs() -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
-def _materialize(df: DataFrame, config: PipelineConfig, tag: str = "fused") -> DataFrame:
+def _materialize(
+    df: DataFrame,
+    config: PipelineConfig,
+    tag: str = "fused",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
     """Cut the fused stream's lineage for its multiple consumers.
 
     "parquet": write once to a columnar checkpoint under spark.local.dir
@@ -87,7 +92,12 @@ def _materialize(df: DataFrame, config: PipelineConfig, tag: str = "fused") -> D
     if base not in _CKPT_DIRS:
         _CKPT_DIRS.append(base)
     path = os.path.join(base, f"{tag}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(path)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        # hive-style partition dirs (e.g. kind=mention/) so each consumer's
+        # filter prunes whole files instead of decoding the mixed stream
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
     return spark.read.parquet(path)
 
 
@@ -154,7 +164,7 @@ def _extract_fused(
             chunk_turns(transcripts, config), client_factory, config,
             gen_triples, emit_verbs,
         )
-    fused = _materialize(fused, config)
+    fused = _materialize(fused, config, partition_cols=["kind"])
     mentions = fused.where(F.col("kind") == "mention").select(*_MENTION_COLS)
     spans = fused.where(F.col("kind") == "verb").select(
         "conv_id", "turn_idx",
@@ -164,7 +174,12 @@ def _extract_fused(
     )
     triples = None
     if gen_triples:
-        triples = fused.where(F.col("kind") == "triple").select(*_TRIPLE_COLS)
+        # conf_sum/support are the partition-local T7/T8 partials
+        # (extract_model._TripleAccumulator); dedup_and_merge_triples
+        # recombines them exactly
+        triples = fused.where(F.col("kind") == "triple").select(
+            *_TRIPLE_COLS, "conf_sum", "support"
+        )
     return mentions, spans, triples
 
 
@@ -215,8 +230,11 @@ def run_pipeline(
             t1 = pattern_triples(transcripts, triple_mentions, config)
         raw_triples = t1.unionByName(proximity_triples(triple_mentions, config))
     if use_model_triples:
+        # model triples are raw rows (no partial-agg columns) — they union
+        # with the fused partials; dedup normalizes missing conf_sum/support
         raw_triples = raw_triples.unionByName(
-            model_triples(triple_mentions, triple_client_factory, config)
+            model_triples(triple_mentions, triple_client_factory, config),
+            allowMissingColumns=True,
         )
     validated = validate_triples(raw_triples, surface_map, config)
     edges = filter_triples(dedup_and_merge_triples(validated, config), config)

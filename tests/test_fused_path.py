@@ -46,6 +46,13 @@ def test_fused_mentions_equal_operator_path(spark, corpus):
 
 
 def test_fused_triples_equal_operator_path(spark, corpus):
+    """The fused scan emits partition-local T7/T8 partials; after the
+    global dedup_and_merge they must equal the operator path's raw rows
+    run through the same aggregation (associativity check)."""
+    from entity_extraction_service_spark.operators.triples import (
+        dedup_and_merge_triples,
+    )
+
     transcripts, _ = corpus
     mentions, spans, local_triples = _extract_fused(transcripts, gen_triples=True)
     mentions = mentions.persist()
@@ -53,8 +60,14 @@ def test_fused_triples_equal_operator_path(spark, corpus):
     operator_t = pattern_triples_from_spans(spans, mentions).unionByName(
         proximity_triples(mentions)
     )
-    assert local_triples.count() == operator_t.count()
-    _sym_equal(local_triples, operator_t, _TRIPLE_COLS)
+    fused_agg = dedup_and_merge_triples(local_triples)
+    operator_agg = dedup_and_merge_triples(operator_t)
+    agg_cols = [
+        "subj_id", "pred", "obj_id", "confidence", "conv_id", "turn_idx",
+        "evidence", "method", "methods", "support",
+    ]
+    assert fused_agg.count() == operator_agg.count()
+    _sym_equal(fused_agg, operator_agg, agg_cols)
 
 
 def test_stream_exec_equals_chunkrow_exec(spark, corpus):
@@ -69,11 +82,23 @@ def test_stream_exec_equals_chunkrow_exec(spark, corpus):
     cfg_stream = replace(DEFAULT_CONFIG, fused_exec="stream", materialize="none")
     cfg_chunk = replace(DEFAULT_CONFIG, fused_exec="chunkrows", materialize="none")
 
+    from entity_extraction_service_spark.operators.triples import (
+        dedup_and_merge_triples,
+    )
+
     m_s, _, t_s = _extract_fused(transcripts, cfg_stream, gen_triples=True)
     m_c, _, t_c = _extract_fused(transcripts, cfg_chunk, gen_triples=True)
     assert m_s.count() == m_c.count()
     _sym_equal(m_s, m_c, _MENTION_COLS)
-    _sym_equal(t_s, t_c, _TRIPLE_COLS)
+    # triple partials depend on physical partitioning; the recombined
+    # aggregate must not
+    agg_cols = [
+        "subj_id", "pred", "obj_id", "confidence", "conv_id", "turn_idx",
+        "evidence", "method", "methods", "support",
+    ]
+    _sym_equal(
+        dedup_and_merge_triples(t_s), dedup_and_merge_triples(t_c), agg_cols
+    )
 
 
 def test_stream_exec_carries_state_across_tiny_batches(spark, corpus):

@@ -1,0 +1,122 @@
+"""Pure-Python tests for the triple partial aggregation
+(extract_model._TripleAccumulator) — no Spark session needed.
+
+The Spark-level associativity check (partials -> dedup_and_merge equals
+raw -> dedup_and_merge) lives in tests/test_fused_path.py; here we pin
+the accumulator's own semantics: exact sums, total-order best pick,
+pass-through of non-triple rows, and exactness under early cap flushes.
+"""
+
+import random
+
+from entity_extraction_service_spark.operators.extract_model import (
+    _TripleAccumulator,
+)
+
+
+def _triple(conv, turn, conf, method, subj, pred, obj, ev):
+    return ("triple", conv, turn, 0, None, None, None, None,
+            -1, -1, -1, conf, method, None, subj, pred, obj, ev, None, None)
+
+
+def _collect(rows, cap=None):
+    acc = _TripleAccumulator(**({"cap": cap} if cap else {}))
+    passed = acc.add_rows(rows)
+    return passed, acc.flush()
+
+
+def _global_combine(partial_rows):
+    """Reference combine over partial rows: what dedup_and_merge_triples
+    does per (subj, pred, obj, method) group, in plain Python."""
+    out = {}
+    for r in partial_rows:
+        key = (r[14], r[15], r[16], r[12])
+        best = (r[11], r[1], r[2], r[17])
+        cur = out.get(key)
+        if cur is None:
+            out[key] = [r[18], r[19], best]
+        else:
+            cur[0] += r[18]
+            cur[1] += r[19]
+            if best > cur[2]:
+                cur[2] = best
+    return {k: (round(v[0], 9), v[1], v[2]) for k, v in out.items()}
+
+
+def test_pass_through_and_exact_sums():
+    rows = [
+        _triple("c1", 1, 0.9, "proximity", "s", "p", "o", "e1"),
+        _triple("c1", 2, 0.8, "proximity", "s", "p", "o", "e0"),
+        ("mention",) + ("c1", 1, 0) + (None,) * 16,
+        _triple("c2", 3, 0.7, "pattern", "s", "p", "o", "e2"),
+    ]
+    passed, flushed = _collect(rows)
+    assert [r[0] for r in passed] == ["mention"]
+    assert len(flushed) == 2  # per-method keys
+    prox = next(r for r in flushed if r[12] == "proximity")
+    assert abs(prox[18] - 1.7) < 1e-9
+    assert prox[19] == 2
+    # best pick: higher conf wins, evidence of that row kept
+    assert prox[11] == 0.9 and prox[17] == "e1"
+
+
+def test_best_tiebreak_total_order():
+    # equal confidence: (conf, conv_id, turn_idx, evidence) lexicographic max
+    rows = [
+        _triple("c1", 5, 0.9, "proximity", "s", "p", "o", "aa"),
+        _triple("c1", 5, 0.9, "proximity", "s", "p", "o", "zz"),
+        _triple("c0", 9, 0.9, "proximity", "s", "p", "o", "mm"),
+    ]
+    _, flushed = _collect(rows)
+    (row,) = flushed
+    assert (row[1], row[2], row[17]) == ("c1", 5, "zz")
+
+
+def test_cap_flush_is_exact():
+    """Early flushes (cap pressure) must not change the recombined
+    global aggregate — the whole point of partials being associative."""
+    rng = random.Random(7)
+    keys = [(f"s{i}", "p", f"o{i%5}") for i in range(20)]
+    raw = [
+        _triple(
+            f"c{rng.randrange(4)}", rng.randrange(100),
+            round(rng.uniform(0.5, 1.0), 3),
+            rng.choice(["proximity", "pattern"]),
+            *rng.choice(keys),
+            f"e{rng.randrange(50)}",
+        )
+        for _ in range(500)
+    ]
+
+    # no cap: one partial per key
+    _, big = _collect(list(raw))
+    # tiny cap: many partial generations interleaved
+    acc = _TripleAccumulator(cap=8)
+    partials = []
+    for r in raw:
+        partials.extend(acc.add_rows([r]))
+    partials.extend(acc.flush())
+    assert all(r[0] == "triple" for r in partials)
+    assert len(partials) >= len(big)
+
+    assert _global_combine(big) == _global_combine(partials)
+
+
+def test_raw_equivalence_via_unit_partials():
+    """A raw row is the unit partial (conf_sum=conf, support=1):
+    aggregating raws directly equals aggregating their partials."""
+    rng = random.Random(13)
+    raw = [
+        _triple(
+            f"c{rng.randrange(3)}", rng.randrange(10),
+            round(rng.uniform(0.5, 1.0), 3),
+            "proximity", f"s{rng.randrange(6)}", "p", "o",
+            f"e{rng.randrange(9)}",
+        )
+        for _ in range(200)
+    ]
+    unit_partials = [
+        r[:18] + (r[11], 1) for r in raw  # conf_sum=confidence, support=1
+    ]
+    _, agged = _collect(list(raw))
+    assert _global_combine(agged) == _global_combine(unit_partials)
