@@ -753,6 +753,46 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_pred
             FROM h
         """,
+        "minhash_lsh_near_dups": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct(
+                           string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+                FROM documents
+            ), sig AS (
+                SELECT doc_id,
+                       min(md5(concat_ws('|', tok, '0'))) AS h0,
+                       min(md5(concat_ws('|', tok, '1'))) AS h1,
+                       min(md5(concat_ws('|', tok, '2'))) AS h2,
+                       min(md5(concat_ws('|', tok, '3'))) AS h3,
+                       min(md5(concat_ws('|', tok, '4'))) AS h4,
+                       min(md5(concat_ws('|', tok, '5'))) AS h5,
+                       min(md5(concat_ws('|', tok, '6'))) AS h6,
+                       min(md5(concat_ws('|', tok, '7'))) AS h7
+                FROM toks GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1)) AS band_hash FROM sig
+                UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+            ), t AS (
+                SELECT doc_id, list_distinct(
+                           string_split_regex(lower(trim(text)), '\\s+')) AS toks
+                FROM documents
+            )
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                             / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jaccard
+                FROM cand
+                JOIN t ta ON ta.doc_id = id_a
+                JOIN t tb ON tb.doc_id = id_b
+            ) WHERE jaccard >= 0.5
+        """,
         "embedding_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
