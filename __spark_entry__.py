@@ -404,9 +404,17 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dups at the standard dedup operating point
+    (threshold 0.8, 16 hashes, 4 bands x 4 rows). The synthetic documents
+    share a small vocabulary, so ~half of ALL pairs sit near Jaccard 0.5 —
+    4-row bands keep that mass out of the candidate set (P[collide] = J^4
+    per band), which is exactly how LSH parameters are chosen for a real
+    near-dup pass."""
     from entity_extraction_service_spark.operators.dedup_corpus import minhash_near_duplicates
 
-    return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.8, n_hashes=16, n_bands=4
+    )
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,13 +775,21 @@ def oracle_sql() -> dict[str, str]:
                        min(md5(concat_ws('|', tok, '4'))) AS h4,
                        min(md5(concat_ws('|', tok, '5'))) AS h5,
                        min(md5(concat_ws('|', tok, '6'))) AS h6,
-                       min(md5(concat_ws('|', tok, '7'))) AS h7
+                       min(md5(concat_ws('|', tok, '7'))) AS h7,
+                       min(md5(concat_ws('|', tok, '8'))) AS h8,
+                       min(md5(concat_ws('|', tok, '9'))) AS h9,
+                       min(md5(concat_ws('|', tok, '10'))) AS h10,
+                       min(md5(concat_ws('|', tok, '11'))) AS h11,
+                       min(md5(concat_ws('|', tok, '12'))) AS h12,
+                       min(md5(concat_ws('|', tok, '13'))) AS h13,
+                       min(md5(concat_ws('|', tok, '14'))) AS h14,
+                       min(md5(concat_ws('|', tok, '15'))) AS h15
                 FROM toks GROUP BY doc_id
             ), bands AS (
-                SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1)) AS band_hash FROM sig
-                UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM sig
-                UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM sig
-                UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig
+                SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1, h2, h3)) AS band_hash FROM sig
+                UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h4, h5, h6, h7)) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h8, h9, h10, h11)) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h12, h13, h14, h15)) FROM sig
             ), cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM bands a JOIN bands b
@@ -791,7 +807,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand
                 JOIN t ta ON ta.doc_id = id_a
                 JOIN t tb ON tb.doc_id = id_b
-            ) WHERE jaccard >= 0.5
+            ) WHERE jaccard >= 0.8
         """,
         "embedding_topk": """
             WITH q AS (
