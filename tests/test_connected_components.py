@@ -1,0 +1,78 @@
+"""Dual-strategy connected components: the driver-side union-find path
+and the distributed min-label-propagation path must produce identical
+(id, component) labelings — component label == min member id — on
+arbitrary graphs (operators/linking.py connected_components).
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.linking import connected_components
+
+
+def _random_edges(seed: int, n_vertices: int, n_edges: int) -> list[tuple[str, str]]:
+    rng = random.Random(seed)
+    return [
+        (f"v{rng.randrange(n_vertices):04d}", f"v{rng.randrange(n_vertices):04d}")
+        for _ in range(n_edges)
+    ]
+
+
+def _reference_components(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Plain union-find oracle (independent of the implementation under
+    test: no rank/min trickery, exhaustive relabel at the end)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[str, list[str]] = {}
+    for v in parent:
+        groups.setdefault(find(v), []).append(v)
+    return {v: min(vs) for vs in groups.values() for v in vs}
+
+
+def _run(spark, edges, **kwargs):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = connected_components(verts, e, **kwargs)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_driver_and_distributed_paths_agree_on_random_graphs(spark):
+    for seed, nv, ne in [(1, 40, 25), (2, 60, 80), (3, 12, 40)]:
+        edges = _random_edges(seed, nv, ne)
+        expected = _reference_components(edges)
+        driver = _run(spark, edges)  # small => driver union-find
+        dist = _run(spark, edges, driver_side_threshold=0)  # force propagation
+        assert driver == expected, f"driver path diverged (seed={seed})"
+        assert dist == expected, f"distributed path diverged (seed={seed})"
+
+
+def test_self_loops_and_duplicates(spark):
+    edges = [("a", "a"), ("a", "b"), ("b", "a"), ("a", "b"), ("c", "c")]
+    expected = {"a": "a", "b": "a", "c": "c"}
+    assert _run(spark, edges) == expected
+    assert _run(spark, edges, driver_side_threshold=0) == expected
+
+
+def test_long_chain_converges(spark):
+    # path graph: diameter >> typical variant families; exercises the
+    # iteration loop (and the driver path trivially)
+    chain = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(30)]
+    expected = {f"n{i:03d}": "n000" for i in range(31)}
+    assert _run(spark, chain) == expected
+    assert _run(spark, chain, driver_side_threshold=0, max_iterations=50) == expected
