@@ -34,7 +34,8 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from .extract_model import FUSED_SCHEMA, BatchedExtractorClient, _FusedKernel
@@ -46,21 +47,67 @@ def chunk_stream(
     num_partitions: int | None = None,
     assume_clustered: bool = False,
 ) -> DataFrame:
-    """Turn rows hash-partitioned by conv_id, sorted by (conv_id, turn_idx).
+    """Turn rows hash-partitioned by (conv_id, turn-block salt), sorted by
+    (conv_id, turn_idx) within partitions.
+
+    **Long-conversation skew (SURVEY.md §4):** hashing by conv_id alone
+    would pin a 10^6-turn conversation to ONE task. The salt column
+    ``turn_idx // long_conv_salt_turns`` splits such conversations into
+    bounded blocks spread across partitions, while every conversation
+    shorter than the salt width keeps salt 0 — identical placement to
+    unsalted hashing, no extra shuffle. The salt width is forced to a
+    multiple of ``turns_per_chunk`` so chunks never straddle blocks.
+
+    Cross-block exactness: each block's base char offset (sum of prior
+    blocks' turn lengths) is precomputed with a tiny per-block aggregate
+    (one row per ~``long_conv_salt_turns`` turns, map-side combined) and
+    joined back — blocks beyond the first exist only for conversations
+    longer than the salt width, so the join side stays small and AQE
+    broadcasts it. The stateful UDF then seeds its running offset from
+    ``base_offset`` at each block boundary, making offsets byte-identical
+    to the single-pass/window computation.
 
     ``assume_clustered=True`` skips the repartition for sources already
     bucketed by conv_id (Iceberg ``bucket(conv_id)`` + sorted data files)
-    — the zero-shuffle path; the sortWithinPartitions remains as a cheap
+    — the zero-shuffle path (the table layout, not the salt, is then the
+    skew treatment); the sortWithinPartitions remains as a cheap
     in-partition guarantee.
     """
+    k = config.turns_per_chunk
+    salt_turns = max(config.long_conv_salt_turns // k, 1) * k
     df = transcripts.select("conv_id", "turn_idx", "role", "text")
-    if not assume_clustered:
-        if num_partitions is None:
-            num_partitions = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-            )
-        df = df.repartition(num_partitions, "conv_id")
-    return df.sortWithinPartitions("conv_id", "turn_idx")
+    if assume_clustered:
+        return df.withColumn("base_offset", F.lit(0).cast("long")).sortWithinPartitions(
+            "conv_id", "turn_idx"
+        )
+
+    df = df.withColumn("_salt", (F.col("turn_idx") / salt_turns).cast("int"))
+    turn_len = F.length(F.coalesce(F.col("text"), F.lit(""))) + F.lit(1)
+    block_lens = df.groupBy("conv_id", "_salt").agg(
+        F.sum(turn_len).cast("long").alias("_block_len")
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        block_lens.withColumn(
+            "base_offset", F.coalesce(F.sum("_block_len").over(w), F.lit(0)).cast("long")
+        )
+        .where(F.col("_salt") > 0)  # block 0 always starts at 0
+        .select("conv_id", "_salt", "base_offset")
+    )
+    df = df.join(bases, ["conv_id", "_salt"], "left").withColumn(
+        "base_offset", F.coalesce("base_offset", F.lit(0)).cast("long")
+    )
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    return df.repartition(num_partitions, "conv_id", "_salt").sortWithinPartitions(
+        "conv_id", "_salt", "turn_idx"
+    )
 
 
 def extract_all_fused_stream(
@@ -91,16 +138,21 @@ def extract_all_fused_stream(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = kernel.make_client()
         acc = _TripleAccumulator() if do_agg else None
-        # carried state: the open chunk + its conversation's running offset
+        # carried state: the open chunk + the running offset of the open
+        # (conversation, salt-block) — re-seeded from base_offset at each
+        # block boundary (salted long conversations span partitions; the
+        # precomputed base keeps offsets globally exact)
         cur_key: tuple[str, int] | None = None  # (conv_id, chunk_idx)
         cur_turns: list[dict] = []
-        cur_conv: str | None = None
+        cur_block: tuple[str, int] | None = None  # (conv_id, salt)
         cur_offset = 0
 
         for pdf in batches:
             ready: list[tuple[str, int, list[dict]]] = []
-            for conv_id, turn_idx, role, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
+            salts = pdf["_salt"] if "_salt" in pdf.columns else [0] * len(pdf)
+            for conv_id, turn_idx, role, text, salt, base_offset in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"],
+                salts, pdf["base_offset"],
             ):
                 ti = int(turn_idx)
                 key = (conv_id, ti // k)
@@ -109,9 +161,10 @@ def extract_all_fused_stream(
                         ready.append((cur_key[0], cur_key[1], cur_turns))
                     cur_key = key
                     cur_turns = []
-                    if conv_id != cur_conv:
-                        cur_conv = conv_id
-                        cur_offset = 0
+                block = (conv_id, int(salt))
+                if block != cur_block:
+                    cur_block = block
+                    cur_offset = int(base_offset)
                 cur_turns.append(
                     {
                         "turn_idx": ti,

@@ -101,6 +101,29 @@ def test_stream_exec_equals_chunkrow_exec(spark, corpus):
     )
 
 
+def test_salted_long_conversations_exact(spark, corpus):
+    """Long conversations are split across partitions by the turn-block
+    salt (chunk_stream); precomputed block base offsets must keep
+    global_start byte-identical to the unsalted window computation —
+    including for the skewed 96-turn conversation, which spans 3 blocks
+    at salt width 32."""
+    from dataclasses import replace
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+
+    transcripts, _ = corpus
+    salted = replace(
+        DEFAULT_CONFIG, fused_exec="stream", materialize="none",
+        long_conv_salt_turns=32,
+    )
+    chunkrows = replace(DEFAULT_CONFIG, fused_exec="chunkrows", materialize="none")
+
+    m_s, _, _ = _extract_fused(transcripts, salted, gen_triples=False)
+    m_c, _, _ = _extract_fused(transcripts, chunkrows, gen_triples=False)
+    assert m_s.count() == m_c.count()
+    _sym_equal(m_s, m_c, _MENTION_COLS)  # includes global_start
+
+
 def test_stream_exec_carries_state_across_tiny_batches(spark, corpus):
     """Force 8-row Arrow batches so conversations and chunks straddle
     batch boundaries — the carried-state path must still produce
