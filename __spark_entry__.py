@@ -384,8 +384,15 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rows-only entries (non-SQL-expressible: pandas-UDF extraction, CC,
-# engine-native hashes, binary plumbing)
+# flagship KG outputs — oracle-checked end-to-end (VERDICT r1 item 1).
+#
+# The transcripts table is a deterministic, md5-arithmetic function of the
+# driver's documents table (sources/transcripts.transcripts_from_documents),
+# so the oracle can re-derive the corpus, re-run extraction with DuckDB
+# regex/string functions, and re-run linking + triple aggregation in SQL.
+# The derived corpus has no fuzzy surface variants, so L5 connected
+# components is the identity partition — which the entity/edge oracles
+# *verify* (a spurious CC merge would change entity_ids and fail the check).
 # ---------------------------------------------------------------------------
 
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,12 +451,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode→feature plumbing over driver-derived media; the
+    projection is hashable (scalar fingerprint, not the raw array) and the
+    md5-lattice fake feature is recomputed by the DuckDB oracle."""
     from entity_extraction_service_spark.operators.multimodal import (
         extract_features,
-        synthesize_media,
+        synthesize_media_from_docs,
     )
 
-    return extract_features(synthesize_media(spark, n=32), dim=8)
+    feats = extract_features(synthesize_media_from_docs(spark, sf_dir), dim=8)
+    return feats.select("media_id", "kind", "feature_dim", "feature_fp")
 
 
 def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,7 +469,7 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
     return r.entities.select(
-        "entity_id", "entity_text", "entity_type", "occurrence_count"
+        "entity_id", "entity_text", "entity_type", "occurrence_count", "confidence"
     )
 
 
@@ -518,8 +529,226 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Flagship KG oracle SQL (built programmatically from the same vocabulary
+# constants the engine uses — sources/transcripts.py). The SQL re-derives
+# the transcripts corpus from the documents view via the identical
+# md5-arithmetic picks, re-runs mention extraction (template positions for
+# the three fact turns; token-position scan for the document turn — the
+# driver corpora are single-space lowercase token streams, verified at
+# sf0.001/0.01/0.1), and re-runs the triple pipeline's T1+T3 → T6 → T7/T8
+# aggregation arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + "]"
+
+
+def _kg_oracle_sqls() -> dict[str, str]:
+    from entity_extraction_service_spark.sources.transcripts import (
+        CONCEPT_NAMES,
+        FIRST_NAMES,
+        LAST_NAMES,
+        ORG_NAMES,
+        TOOL_NAMES,
+    )
+
+    persons = [f"{f} {l}" for f in FIRST_NAMES for l in LAST_NAMES]
+
+    def pick(salt: int, arr: list[str]) -> str:
+        return (
+            f"list_extract({_sql_list(arr)}, CAST(('0x' || substr(md5(conv_id || ':{salt}'), 1, 8))"
+            f"::BIGINT % {len(arr)} AS INT) + 1)"
+        )
+
+    tool_in = ", ".join("'" + t + "'" for t in TOOL_NAMES)
+    # CONCEPT_NAMES are 1-3 token phrases; the doc corpora contain none
+    # (verified empirically), but detect them anyway via token n-grams so
+    # the oracle is not silently narrower than the engine's pattern table.
+    concept_1 = [c for c in CONCEPT_NAMES if len(c.split()) == 1]
+    concept_2 = [c for c in CONCEPT_NAMES if len(c.split()) == 2]
+    concept_3 = [c for c in CONCEPT_NAMES if len(c.split()) == 3]
+
+    base = f"""
+WITH docs AS (
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+), picks AS (
+    SELECT conv_id, text,
+           {pick(1, persons)} AS p1,
+           {pick(2, persons)} AS p2,
+           {pick(3, list(ORG_NAMES))} AS org,
+           {pick(4, list(TOOL_NAMES))} AS tool,
+           {pick(5, list(CONCEPT_NAMES))} AS concept
+    FROM docs
+), offsets AS (
+    -- turn texts: t0 = p1 || ' works at ' || org || '.'
+    --             t1 = p2 || ' ran ' || tool || ' to fix the build.'
+    --             t2 = org || ' has been discussing ' || concept || ' internally.'
+    -- document-global turn offsets: turns joined by single chars ('\\n')
+    SELECT *,
+           length(p1) + 10 + length(org) + 1 AS len0,
+           length(p2) + 5 + length(tool) + 18 AS len1,
+           length(org) + 21 + length(concept) + 12 AS len2
+    FROM picks
+), fact_mentions AS (
+    SELECT conv_id, 0 AS turn_idx, 'PERSON' AS entity_type, p1 AS text,
+           0 AS s, length(p1) AS e, CAST(0 AS BIGINT) AS turn_offset FROM offsets
+    UNION ALL
+    -- the ORG pattern's optional trailing dot captures the sentence-final
+    -- '.' in turn 0 (operators/mentions.py build_pattern_table), so the
+    -- raw surface includes it; normalization strips it back off
+    SELECT conv_id, 0, 'ORG', org || '.', length(p1) + 10,
+           length(p1) + 10 + length(org) + 1, 0 FROM offsets
+    UNION ALL
+    SELECT conv_id, 1, 'PERSON', p2, 0, length(p2), len0 + 1 FROM offsets
+    UNION ALL
+    SELECT conv_id, 1, 'TOOL', tool, length(p2) + 5,
+           length(p2) + 5 + length(tool), len0 + 1 FROM offsets
+    UNION ALL
+    SELECT conv_id, 2, 'ORG', org, 0, length(org), len0 + len1 + 2 FROM offsets
+    UNION ALL
+    SELECT conv_id, 2, 'CONCEPT', concept, length(org) + 21,
+           length(org) + 21 + length(concept), len0 + len1 + 2 FROM offsets
+), doc_toks AS (
+    SELECT o.conv_id, o.len0 + o.len1 + o.len2 + 3 AS turn_offset,
+           unnest(string_split(o.text, ' ')) AS tok,
+           generate_subscripts(string_split(o.text, ' '), 1) AS i
+    FROM offsets o WHERE length(o.text) > 0
+), doc_pos AS (
+    SELECT conv_id, turn_offset, tok, i,
+           CAST(coalesce(sum(length(tok) + 1) OVER (
+               PARTITION BY conv_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS s,
+           lead(tok, 1) OVER (PARTITION BY conv_id ORDER BY i) AS tok2,
+           lead(tok, 2) OVER (PARTITION BY conv_id ORDER BY i) AS tok3
+    FROM doc_toks
+), doc_mentions AS (
+    SELECT conv_id, 3 AS turn_idx, 'TOOL' AS entity_type, tok AS text,
+           s, s + length(tok) AS e, turn_offset
+    FROM doc_pos WHERE tok IN ({tool_in})
+    UNION ALL
+    SELECT conv_id, 3, 'CONCEPT', tok, s, s + length(tok), turn_offset
+    FROM doc_pos WHERE tok IN ({", ".join("'" + c + "'" for c in concept_1) or "''"})
+    UNION ALL
+    SELECT conv_id, 3, 'CONCEPT', tok || ' ' || tok2, s,
+           s + length(tok) + 1 + length(tok2), turn_offset
+    FROM doc_pos
+    WHERE tok2 IS NOT NULL
+      AND tok || ' ' || tok2 IN ({", ".join("'" + c + "'" for c in concept_2) or "''"})
+    UNION ALL
+    SELECT conv_id, 3, 'CONCEPT', tok || ' ' || tok2 || ' ' || tok3, s,
+           s + length(tok) + 2 + length(tok2) + length(tok3), turn_offset
+    FROM doc_pos
+    WHERE tok3 IS NOT NULL
+      AND tok || ' ' || tok2 || ' ' || tok3 IN ({", ".join("'" + c + "'" for c in concept_3) or "''"})
+), all_raw AS (
+    SELECT * FROM fact_mentions UNION ALL SELECT * FROM doc_mentions
+), mentions AS (
+    SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, CAST(0 AS INT) AS chunk_idx,
+           entity_type, text,
+           nrm AS norm_text,
+           CASE WHEN g LIKE 'the %' THEN substr(g, 5) ELSE g END AS group_norm,
+           CAST(s AS INT) AS "start", CAST(e AS INT) AS "end",
+           CAST(turn_offset + s AS BIGINT) AS global_start,
+           CAST(0.9 AS DOUBLE) AS confidence, 'model' AS method
+    FROM (
+        SELECT *, replace(replace(nrm, 'u.s.', 'united states'),
+                          'us ', 'united states ') AS g
+        FROM (SELECT *, rtrim(lower(text), '.') AS nrm FROM all_raw)
+    )
+), mentions_id AS (
+    SELECT *, substr(md5(entity_type || ':' || group_norm), 1, 16) AS surface_id
+    FROM mentions
+)"""
+
+    kg_mentions = base + """
+SELECT conv_id, turn_idx, chunk_idx, entity_type, text, norm_text, group_norm,
+       "start", "end", global_start, confidence, method, surface_id
+FROM mentions_id
+"""
+
+    kg_entities = base + """
+SELECT surface_id AS entity_id,
+       min(text) AS entity_text,
+       entity_type,
+       count(*) AS occurrence_count,
+       round(avg(confidence), 6) AS confidence
+FROM mentions_id
+GROUP BY surface_id, entity_type
+"""
+
+    # kg_edges: the derived corpus's triples come only from the three fact
+    # turns (the document turn yields single-surface TOOL mentions whose
+    # proximity pairs are self-loops — dropped by T6). Per doc: T1 pattern
+    # triple (conf 0.85) + T3 proximity triple (conf 1 - gap/200) per fact;
+    # T7/T8 merge: boosted = min(1, best + 0.1*(sum - best)) with the
+    # pattern row as best (method priority), representative conv_id = max.
+    kg_edges = f"""
+WITH docs AS (
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+), picks AS (
+    SELECT conv_id,
+           {pick(1, persons)} AS p1,
+           {pick(2, persons)} AS p2,
+           {pick(3, list(ORG_NAMES))} AS org,
+           {pick(4, list(TOOL_NAMES))} AS tool,
+           {pick(5, list(CONCEPT_NAMES))} AS concept
+    FROM docs
+), ids AS (
+    SELECT conv_id,
+           substr(md5('PERSON:' || lower(p1)), 1, 16) AS p1_id,
+           substr(md5('PERSON:' || lower(p2)), 1, 16) AS p2_id,
+           substr(md5('ORG:' || lower(org)), 1, 16) AS org_id,
+           substr(md5('TOOL:' || lower(tool)), 1, 16) AS tool_id,
+           substr(md5('CONCEPT:' || lower(concept)), 1, 16) AS concept_id
+    FROM picks
+), raw_triples AS (
+    -- T1 pattern (prio 3, conf .85) and T3 proximity (prio 2, conf by gap)
+    SELECT conv_id, p1_id AS subj_id, 'works_for' AS pred, org_id AS obj_id,
+           CAST(0.85 AS DOUBLE) AS conf, 3 AS prio FROM ids
+    UNION ALL SELECT conv_id, p2_id, 'uses_tool', tool_id, 0.85, 3 FROM ids
+    UNION ALL SELECT conv_id, org_id, 'discusses', concept_id, 0.85, 3 FROM ids
+    UNION ALL SELECT conv_id, p1_id, 'works_for', org_id, 0.95, 2 FROM ids
+    UNION ALL SELECT conv_id, p2_id, 'uses_tool', tool_id, 0.975, 2 FROM ids
+    UNION ALL SELECT conv_id, org_id, 'discusses', concept_id, 0.895, 2 FROM ids
+), valid AS (
+    SELECT * FROM raw_triples WHERE subj_id != obj_id
+)
+SELECT subj_id, pred, obj_id,
+       round(least(CAST(1.0 AS DOUBLE),
+                   max(conf) FILTER (prio = 3)
+                   + 0.1 * (sum(conf) - max(conf) FILTER (prio = 3))), 6) AS confidence,
+       max(conv_id) AS conv_id
+FROM valid
+GROUP BY subj_id, pred, obj_id
+"""
+    comp = ", ".join(
+        f"(('0x' || substr(md5(hx || ':{i}'), 1, 8))::BIGINT % 2001 - 1000)"
+        for i in range(8)
+    )
+    media_features = f"""
+WITH m AS (
+    SELECT 'media_' || CAST(doc_id AS VARCHAR) AS media_id,
+           list_extract(['image', 'audio', 'video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
+           lower(hex(encode(text))) AS hx
+    FROM documents
+)
+SELECT media_id, kind, CAST(8 AS INT) AS feature_dim,
+       md5(concat_ws(',', {comp})) AS feature_fp
+FROM m
+"""
+    return {
+        "kg_mentions": kg_mentions,
+        "kg_entities": kg_entities,
+        "kg_edges": kg_edges,
+        "media_features": media_features,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_kg_oracle_sqls(),
         "d2_dedup_group_max": """
             SELECT l_orderkey, l_partkey,
                    max(l_extendedprice) AS max_price,

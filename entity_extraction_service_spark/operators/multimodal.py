@@ -53,6 +53,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("feature_dim", T.IntegerType(), True),
+        # engine-portable fingerprint of the feature (md5 over the integer
+        # lattice values, not the floats) — hashable for the driver's
+        # canonicalizer and recomputable by the DuckDB oracle
+        T.StructField("feature_fp", T.StringType(), True),
     ]
 )
 
@@ -76,11 +80,44 @@ def synthesize_media(spark: SparkSession, n: int = 32, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
-def _fake_feature(payload: bytes, dim: int) -> list[float]:
-    """Content-derived deterministic fake feature: md5-seeded projection."""
-    h = hashlib.md5(payload or b"").digest()
-    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
-    return rng.standard_normal(dim).astype("float32").tolist()
+def synthesize_media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table derived deterministically from the driver's documents:
+    payload = utf-8 bytes of the text, kind cycles by doc_id. Because the
+    payload is a pure function of a table DuckDB also sees, the whole
+    decode→feature path becomes oracle-checkable (VERDICT r1 item 2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.concat(F.lit("media_"), F.col("doc_id").cast("string")).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.when(kind != "audio", F.lit(64)).alias("width"),
+            F.when(kind != "audio", F.lit(64)).alias("height"),
+            F.when(kind == "audio", F.lit(16000)).alias("sample_rate"),
+            F.when(kind == "video", F.lit(30)).alias("n_frames"),
+            F.when(kind == "image", F.lit("image/png"))
+            .when(kind == "audio", F.lit("audio/wav"))
+            .otherwise(F.lit("video/mp4"))
+            .alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _fake_feature_ints(payload: bytes, dim: int) -> list[int]:
+    """Content-derived deterministic fake feature on an integer lattice:
+    component i = md5(hex(payload) || ':' || i) arithmetic in [-1000, 1000].
+    Pure md5 + modular arithmetic so any engine (e.g. the DuckDB oracle)
+    reproduces it exactly; a real deployment swaps in an actual decoder +
+    model at this seam."""
+    hx = (payload or b"").hex()
+    return [
+        int(hashlib.md5(f"{hx}:{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for i in range(dim)
+    ]
 
 
 def extract_features(
@@ -88,7 +125,7 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract stage over binary payloads.
 
-    Real deployments replace ``_fake_feature`` with an actual decoder /
+    Real deployments replace ``_fake_feature_ints`` with an actual decoder /
     model inside the same batched loop (the Arrow batch is the inference
     batch, exactly like extract_model.py)."""
 
@@ -99,16 +136,18 @@ def extract_features(
                     "media codecs unavailable in this environment; "
                     "set deterministic_fake=True or plug a real decoder"
                 )
-            feats = [
-                _fake_feature(bytes(p) if p is not None else b"", dim)
-                for p in pdf["payload"]
-            ]
+            feats, fps = [], []
+            for p in pdf["payload"]:
+                ints = _fake_feature_ints(bytes(p) if p is not None else b"", dim)
+                feats.append(np.array(ints, dtype="float32") / 1000.0)
+                fps.append(hashlib.md5(",".join(map(str, ints)).encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feature": feats,
                     "feature_dim": dim,
+                    "feature_fp": fps,
                 }
             )
 

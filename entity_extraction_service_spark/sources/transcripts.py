@@ -385,7 +385,15 @@ def transcripts_from_documents(
         c_arr = F.array(*[F.lit(c) for c in CONCEPT_NAMES])
 
         def pick(arr: F.Column, n: int, salt: int) -> F.Column:
-            return F.element_at(arr, (F.pmod(F.hash("conv_id", F.lit(salt)), F.lit(n)) + 1))
+            # md5-based pick (NOT F.hash): md5 is engine-portable, so the
+            # whole derived corpus — and therefore the flagship KG outputs —
+            # is reproducible by the DuckDB oracle (VERDICT r1 item 1).
+            # 8 hex chars = 32 bits, fits a long exactly in any engine.
+            h = F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col("conv_id"), F.lit(str(salt)))), 1, 8),
+                16, 10,
+            ).cast("long")
+            return F.element_at(arr, (F.pmod(h, F.lit(n)) + 1).cast("int"))
 
         person = pick(p_arr, len(persons), 1)
         person2 = pick(p_arr, len(persons), 2)
