@@ -1019,9 +1019,16 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h4, h5, h6, h7)) FROM sig
                 UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h8, h9, h10, h11)) FROM sig
                 UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h12, h13, h14, h15)) FROM sig
+            ), bsz AS (
+                -- mirror the engine's max_bucket=10000 LSH bucket cap so
+                -- Spark and the oracle drop the same pathological buckets
+                SELECT band_idx, band_hash FROM bands
+                GROUP BY band_idx, band_hash HAVING count(*) <= 10000
             ), cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM bands a JOIN bands b
+                FROM bands a
+                JOIN bsz s ON a.band_idx = s.band_idx AND a.band_hash = s.band_hash
+                JOIN bands b
                   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
                  AND a.doc_id < b.doc_id
             ), t AS (

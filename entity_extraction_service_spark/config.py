@@ -39,6 +39,10 @@ class PipelineConfig:
     blocking_max_block_size: int = 1_000   # cap pairs per blocking key (hot-key guard)
     hot_key_salt_buckets: int = 16         # salting for skewed blocking keys
     cc_max_iterations: int = 20            # connected components fixpoint bound
+    # edge-count ceiling for the driver-side union-find CC strategy
+    # (~100 MB worst-case driver state at the default; above it the
+    # distributed min-label loop runs instead)
+    cc_driver_side_threshold: int = 500_000
     # surface->canonical map is |distinct surfaces| rows — broadcast it into
     # the T6 existence joins (two shuffles of the full triple stream saved);
     # disable when the surface vocabulary exceeds broadcast size
@@ -64,6 +68,11 @@ class PipelineConfig:
     # "chunkrows": window + groupBy/collect_list chunk rows (2 shuffles) —
     #   the operator-path twin kept for parity testing.
     fused_exec: str = "stream"
+    # explicit shared checkpoint directory for the fused-stream parquet
+    # materialization. REQUIRED on a multi-node cluster (must be a shared
+    # filesystem / object store); when unset, local masters use
+    # spark.local.dir and non-local masters fall back to disk_persist.
+    checkpoint_dir: str | None = None
     # how the fused stream is materialized for its multiple consumers:
     # "parquet": columnar checkpoint on spark.local.dir (column-pruned,
     #   compressed reads; measured ~2x cheaper than caching the stream at

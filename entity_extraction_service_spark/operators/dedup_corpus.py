@@ -153,10 +153,16 @@ def minhash_near_duplicates(
     n_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates verified by true Jaccard."""
+    """Full MinHash-LSH near-dup pipeline: candidates verified by true Jaccard.
+
+    ``max_bucket`` bounds any one LSH bucket (viral duplicated content);
+    it is plumbed here — not buried in the candidate stage — so callers
+    that need exact parity with an uncapped reference computation (e.g.
+    the DuckDB oracle) can see and mirror the same cap."""
     sigs = minhash_signatures(docs, n_hashes, id_col, text_col)
-    cands = minhash_lsh_candidates(sigs, n_bands, n_hashes // n_bands)
+    cands = minhash_lsh_candidates(sigs, n_bands, n_hashes // n_bands, max_bucket)
     t = docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
     verified = (
         cands.join(t.withColumnsRenamed({"id": "id_a", "toks": "toks_a"}), "id_a")

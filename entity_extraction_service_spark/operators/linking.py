@@ -125,20 +125,24 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "id",
     max_iterations: int = 20,
-    driver_side_threshold: int = 2_000_000,
+    driver_side_threshold: int = 500_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list -> (id, component).
 
-    Two physical strategies behind one semantic:
+    Two physical strategies behind ONE output contract: every vertex in
+    ``vertices`` gets a label; vertices touched by no edge label as
+    themselves (their own id). Labels are the component's min id in both
+    paths.
 
-    - **small graphs** (|edges| <= ``driver_side_threshold``): collect the
-      edge list and run union-find on the driver. The match-edge graph is
-      already aggregated to *distinct surface forms*, so even a corpus
-      with billions of mentions typically yields only ~1e5-1e7 edges;
+    - **small graphs** (|edges| <= ``driver_side_threshold``): stream the
+      edge list to the driver (Arrow batches via toLocalIterator — no 2M
+      Row objects resident at once) and run union-find. The match-edge
+      graph is already aggregated to *distinct surface forms*, so even a
+      corpus with billions of mentions typically yields ~1e5-1e7 edges;
       the distributed loop would spend O(iterations x jobs) of pure
-      scheduling latency on data that fits in one task. min-label
-      components == union-find components (same equivalence closure),
-      and the returned label is the component's min id in both paths.
+      scheduling latency on data that fits in one task. The 500k default
+      keeps worst-case driver state ~100 MB; raise via
+      ``PipelineConfig.cc_driver_side_threshold`` on a fat driver.
     - **large graphs**: iterative min-label propagation; each iteration =
       one join + one agg, localCheckpoint to cut lineage. Converges in
       O(diameter) iterations — variant families have diameter <= 3.
@@ -156,9 +160,11 @@ def connected_components(
             return r
 
         seen: set = set()
-        pairs = edges.select("src", "dst").collect()
-        for row in pairs:
-            s, d = row["src"], row["dst"]
+        # stream partition-by-partition: peak driver residency is one
+        # partition of rows plus the parent/seen dicts, not the full edge
+        # list as Row objects
+        for row in edges.select("src", "dst").toLocalIterator():
+            s, d = row[0], row[1]
             seen.add(s)
             seen.add(d)
             a, b = find(s), find(d)
@@ -172,11 +178,15 @@ def connected_components(
         if not labels:
             return vertices.select(
                 F.col(id_col).alias(id_col), F.col(id_col).alias("component")
-            ).where(F.lit(False))
+            )
         comp = spark.createDataFrame(labels, [id_col, "component"])
-        # vertices not touched by any edge keep their own id (caller
-        # coalesces); restrict to requested vertex set for parity
-        return vertices.select(F.col(id_col)).join(comp, id_col, "inner")
+        # vertices untouched by any edge label as themselves — same
+        # contract as the distributed path (strategy parity)
+        return (
+            vertices.select(F.col(id_col))
+            .join(comp, id_col, "left")
+            .select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
+        )
     # localCheckpoint (NOT persist): iterative self-referential plans must
     # have their lineage truncated each round or Catalyst re-analyzes an
     # exponentially nesting tree every iteration — measured 7x slowdown
@@ -277,7 +287,11 @@ def link_entities(
     """Full linking stage: mentions -> (canonical entities, surface map)."""
     surfaces = surface_forms(mentions)
     pairs = candidate_pairs(surfaces, config)
-    edges = match_edges(pairs, config)
+    # localCheckpoint: the match edges (blocking self-join + Python scoring
+    # UDF — the most expensive linking stage) have three consumers (the CC
+    # strategy probe, the CC run itself, and the touched-vertex set);
+    # materializing once keeps that at one computation instead of up to ~3
+    edges = match_edges(pairs, config).localCheckpoint(eager=True)
     # only vertices that have at least one match edge need iterating;
     # isolated surfaces default to their own component (coalesce in L6)
     touched = (
@@ -285,5 +299,10 @@ def link_entities(
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    comps = connected_components(touched, edges, max_iterations=config.cc_max_iterations)
+    comps = connected_components(
+        touched,
+        edges,
+        max_iterations=config.cc_max_iterations,
+        driver_side_threshold=config.cc_driver_side_threshold,
+    )
     return canonical_entities(mentions, surfaces, comps, config)

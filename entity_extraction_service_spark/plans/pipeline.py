@@ -64,19 +64,32 @@ def _materialize(
     config: PipelineConfig,
     tag: str = "fused",
     partition_cols: list[str] | None = None,
+    schema=None,
 ) -> DataFrame:
     """Cut the fused stream's lineage for its multiple consumers.
 
-    "parquet": write once to a columnar checkpoint under spark.local.dir
-    (tmpfs here; executor-local NVMe / object store on a cluster — the
-    Iceberg staging-table analog) and read back. Downstream projections
-    then column-prune and predicate-push into the checkpoint scan — the
-    cache formats can't do that, and at 32 concurrent writers the
-    DISK_ONLY cache write was measured 2x the parquet write on this box.
+    "parquet": write once to a columnar checkpoint and read back.
+    Downstream projections then column-prune and predicate-push into the
+    checkpoint scan — the cache formats can't do that, and at 32
+    concurrent writers the DISK_ONLY cache write was measured 2x the
+    parquet write on this box. The checkpoint dir is
+    ``config.checkpoint_dir`` when set (REQUIRED to be a shared filesystem
+    on a multi-node cluster); without one, local masters use
+    spark.local.dir (tmpfs here; executor-local NVMe on a one-node
+    deployment) and non-local masters fall back to disk_persist — a
+    node-local parquet path would silently lose executor-written files.
+
+    ``schema`` (when given) is applied to the read-back so an empty input
+    corpus — zero files written under partitionBy — still yields an empty
+    DataFrame of the right shape instead of a schema-inference error.
     """
     if config.materialize == "none":
         return df
-    if config.materialize == "disk_persist":
+    spark = df.sparkSession
+    is_local = spark.sparkContext.master.startswith("local")
+    if config.materialize == "disk_persist" or (
+        config.materialize == "parquet" and not is_local and not config.checkpoint_dir
+    ):
         from pyspark import StorageLevel
 
         return df.persist(StorageLevel.DISK_ONLY)
@@ -84,13 +97,15 @@ def _materialize(
     import os
     import uuid
 
-    spark = df.sparkSession
-    local = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
-    base = os.path.join(local, "eess-materialize", spark.sparkContext.applicationId)
-    if not _CKPT_DIRS:
-        atexit.register(_cleanup_ckpt_dirs)
-    if base not in _CKPT_DIRS:
-        _CKPT_DIRS.append(base)
+    if config.checkpoint_dir:
+        base = os.path.join(config.checkpoint_dir, spark.sparkContext.applicationId)
+    else:
+        local = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+        base = os.path.join(local, "eess-materialize", spark.sparkContext.applicationId)
+        if not _CKPT_DIRS:
+            atexit.register(_cleanup_ckpt_dirs)
+        if base not in _CKPT_DIRS:
+            _CKPT_DIRS.append(base)
     path = os.path.join(base, f"{tag}-{uuid.uuid4().hex[:8]}")
     writer = df.write.mode("overwrite")
     if partition_cols:
@@ -98,7 +113,10 @@ def _materialize(
         # filter prunes whole files instead of decoding the mixed stream
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
-    return spark.read.parquet(path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 def extract_mentions(
@@ -164,7 +182,9 @@ def _extract_fused(
             chunk_turns(transcripts, config), client_factory, config,
             gen_triples, emit_verbs,
         )
-    fused = _materialize(fused, config, partition_cols=["kind"])
+    from ..operators.extract_model import FUSED_SCHEMA
+
+    fused = _materialize(fused, config, partition_cols=["kind"], schema=FUSED_SCHEMA)
     mentions = fused.where(F.col("kind") == "mention").select(*_MENTION_COLS)
     spans = fused.where(F.col("kind") == "verb").select(
         "conv_id", "turn_idx",

@@ -69,6 +69,23 @@ def test_self_loops_and_duplicates(spark):
     assert _run(spark, edges, driver_side_threshold=0) == expected
 
 
+def test_isolated_vertices_label_as_themselves_in_both_paths(spark):
+    # vertex set strictly larger than the edge-touched set: isolated
+    # vertices must come back labeled with their own id from BOTH
+    # strategies (output-contract parity, ADVICE r1)
+    edges = [("a", "b"), ("b", "c")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    verts = spark.createDataFrame([("a",), ("b",), ("c",), ("x",), ("y",)], ["id"])
+    expected = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "y"}
+    driver = {r["id"]: r["component"] for r in connected_components(verts, e).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(verts, e, driver_side_threshold=0).collect()
+    }
+    assert driver == expected
+    assert dist == expected
+
+
 def test_long_chain_converges(spark):
     # path graph: diameter >> typical variant families; exercises the
     # iteration loop (and the driver path trivially)
