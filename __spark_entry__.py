@@ -425,9 +425,28 @@ def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit md5-derived SimHash — engine-portable, so (since r2) the
+    DuckDB oracle recomputes the fingerprints bit-for-bit."""
     from entity_extraction_service_spark.operators.dedup_corpus import simhash_fingerprints
 
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups via Hamming-LSH piece partitioning (pigeonhole
+    equi-join on 15-bit pieces, exact Hamming verify)."""
+    from entity_extraction_service_spark.operators.dedup_corpus import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embedding_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-similarity pairs on integer-quantized vectors: exact
+    integer arithmetic, hash-comparable across engines (the float-cosine
+    twin is rows-only because last-ulp sums differ between engines)."""
+    from entity_extraction_service_spark.operators.ann import quantized_dot_pairs
+
+    return quantized_dot_pairs(_t(spark, sf_dir, "embeddings"), min_dot=300_000)
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,9 +500,13 @@ def q_e12_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH + exact-cosine verify. Threshold 0.3 sits inside
+    the driver corpus's similarity range (max pairwise cosine ~0.51), so
+    the check is non-vacuous (r1's 0.95 returned 0 rows); recall against
+    planted near-dups is covered by tests/test_ann_recall.py."""
     from entity_extraction_service_spark.operators.ann import embedding_near_duplicates
 
-    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.95)
+    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -521,6 +544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": q_kg_entities,
         "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_dot_pairs": q_embedding_dot_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
@@ -746,9 +771,64 @@ FROM m
     }
 
 
+def _portable_oracle_sqls() -> dict[str, str]:
+    """Oracles for the md5-portable hash operators (built programmatically:
+    60 bit-vote expressions are generated, not hand-written)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60)
+    )
+    recon = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END" for i in range(60)
+    )
+    fp_base = f"""
+WITH toks AS (
+    SELECT doc_id AS id, unnest(list_distinct(
+               string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+    FROM documents
+), hashes AS (
+    SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), v AS (
+    SELECT id, {votes} FROM hashes GROUP BY id
+), fp AS (
+    SELECT id, CAST({recon} AS BIGINT) AS simhash FROM v
+)"""
+    simhash_fingerprints = fp_base + "\nSELECT id, simhash FROM fp\n"
+    simhash_near_dups = fp_base + """
+, pieces AS (
+    SELECT id, p AS piece_idx, (simhash >> (p * 15)) & 32767 AS piece_val
+    FROM fp, unnest([0, 1, 2, 3]) AS t(p)
+), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM pieces a JOIN pieces b
+      ON a.piece_idx = b.piece_idx AND a.piece_val = b.piece_val AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+FROM cand
+JOIN fp fa ON fa.id = id_a
+JOIN fp fb ON fb.id = id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+"""
+    embedding_dot_pairs = """
+WITH q AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_sum(list_transform(list_zip(a.qv, b.qv), t -> t[1] * t[2])) AS BIGINT) AS qdot
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), t -> t[1] * t[2])) AS BIGINT) >= 300000
+"""
+    return {
+        "simhash_fingerprints": simhash_fingerprints,
+        "simhash_near_dups": simhash_near_dups,
+        "embedding_dot_pairs": embedding_dot_pairs,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_kg_oracle_sqls(),
+        **_portable_oracle_sqls(),
         "d2_dedup_group_max": """
             SELECT l_orderkey, l_partkey,
                    max(l_extendedprice) AS max_price,

@@ -233,21 +233,70 @@ def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via the same LSH bucket join."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
-        "bucket", lsh_signature_col("vec", planes)
-    )
+    """Embedding-cosine near-dup pairs via multi-table LSH bucket joins.
+
+    OR-amplification across ``n_tables`` hash tables (candidate if ANY
+    table's signature matches) keeps recall high at near-dup thresholds —
+    with 8 planes and 4 tables, cosine>=0.95 pairs collide with
+    probability ~0.9; every candidate is then verified with the exact
+    cosine so precision is 1 by construction. Join keys stay short
+    strings; candidates dedup per pair before the verify (each pair is
+    scored once regardless of how many tables agree)."""
+    buckets = _multi_table_buckets(vec_col, dim, n_planes, n_tables, seed)
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias(vec_col)
+    ).withColumn("bucket", F.explode(buckets))
     a, b = c.alias("a"), c.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("vec_a"),
+            F.col(f"b.{vec_col}").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    cos = cosine_sim_col(F.col("a.vec"), F.col("b.vec"))
-    return pairs.select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 6).alias("cosine")
+    cos = cosine_sim_col(F.col("vec_a"), F.col("vec_b"))
+    return cand.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def quantized_dot_pairs(
+    corpus: DataFrame,
+    min_dot: int,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs similarity on integer-quantized embeddings — the
+    exactness-verifiable twin of the cosine path.
+
+    Each component is quantized to ``round(x * scale)`` and the pair score
+    is the integer dot product: pure integer arithmetic, so any engine
+    (the DuckDB oracle included) reproduces it bit-for-bit — float cosine
+    sums differ across engines in the last ulps and cannot be hash-
+    compared. Use for correctness harnesses and small re-rank sets; the
+    LSH/IVF paths are the scale path."""
+    q = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("long"))
+    c = corpus.select(F.col(id_col).alias("id"), q.alias("qv"))
+    a, b = c.alias("a"), c.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), dot.alias("qdot")
+        )
+        .where(F.col("qdot") >= min_dot)
+    )

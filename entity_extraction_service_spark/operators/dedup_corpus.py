@@ -176,41 +176,90 @@ def minhash_near_duplicates(
     ).where(F.col("jaccard") >= threshold)
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars — fits a signed 64-bit int in any engine
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per doc: bit i set iff the majority of token hashes
-    have bit i set. Exploded-token bit votes as JVM aggregations."""
+    """60-bit SimHash per doc: bit i set iff the majority of token hashes
+    have bit i set. Exploded-token bit votes as JVM aggregations.
+
+    The per-token hash is md5-derived (first 15 hex chars parsed as an
+    integer) rather than an engine-native hash, so the fingerprint is
+    reproducible by any engine — the DuckDB oracle recomputes it exactly.
+    60 bits instead of 64 keeps the value positive in a signed int64
+    everywhere (no sign-bit portability traps)."""
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
     votes = [
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy("id").agg(*votes)
     sim = F.lit(0).cast("long")
-    for i in range(64):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    for i in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
     return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pieces(fingerprints: DataFrame, n_pieces: int) -> DataFrame:
+    """Split each fingerprint into ``n_pieces`` bit slices -> one row per
+    (id, piece_idx, piece_val). By pigeonhole, two fingerprints within
+    Hamming distance ``n_pieces - 1`` agree on at least one whole piece."""
+    width = SIMHASH_BITS // n_pieces
+    mask = (1 << width) - 1
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("piece_idx"),
+                F.shiftright("simhash", p * width).bitwiseAND(F.lit(mask)).alias("piece_val"),
+            )
+            for p in range(n_pieces)
+        ]
+    )
+    return fingerprints.select("id", F.explode(pieces).alias("pc")).select(
+        "id", "pc.piece_idx", "pc.piece_val"
+    )
 
 
 def simhash_near_duplicates(
     docs: DataFrame,
     max_hamming: int = 3,
-    block_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dups by Hamming distance on SimHash, blocked to bound the join."""
-    fps = simhash_fingerprints(docs, id_col, text_col).join(
-        docs.select(F.col(id_col).alias("id"), F.col(block_col).alias("block")), "id"
+    """Near-dups by Hamming distance on SimHash via Hamming-LSH piece
+    partitioning (the 100 TB shape — replaces the r1 source-column
+    blocking, where one hot source made the join quadratic).
+
+    The fingerprint is split into ``max_hamming + 1`` bit pieces; any two
+    fingerprints within the Hamming budget must agree exactly on >= 1
+    piece (pigeonhole), so the candidate join is an equi-join on
+    (piece_idx, piece_val) — shuffle-friendly, AQE-skew-splittable — and
+    the exact Hamming check verifies candidates. No block column needed."""
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    pieces = simhash_pieces(fps, max_hamming + 1)
+    cand = (
+        pieces.alias("a")
+        .join(
+            pieces.alias("b"),
+            (F.col("a.piece_idx") == F.col("b.piece_idx"))
+            & (F.col("a.piece_val") == F.col("b.piece_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    a, b = fps.alias("a"), fps.alias("b")
-    pairs = a.join(
-        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id"))
+    fa = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    fb = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
     )
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return pairs.select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)

@@ -40,3 +40,61 @@ def test_ivf_and_lsh_recall(spark):
     ivf2 = ivf_topk(emb, queries, k=K, n_centroids=16, n_probe=4)
     sym = ivf.select("query_id", "vec_id").exceptAll(ivf2.select("query_id", "vec_id"))
     assert sym.isEmpty()
+
+
+def test_embedding_near_dup_recall_on_planted_duplicates(spark):
+    """Plant true near-duplicates (vector + tiny noise, cosine > 0.99) in
+    the corpus: the multi-table LSH near-dup pass must recover nearly all
+    of them at threshold 0.95, with precision 1 by construction (exact
+    cosine verify). De-vacuates the r1 check that returned 0 rows."""
+    import numpy as np
+
+    from entity_extraction_service_spark.operators.ann import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200).collect()
+    rng = np.random.RandomState(11)
+    rows = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in emb]
+    planted = []
+    for r in emb[:50]:
+        v = np.array(r["embedding"], dtype="float64")
+        dup = v + rng.standard_normal(len(v)) * 0.01 * np.linalg.norm(v) / np.sqrt(len(v))
+        dup_id = int(r["vec_id"]) + 1_000_000
+        rows.append((dup_id, [float(x) for x in dup]))
+        planted.append((int(r["vec_id"]), dup_id))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(corpus, threshold=0.95).collect()
+    }
+    hits = sum(1 for p in planted if p in found or (p[1], p[0]) in found)
+    assert hits / len(planted) >= 0.9, f"planted-dup recall {hits}/{len(planted)}"
+
+
+def test_simhash_hamming_lsh_matches_brute_force(spark):
+    """Hamming-LSH piece partitioning is exact for distance <= n_pieces-1
+    (pigeonhole): the piece-join candidates + verify must equal the
+    brute-force all-pairs Hamming filter."""
+    from entity_extraction_service_spark.operators.dedup_corpus import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(150)
+    via_lsh = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    fps = simhash_fingerprints(docs)
+    a, b = fps.alias("a"), fps.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming")
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert via_lsh == brute
