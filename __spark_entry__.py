@@ -492,6 +492,48 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_pick_num(salt: int, mod: int, base: int = 0) -> F.Column:
+    """Deterministic md5-arithmetic number from conv_id (engine-portable)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("conv_id"), F.lit(str(salt)))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(mod)) + base
+
+
+def q_citation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-analog: structured mentions (TICKET/VERSION/EMAIL) parsed
+    into components by the pattern corpus's component grammars — real
+    regex extraction + Catalyst component parse, oracle-recomputed from
+    the same md5 arithmetic."""
+    from entity_extraction_service_spark.operators.assemble import chunk_turns
+    from entity_extraction_service_spark.operators.citations import component_rows
+    from entity_extraction_service_spark.operators.mentions import extract_mentions_regex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("conv_id")
+    )
+    text = F.concat(
+        F.lit("ticket OPS-"), _md5_pick_num(21, 9000, 1000).cast("string"),
+        F.lit(" fixed in v"), _md5_pick_num(22, 10).cast("string"),
+        F.lit("."), _md5_pick_num(23, 20).cast("string"),
+        F.lit("."), _md5_pick_num(24, 30).cast("string"),
+        F.lit(", notify user"), _md5_pick_num(25, 100).cast("string"),
+        F.lit("@ex"), _md5_pick_num(26, 10).cast("string"),
+        F.lit(".io"),
+    )
+    turns = docs.select(
+        "conv_id",
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    mentions = extract_mentions_regex(chunk_turns(turns))
+    return component_rows(mentions)
+
+
 def q_e12_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_service_spark.operators.candidates import candidate_mentions
     from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
@@ -551,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embedding_near_dups": q_embedding_near_dups,
         "e12_candidates": q_e12_candidates,
+        "citation_components": q_citation_components,
     }
 
 
@@ -818,10 +861,46 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM q a JOIN q b ON a.vec_id < b.vec_id
 WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), t -> t[1] * t[2])) AS BIGINT) >= 300000
 """
+    def num(salt: int, mod: int, base: int = 0) -> str:
+        return (
+            f"(('0x' || substr(md5(conv_id || ':{salt}'), 1, 8))::BIGINT % {mod} + {base})"
+        )
+
+    citation_components = f"""
+WITH docs AS (
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id FROM documents
+), vals AS (
+    SELECT conv_id,
+           CAST({num(21, 9000, 1000)} AS VARCHAR) AS tnum,
+           CAST({num(22, 10)} AS VARCHAR) AS vmaj,
+           CAST({num(23, 20)} AS VARCHAR) AS vmin,
+           CAST({num(24, 30)} AS VARCHAR) AS vpat,
+           CAST({num(25, 100)} AS VARCHAR) AS ulocal,
+           CAST({num(26, 10)} AS VARCHAR) AS udom
+    FROM docs
+)
+SELECT conv_id, CAST(0 AS INT) AS turn_idx, entity_type, text, comp_key, comp_value
+FROM (
+    SELECT conv_id, 'TICKET' AS entity_type, 'OPS-' || tnum AS text,
+           'project' AS comp_key, 'OPS' AS comp_value FROM vals
+    UNION ALL SELECT conv_id, 'TICKET', 'OPS-' || tnum, 'number', tnum FROM vals
+    UNION ALL SELECT conv_id, 'VERSION', 'v' || vmaj || '.' || vmin || '.' || vpat,
+           'major', vmaj FROM vals
+    UNION ALL SELECT conv_id, 'VERSION', 'v' || vmaj || '.' || vmin || '.' || vpat,
+           'minor', vmin FROM vals
+    UNION ALL SELECT conv_id, 'VERSION', 'v' || vmaj || '.' || vmin || '.' || vpat,
+           'patch', vpat FROM vals
+    UNION ALL SELECT conv_id, 'EMAIL', 'user' || ulocal || '@ex' || udom || '.io',
+           'local', 'user' || ulocal FROM vals
+    UNION ALL SELECT conv_id, 'EMAIL', 'user' || ulocal || '@ex' || udom || '.io',
+           'domain', 'ex' || udom || '.io' FROM vals
+)
+"""
     return {
         "simhash_fingerprints": simhash_fingerprints,
         "simhash_near_dups": simhash_near_dups,
         "embedding_dot_pairs": embedding_dot_pairs,
+        "citation_components": citation_components,
     }
 
 

@@ -33,6 +33,9 @@ class PipelineConfig:
     model_confidence: float = 0.9      # AI-discovered default
     hybrid_confidence: float = 0.85
     mention_confidence_floor: float = 0.5
+    # data-driven pattern corpus (S3): None -> the packaged YAML corpus
+    # under entity_extraction_service_spark/patterns/
+    pattern_dir: str | None = None
 
     # --- linking (L1/L2/L5) ---
     similarity_threshold: float = 0.85     # entity_registry.py:49
@@ -83,11 +86,12 @@ class PipelineConfig:
     # --- predicate vocabulary (reduced set per north_star; T10 analog) ---
     predicates: tuple[str, ...] = (
         "works_for", "uses_tool", "discusses", "mentions", "replies_to", "related_to",
+        "works_on", "operates", "tracked_in", "released_as", "raised_by",
     )
 
     # type-pair -> predicate inference table (T3 analog of
-    # relationship_extractor.py:698-727 type_rules, re-expressed for
-    # PERSON/ORG/TOOL/CONCEPT)
+    # relationship_extractor.py:698-727 type_rules, re-expressed for the
+    # transcript-domain vocabulary)
     type_pair_predicates: tuple[tuple[str, str, str], ...] = (
         ("PERSON", "ORG", "works_for"),
         ("PERSON", "TOOL", "uses_tool"),
@@ -97,9 +101,25 @@ class PipelineConfig:
         ("TOOL", "CONCEPT", "related_to"),
         ("PERSON", "PERSON", "mentions"),
         ("ORG", "ORG", "related_to"),
+        ("PERSON", "TICKET", "works_on"),
+        ("PERSON", "SERVICE", "operates"),
+        ("SERVICE", "TICKET", "tracked_in"),
+        ("SERVICE", "VERSION", "released_as"),
+        ("SERVICE", "TOOL", "uses_tool"),
+        ("ERROR_CODE", "SERVICE", "raised_by"),
     )
 
-    entity_types: tuple[str, ...] = ("PERSON", "ORG", "TOOL", "CONCEPT")
+    entity_types: tuple[str, ...] = (
+        "PERSON", "ORG", "TOOL", "CONCEPT", "SERVICE", "VERSION", "IP_ADDR",
+        "PATH", "SHA", "TICKET", "URL", "EMAIL", "DATE_ISO", "MONEY", "ERROR_CODE",
+    )
+
+    # --- L3 type-compatibility merge groups (entity_registry.py:332-351
+    # analog): linking candidates may pair ACROSS types within a group;
+    # cross-type matches use the reference's aggressive threshold
+    # (entity_registry.py:532) instead of similarity_threshold.
+    type_compat_groups: tuple[tuple[str, ...], ...] = (("TOOL", "SERVICE"),)
+    cross_type_threshold: float = 0.7
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -29,6 +29,28 @@ def seq_ratio(a: str, b: str) -> float:
     return SequenceMatcher(None, a, b).ratio()
 
 
+def attribute_conflict_py(
+    type_a: str, text_a: str, type_b: str, text_b: str
+) -> bool:
+    """L4 — attribute-conflict check (entity_registry.py:353-377 analog):
+    conflict when both surfaces parse a shared component key to values
+    that are set, different, and dissimilar (ratio < 0.8). Components come
+    from the pattern corpus (citation-style parses, sources/patterns.py) —
+    e.g. tickets INFRA-1234 vs INFRA-1235 conflict on ``number`` even
+    though the raw strings are 0.9-similar."""
+    from ..sources.patterns import parse_components_py
+
+    ca = parse_components_py(type_a, text_a)
+    if not ca:
+        return False
+    cb = parse_components_py(type_b, text_b)
+    for k, va in ca.items():
+        vb = cb.get(k)
+        if va and vb and va != vb and seq_ratio(va, vb) < 0.8:
+            return True
+    return False
+
+
 def pair_score_py(
     text_a: str,
     norm_a: str,
@@ -38,16 +60,18 @@ def pair_score_py(
     type_b: str,
     variants_b: list[str] | None = None,
 ) -> float:
-    """Weighted L2 score for one candidate pair."""
+    """Weighted L2 score for one candidate pair (incl. the L4 penalty)."""
     variants = variants_b or [text_b]
     text_sim = max(seq_ratio(text_a.lower(), v.lower()) for v in variants)
     cleaned_sim = seq_ratio(norm_a.lower(), norm_b.lower())
     score = 0.4 * text_sim + 0.3 * cleaned_sim
     if type_a == type_b:
         score += 0.2
-        # subtype: our 4-type domain has no subtypes; same-type implies
-        # same-(null)-subtype, matching entity_registry.py:317-321
+        # subtype: our flat type vocabulary has no subtypes; same-type
+        # implies same-(null)-subtype, matching entity_registry.py:317-321
         score += 0.1
+    if attribute_conflict_py(type_a, text_a, type_b, text_b):
+        score -= 0.2
     return min(1.0, max(0.0, score))
 
 

@@ -1,0 +1,57 @@
+"""Citation-style structured mentions (reference Citation model analog).
+
+The reference's Citation is a specialized mention with parsed components
+(/root/reference/src/models/entities.py:533-643 — volume, reporter, page,
+year...) and ~120 CitationType values (:219-366). The transcript-domain
+analog: structured entity types (TICKET, VERSION, EMAIL, URL, DATE_ISO,
+MONEY, IP_ADDR, PATH, SERVICE, ERROR_CODE) whose component grammars live
+in the pattern corpus (patterns/*.yaml ``components:`` blocks) and parse
+into a MapType column.
+
+Spark-first: component extraction is pure Catalyst — one
+``regexp_extract`` per (type, field) pair assembled into a map via
+``map_filter``; no Python in the loop. The pattern corpus's component
+regexes are Java-compatible by construction (no lookbehind in component
+grammars; validated by tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..sources.patterns import PATTERN_DIR, components_by_type
+
+
+def with_components(
+    mentions: DataFrame, config: PipelineConfig = DEFAULT_CONFIG, text_col: str = "text"
+) -> DataFrame:
+    """Add a ``components: map<string,string>`` column parsed from each
+    mention's surface according to its entity type's component grammar.
+    Unstructured types get an empty map."""
+    comp_map = components_by_type(config.pattern_dir or PATTERN_DIR)
+    expr = F.map_from_arrays(F.array(), F.array())
+    for etype, comps in sorted(comp_map.items()):
+        keys = F.array(*[F.lit(k) for k, _ in comps])
+        vals = F.array(
+            *[F.regexp_extract(F.col(text_col), rx.pattern, 1) for _, rx in comps]
+        )
+        m = F.map_filter(F.map_from_arrays(keys, vals), lambda k, v: v != "")
+        expr = F.when(F.col("entity_type") == etype, m).otherwise(expr)
+    return mentions.withColumn("components", expr)
+
+
+def component_rows(
+    mentions: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Flat (conv_id, turn_idx, entity_type, text, comp_key, comp_value)
+    rows — the hashable projection used by the correctness harness."""
+    withc = with_components(mentions, config)
+    return withc.select(
+        "conv_id",
+        "turn_idx",
+        "entity_type",
+        "text",
+        F.explode("components").alias("comp_key", "comp_value"),
+    )

@@ -31,7 +31,18 @@ from pyspark.sql import types as T
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.normalize import group_norm_py, normalize_text_py
-from .mentions import MENTION_SCHEMA, _match_turn, build_pattern_table
+from .mentions import MENTION_SCHEMA, _match_turn, build_pattern_table, vocabulary
+
+
+def _canon_type(raw_type: str, vocab: frozenset[str]) -> str | None:
+    """E3 — map a model-emitted raw type to the canonical vocabulary
+    (regex_engine.py:1102-1566 analog); None = outside the vocabulary,
+    the mention is dropped (the reference maps unknowns to UNKNOWN and
+    filters downstream — same observable effect)."""
+    from ..sources.patterns import canonical_type
+
+    t = canonical_type(raw_type)
+    return t if t in vocab else None
 
 PROMPT_TEMPLATE = (
     "Extract all PERSON, ORG, TOOL and CONCEPT entities from the "
@@ -167,6 +178,7 @@ def extract_mentions_fused(
     patterns = build_pattern_table(config)
     verbs = _compiled_verbs() if emit_verb_spans else []
     default_conf = config.model_confidence
+    vocab = vocabulary(config)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = factory()
@@ -229,10 +241,10 @@ def extract_mentions_fused(
                         ti = int(ent["turn_idx"])
                         s, e = int(ent["start"]), int(ent["end"])
                         surface = str(ent["text"])
-                        etype = str(ent["entity_type"])
+                        etype = _canon_type(str(ent["entity_type"]), vocab)
                     except (KeyError, TypeError, ValueError):
                         continue
-                    if ti not in texts or texts[ti][s:e] != surface:
+                    if etype is None or ti not in texts or texts[ti][s:e] != surface:
                         continue
                     norm = normalize_text_py(surface)
                     rows.append(
@@ -353,6 +365,7 @@ class _FusedKernel:
 
         self._factory = client_factory or (lambda: RuleBackedClient(config))
         self._patterns = build_pattern_table(config)
+        self._vocab = vocabulary(config)
         self._verbs = _compiled_verbs()
         self._rules = {(a, b): p for a, b, p in config.type_pair_predicates}
         self._default_conf = config.model_confidence
@@ -446,10 +459,10 @@ class _FusedKernel:
                         ti = int(ent["turn_idx"])
                         s, e = int(ent["start"]), int(ent["end"])
                         surface = str(ent["text"])
-                        etype = str(ent["entity_type"])
+                        etype = _canon_type(str(ent["entity_type"]), self._vocab)
                     except (KeyError, TypeError, ValueError):
                         continue
-                    if ti not in texts or texts[ti][s:e] != surface:
+                    if etype is None or ti not in texts or texts[ti][s:e] != surface:
                         continue
                     model_by_turn.setdefault(ti, []).append(
                         (etype, surface, s, e,
@@ -576,6 +589,7 @@ def extract_mentions_model(
     """
     factory = client_factory or (lambda: RuleBackedClient(config))
     default_conf = config.model_confidence
+    vocab = vocabulary(config)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = factory()
@@ -613,12 +627,12 @@ def extract_mentions_model(
                         ti = int(ent["turn_idx"])
                         s, e = int(ent["start"]), int(ent["end"])
                         surface = str(ent["text"])
-                        etype = str(ent["entity_type"])
+                        etype = _canon_type(str(ent["entity_type"]), vocab)
                     except (KeyError, TypeError, ValueError):
                         continue
                     # validate span against source text (T6-style existence
                     # discipline applied at the mention level)
-                    if ti not in texts or texts[ti][s:e] != surface:
+                    if etype is None or ti not in texts or texts[ti][s:e] != surface:
                         continue
                     norm = normalize_text_py(surface)
                     rows.append(

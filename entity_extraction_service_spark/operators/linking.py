@@ -64,22 +64,37 @@ def surface_forms(mentions: DataFrame) -> DataFrame:
     )
 
 
+def _compat_group_col(config: PipelineConfig) -> F.Column:
+    """L3 — entity_type -> merge-compatibility group label
+    (entity_registry.py:332-351 analog). Types outside every group form
+    their own singleton group, so the join key degenerates to
+    entity_type for them (r1 behavior preserved)."""
+    expr = F.col("entity_type")
+    for group in config.type_compat_groups:
+        label = "|".join(sorted(group))
+        expr = F.when(F.col("entity_type").isin(*group), F.lit(label)).otherwise(expr)
+    return expr
+
+
 def candidate_pairs(
     surfaces: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """L1 — blocked candidate pairs with JVM-side prefilters.
+    """L1 + L3 — blocked candidate pairs with JVM-side prefilters.
 
     Exact-norm duplicates already share surface_id; pairs here are only
-    *near*-duplicates within (entity_type, first token). Blocks larger
-    than ``blocking_max_block_size`` are dropped (counted by the caller's
-    metrics) — at 100 TB a pathological block ("the court") would
+    *near*-duplicates within (compat_group, first token), where
+    compat_group implements the L3 type-compatibility gate: same type
+    always pairs, different types pair only inside a configured group
+    (e.g. TOOL/SERVICE). Blocks larger than ``blocking_max_block_size``
+    are dropped — at 100 TB a pathological block ("the court") would
     otherwise create a quadratic task.
     """
     # block sizes via a window on the SAME key the self-join shuffles on —
     # one co-partitioned exchange instead of a groupBy + join back (the
     # exchange is reused by the join below; matters when |distinct
     # surfaces| is large at 100 TB)
-    w_block = Window.partitionBy("entity_type", "block_key")
+    surfaces = surfaces.withColumn("compat_group", _compat_group_col(config))
+    w_block = Window.partitionBy("compat_group", "block_key")
     s = surfaces.withColumn("block_n", F.count("*").over(w_block)).where(
         F.col("block_n") <= config.blocking_max_block_size
     ).drop("block_n")
@@ -87,11 +102,21 @@ def candidate_pairs(
     b = s.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.entity_type") == F.col("b.entity_type"))
+        (F.col("a.compat_group") == F.col("b.compat_group"))
         & (F.col("a.block_key") == F.col("b.block_key"))
-        & (F.col("a.group_norm") < F.col("b.group_norm")),
+        & (
+            (F.col("a.group_norm") < F.col("b.group_norm"))
+            | (
+                # identical norms under different types (e.g. TOOL "redis"
+                # vs SERVICE "redis") are distinct surfaces that only a
+                # cross-type rule can pair — order by type for uniqueness
+                (F.col("a.group_norm") == F.col("b.group_norm"))
+                & (F.col("a.entity_type") < F.col("b.entity_type"))
+            )
+        ),
     ).select(
-        F.col("a.entity_type").alias("entity_type"),
+        F.col("a.entity_type").alias("type_a"),
+        F.col("b.entity_type").alias("type_b"),
         F.col("a.group_norm").alias("norm_a"),
         F.col("a.rep_text").alias("text_a"),
         F.col("a.surface_id").alias("id_a"),
@@ -100,22 +125,33 @@ def candidate_pairs(
         F.col("b.surface_id").alias("id_b"),
     )
     # SequenceMatcher.ratio >= t needs len ratio >= t/(2-t); for t=.85 that's
-    # ~0.74 — prune JVM-side before the Python UDF
+    # ~0.74 — prune JVM-side before the Python UDF. Cross-type pairs use the
+    # lower threshold, so prune with that bound when groups are configured.
+    t = min(config.similarity_threshold, config.cross_type_threshold)
     len_a, len_b = F.length("norm_a"), F.length("norm_b")
     pairs = pairs.where(
-        F.least(len_a, len_b) / F.greatest(len_a, len_b)
-        >= F.lit(config.similarity_threshold / (2 - config.similarity_threshold))
+        F.least(len_a, len_b) / F.greatest(len_a, len_b) >= F.lit(t / (2 - t))
     )
     return pairs.where(jaccard_tokens_col(F.col("norm_a"), F.col("norm_b")) >= 0.2)
 
 
 def match_edges(pairs: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """L2 — score candidate pairs, keep score >= threshold (0.85)."""
+    """L2 + L4 — score candidate pairs (SequenceMatcher formula with the
+    attribute-conflict penalty computed from parsed components inside the
+    UDF), keep same-type pairs >= similarity_threshold (0.85) and
+    compatible cross-type pairs >= cross_type_threshold (0.7 — the
+    reference's aggressive merge threshold, entity_registry.py:532)."""
     scored = pairs.withColumn(
         "score",
-        pair_score_udf("text_a", "norm_a", "entity_type", "text_b", "norm_b", "entity_type"),
+        pair_score_udf("text_a", "norm_a", "type_a", "text_b", "norm_b", "type_b"),
     )
-    return scored.where(F.col("score") >= config.similarity_threshold).select(
+    same = (F.col("type_a") == F.col("type_b")) & (
+        F.col("score") >= config.similarity_threshold
+    )
+    cross = (F.col("type_a") != F.col("type_b")) & (
+        F.col("score") >= config.cross_type_threshold
+    )
+    return scored.where(same | cross).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "score"
     )
 
@@ -251,6 +287,9 @@ def canonical_entities(
         F.col("surface_id").alias("entity_id"),  # == md5(type:canonical_norm)[:16]
         F.col("rep_text").alias("entity_text"),
         F.col("group_norm").alias("canonical_norm"),
+        # representative's type labels the cluster — deterministic even for
+        # cross-type (L3 compat-group) merges
+        F.col("entity_type").alias("rep_entity_type"),
     )
     surface_to_canonical = labeled.join(reps, "component").select("surface_id", "entity_id")
 
@@ -269,12 +308,14 @@ def canonical_entities(
         F.array_sort(F.collect_set("text")).alias("variants"),
         F.array_sort(F.collect_set("conv_id")).alias("document_ids"),
         F.count("*").alias("occurrence_count"),
-        F.first("entity_type").alias("entity_type"),
     )
     entities = agg.join(
-        reps.select("entity_id", "entity_text", "canonical_norm"), "entity_id"
+        reps.select("entity_id", "entity_text", "canonical_norm", "rep_entity_type"),
+        "entity_id",
     ).select(
-        "entity_id", "entity_text", "entity_type", "canonical_norm", "variants",
+        "entity_id", "entity_text",
+        F.col("rep_entity_type").alias("entity_type"),
+        "canonical_norm", "variants",
         F.round("confidence", 6).alias("confidence"),
         "document_ids", "occurrence_count",
     )

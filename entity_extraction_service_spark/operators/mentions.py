@@ -32,28 +32,18 @@ from ..functions.ids import entity_id_py
 from ..functions.normalize import group_norm_py, normalize_text_py
 
 # ---------------------------------------------------------------------------
-# Pattern table (S3 analog — the engine's "pattern YAML"). Each entry:
-# (pattern, entity_type, confidence). Confidence defaults mirror
-# extraction_service.py:3036-3062 (regex .8).
+# Pattern table (S3). Since round 2 the patterns are DATA-DRIVEN: loaded
+# from the YAML corpus under entity_extraction_service_spark/patterns/
+# (sources/patterns.py — the reference pattern_loader analog), compiled
+# once on the driver and shipped inside the UDF closures. Confidence
+# defaults mirror extraction_service.py:3036-3062 (regex .8) for entries
+# that don't carry their own.
 # ---------------------------------------------------------------------------
 
 ORG_SUFFIXES = (
     "Corporation", "Corporations", "Corp", "Systems", "System", "Labs",
     "Technologies", "Technology", "Group", "Foundation", "Industries",
     "University", "Inc", "LLC", "Ltd",
-)
-
-TOOL_VOCAB = (
-    "kubectl", "terraform", "pytest", "airflow", "docker", "grafana",
-    "prometheus", "ansible", "jenkins", "datadog", "pagerduty", "redis",
-    "kafka", "spark", "flink", "presto",
-)
-
-CONCEPT_VOCAB = (
-    "zero trust", "data mesh", "event sourcing", "chaos engineering",
-    "blue green deployment", "feature flags", "schema evolution",
-    "stream processing", "capacity planning", "incident response",
-    "service mesh", "observability", "canary release", "cost attribution",
 )
 
 
@@ -65,18 +55,27 @@ class MentionPattern:
 
 
 def build_pattern_table(config: PipelineConfig = DEFAULT_CONFIG) -> list[MentionPattern]:
-    suffix_alt = "|".join(ORG_SUFFIXES)
-    org = rf"\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+)*\s+(?:{suffix_alt})\.?)(?=[\s.,;:!?)]|$)"
-    person = r"\b([A-Z][a-z]+\s+[A-Z][a-z]+)\b"
-    tool = r"(?<![\w-])(" + "|".join(TOOL_VOCAB) + r")(?![\w-])"
-    concept = r"(?<![\w-])(" + "|".join(CONCEPT_VOCAB) + r")(?![\w-])"
+    """Compile the YAML pattern corpus into the runtime pattern table.
+
+    ``config.pattern_dir`` overrides the packaged corpus (the analog of
+    pointing the reference loader at a different patterns tree)."""
+    from ..sources.patterns import PATTERN_DIR, load_pattern_specs
+
+    specs = load_pattern_specs(config.pattern_dir or PATTERN_DIR)
     c = config.regex_confidence
     return [
-        MentionPattern(re.compile(org), "ORG", c),
-        MentionPattern(re.compile(person), "PERSON", c),
-        MentionPattern(re.compile(tool), "TOOL", c),
-        MentionPattern(re.compile(concept), "CONCEPT", c),
+        MentionPattern(s.regex, s.entity_type, c if s.confidence is None else s.confidence)
+        for s in specs
     ]
+
+
+def vocabulary(config: PipelineConfig = DEFAULT_CONFIG) -> frozenset[str]:
+    """Canonical entity-type vocabulary: configured types + every type the
+    pattern corpus emits. Model-emitted raw types are mapped (E3) and
+    dropped if they land outside this set."""
+    return frozenset(config.entity_types) | {
+        p.entity_type for p in build_pattern_table(config)
+    }
 
 
 _ORG_SUFFIX_SET = {s.lower() for s in ORG_SUFFIXES}

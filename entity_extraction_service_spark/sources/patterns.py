@@ -1,0 +1,170 @@
+"""S3 — data-driven pattern source (reference pattern_loader analog).
+
+The reference loads 1,771 ``pattern:`` entries from 81 YAML files under
+``src/patterns/**`` into compiled regexes with confidence, entity types
+and examples (/root/reference/src/utils/pattern_loader.py:190-571; file
+shape e.g. /root/reference/src/patterns/client/parties.yaml:22-50), plus
+a raw-type -> canonical-type mapping table
+(/root/reference/src/core/regex_engine.py:1102-1566 and
+``src/config/entity_type_mappings.json``).
+
+Spark-first shape: the YAML corpus is read ONCE on the driver, compiled,
+and the compiled list rides into executors inside the mapInPandas
+closures (operators/mentions.py) — the broadcast-variable pattern; the
+type mapping is a plain dict applied at model-output parse time (E3).
+
+Pattern entry spec (subset of the reference's fields we honor):
+
+    <group name>:
+      <pattern name>:
+        pattern: 'regex with exactly ONE capture group'   # or:
+        vocab: [word, multi word phrase, ...]             # loader builds
+                                                          # (?<![\\w-])(alt)(?![\\w-])
+        entity_types: [CANONICAL, ...]   # first entry = emitted type
+        confidence: 0.8                  # optional; null -> config default
+        components:                      # optional, citation-style parse
+          field_name: 'regex with ONE group, run on the surface'
+        examples: [ ... ]                # validated at load time
+
+Every ``examples`` entry must actually match its pattern — the corpus is
+self-testing at load, mirroring the reference's examples discipline.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+import yaml
+
+PATTERN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "patterns")
+
+
+@dataclass(frozen=True)
+class PatternSpec:
+    name: str
+    regex: re.Pattern
+    entity_type: str
+    confidence: float | None  # None -> config.regex_confidence at build time
+    components: tuple[tuple[str, re.Pattern], ...] = field(default_factory=tuple)
+
+
+def _vocab_regex(words: list[str]) -> str:
+    alt = "|".join(re.escape(w) for w in sorted(words, key=len, reverse=True))
+    return r"(?<![\w-])(" + alt + r")(?![\w-])"
+
+
+@functools.lru_cache(maxsize=8)
+def load_pattern_specs(pattern_dir: str = PATTERN_DIR) -> tuple[PatternSpec, ...]:
+    """Load + compile + validate every pattern file under ``pattern_dir``.
+
+    Deterministic order: sorted file names, then file order within each
+    file (dicts preserve YAML order) — extraction output must not depend
+    on filesystem enumeration order.
+    """
+    specs: list[PatternSpec] = []
+    for fname in sorted(os.listdir(pattern_dir)):
+        if not fname.endswith((".yaml", ".yml")):
+            continue
+        with open(os.path.join(pattern_dir, fname)) as f:
+            doc = yaml.safe_load(f) or {}
+        for group_name, group in doc.items():
+            if group_name == "metadata" or not isinstance(group, dict):
+                continue
+            for pname, entry in group.items():
+                if not isinstance(entry, dict):
+                    continue
+                if "vocab" in entry:
+                    raw = _vocab_regex(list(entry["vocab"]))
+                elif "pattern" in entry:
+                    raw = entry["pattern"]
+                else:
+                    raise ValueError(f"{fname}:{group_name}.{pname}: needs pattern or vocab")
+                rx = re.compile(raw)
+                if rx.groups != 1:
+                    raise ValueError(
+                        f"{fname}:{group_name}.{pname}: pattern must have exactly one "
+                        f"capture group, has {rx.groups}"
+                    )
+                etypes = entry.get("entity_types") or []
+                if not etypes:
+                    raise ValueError(f"{fname}:{group_name}.{pname}: entity_types required")
+                comps = tuple(
+                    (k, re.compile(v)) for k, v in (entry.get("components") or {}).items()
+                )
+                for c_name, c_rx in comps:
+                    if c_rx.groups != 1:
+                        raise ValueError(
+                            f"{fname}:{group_name}.{pname}.components.{c_name}: one group"
+                        )
+                for ex in entry.get("examples") or []:
+                    if not rx.search(ex):
+                        raise ValueError(
+                            f"{fname}:{group_name}.{pname}: example does not match: {ex!r}"
+                        )
+                specs.append(
+                    PatternSpec(
+                        name=f"{group_name}.{pname}",
+                        regex=rx,
+                        entity_type=str(etypes[0]),
+                        confidence=entry.get("confidence"),
+                        components=comps,
+                    )
+                )
+    if not specs:
+        raise ValueError(f"no pattern files found under {pattern_dir}")
+    return tuple(specs)
+
+
+@functools.lru_cache(maxsize=8)
+def load_type_mappings(
+    path: str = os.path.join(PATTERN_DIR, "entity_type_mappings.json"),
+) -> dict[str, str]:
+    """E3 — raw/model-emitted type -> canonical type (upper-cased keys).
+
+    Mirrors the reference's mapping table semantics: unknown raw types
+    map to themselves (the caller decides whether to keep or drop them).
+    """
+    with open(path) as f:
+        raw = json.load(f)
+    return {
+        str(k).upper(): str(v) for k, v in raw.items() if not str(k).startswith("__")
+    }
+
+
+@functools.lru_cache(maxsize=8)
+def components_by_type(
+    pattern_dir: str = PATTERN_DIR,
+) -> dict[str, tuple[tuple[str, re.Pattern], ...]]:
+    """entity_type -> citation-style component extractors (merged across
+    that type's patterns). Used by the citations operator and the L4
+    attribute-conflict gate."""
+    out: dict[str, dict[str, re.Pattern]] = {}
+    for spec in load_pattern_specs(pattern_dir):
+        if spec.components:
+            d = out.setdefault(spec.entity_type, {})
+            for k, rx in spec.components:
+                d.setdefault(k, rx)
+    return {t: tuple(d.items()) for t, d in out.items()}
+
+
+def parse_components_py(
+    entity_type: str, surface: str, comp_map=None
+) -> dict[str, str]:
+    """Parse one surface's components (pure function, UDF-safe)."""
+    cm = comp_map if comp_map is not None else components_by_type()
+    out: dict[str, str] = {}
+    for name, rx in cm.get(entity_type, ()):
+        m = rx.search(surface or "")
+        if m:
+            out[name] = m.group(1)
+    return out
+
+
+def canonical_type(raw_type: str, mappings: dict[str, str] | None = None) -> str:
+    m = mappings if mappings is not None else load_type_mappings()
+    t = (raw_type or "").strip().upper()
+    return m.get(t, t)

@@ -1,0 +1,175 @@
+"""Data-driven pattern corpus (S3), type mapping (E3), and the L3/L4
+linking gates. Reference analogs: pattern_loader.py:190-571 (YAML corpus),
+regex_engine.py:1102-1566 (type mapping), entity_registry.py:332-377
+(type-compatibility groups + attribute-conflict check)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.config import DEFAULT_CONFIG
+from entity_extraction_service_spark.functions.ids import entity_id_py
+from entity_extraction_service_spark.functions.normalize import (
+    group_norm_py,
+    normalize_text_py,
+)
+from entity_extraction_service_spark.operators.linking import link_entities
+from entity_extraction_service_spark.operators.mentions import (
+    _match_turn,
+    build_pattern_table,
+    vocabulary,
+)
+from entity_extraction_service_spark.sources.patterns import (
+    canonical_type,
+    load_pattern_specs,
+    parse_components_py,
+)
+
+# one-fact-per-line fixtures in the reference's tier style
+# (tests/e2e/tier3_fixtures.py): text -> expected (type, surface) set
+NEW_TYPE_FIXTURES = {
+    "billing-service crash-loops with E1094": {
+        ("SERVICE", "billing-service"),
+        ("ERROR_CODE", "E1094"),
+    },
+    "rollback auth-service to v2.14.3 per INFRA-1234": {
+        ("SERVICE", "auth-service"),
+        ("VERSION", "v2.14.3"),
+        ("TICKET", "INFRA-1234"),
+    },
+    "page oncall@example.com, runbook https://wiki.internal/db": {
+        ("EMAIL", "oncall@example.com"),
+        ("URL", "https://wiki.internal/db"),
+    },
+    "node 10.2.41.7 bad since 2025-11-28, logs in /var/log/syslog": {
+        ("IP_ADDR", "10.2.41.7"),
+        ("DATE_ISO", "2025-11-28"),
+        ("PATH", "/var/log/syslog"),
+    },
+    "egress bill hit $12,400; fix shipped in 9f8a3c1": {
+        ("MONEY", "$12,400"),
+        ("SHA", "9f8a3c1"),
+    },
+}
+
+
+def test_pattern_corpus_loads_and_is_self_validated():
+    specs = load_pattern_specs()
+    types = {s.entity_type for s in specs}
+    # all 15 vocabulary types come from data, not code
+    assert types == set(DEFAULT_CONFIG.entity_types)
+    assert len(specs) >= 15
+    # examples were validated at load (a non-matching example raises)
+
+
+def test_new_type_fixtures_extract_exactly(spark):
+    table = build_pattern_table()
+    for text, expected in NEW_TYPE_FIXTURES.items():
+        got = {(m[0], m[1]) for m in _match_turn(table, text)}
+        assert got == expected, f"{text!r}: {got} != {expected}"
+
+
+def test_components_parse():
+    assert parse_components_py("TICKET", "INFRA-1234") == {
+        "project": "INFRA",
+        "number": "1234",
+    }
+    assert parse_components_py("VERSION", "v2.14.3") == {
+        "major": "2", "minor": "14", "patch": "3",
+    }
+    assert parse_components_py("EMAIL", "a.b+c@ex.io") == {
+        "local": "a.b+c", "domain": "ex.io",
+    }
+    assert parse_components_py("PERSON", "Dana Rivera") == {}
+
+
+def test_e3_type_mapping_canonicalizes_model_types(spark):
+    assert canonical_type("COMPANY") == "ORG"
+    assert canonical_type("microservice") == "SERVICE"
+    assert canonical_type("PERSON") == "PERSON"
+    assert canonical_type("GIBBERISH_TYPE") == "GIBBERISH_TYPE"  # caller drops
+
+    # end-to-end: a model client emitting raw types gets canonicalized;
+    # unknown types are dropped
+    from entity_extraction_service_spark.operators.assemble import chunk_turns
+    from entity_extraction_service_spark.operators.extract_model import (
+        extract_mentions_model,
+    )
+
+    rows = [("c1", 0, "user", "the payments stack is on fire", None, None)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+    class RawTypeClient:
+        def generate_batch(self, prompts, payloads):
+            ents = [
+                {"entity_type": "COMPANY", "text": "payments", "turn_idx": 0,
+                 "start": 4, "end": 12, "confidence": 0.9},
+                {"entity_type": "GIBBERISH_TYPE", "text": "stack", "turn_idx": 0,
+                 "start": 13, "end": 18, "confidence": 0.9},
+            ]
+            return [json.dumps({"entities": ents})] * len(prompts)
+
+    out = extract_mentions_model(chunk_turns(t), lambda: RawTypeClient()).collect()
+    assert len(out) == 1
+    assert out[0]["entity_type"] == "ORG"
+    assert out[0]["text"] == "payments"
+
+
+def _mention_row(conv_id, etype, text, n=1):
+    norm = normalize_text_py(text)
+    g = group_norm_py(norm)
+    sid = entity_id_py(etype, g)
+    return [
+        (conv_id, 0, 0, etype, text, norm, g, 0, len(text), 0, 0.9, "model", sid)
+    ] * n
+
+
+MENTION_DDL = (
+    "conv_id string, turn_idx int, chunk_idx int, entity_type string, text string, "
+    "norm_text string, group_norm string, start int, end int, global_start long, "
+    "confidence double, method string, surface_id string"
+)
+
+
+def test_l3_cross_type_merge_within_compat_group(spark):
+    # TOOL "redis" and SERVICE "redis": identical norm, compatible types ->
+    # one canonical entity (cross-type score = 0.7 exactly, the aggressive
+    # threshold); CONCEPT "redis" is NOT in the group -> stays separate
+    rows = (
+        _mention_row("c1", "TOOL", "redis", n=3)
+        + _mention_row("c2", "SERVICE", "redis", n=1)
+        + _mention_row("c3", "CONCEPT", "redis", n=1)
+    )
+    m = spark.createDataFrame(rows, MENTION_DDL)
+    entities, smap = link_entities(m)
+    by_type = {r["entity_type"]: r for r in entities.collect()}
+    assert "CONCEPT" in by_type and by_type["CONCEPT"]["occurrence_count"] == 1
+    # TOOL (3 occurrences) wins representative over SERVICE (1)
+    assert "TOOL" in by_type and "SERVICE" not in by_type
+    assert by_type["TOOL"]["occurrence_count"] == 4
+    assert sorted(by_type["TOOL"]["document_ids"]) == ["c1", "c2"]
+
+
+def test_l4_attribute_conflict_blocks_ticket_merge(spark):
+    # INFRA-1234 vs INFRA-1235: 0.9 string-similar, same type (+0.3) ->
+    # raw score 0.93 would merge; the component conflict on `number`
+    # (-0.2) blocks it. Regression: org variants still merge.
+    rows = (
+        _mention_row("c1", "TICKET", "INFRA-1234", n=2)
+        + _mention_row("c2", "TICKET", "INFRA-1235", n=2)
+        + _mention_row("c3", "ORG", "Acme Corporation", n=2)
+        + _mention_row("c4", "ORG", "Acme Corporations", n=1)
+    )
+    m = spark.createDataFrame(rows, MENTION_DDL)
+    entities, _ = link_entities(m)
+    got = {(r["entity_type"], r["entity_text"]): r["occurrence_count"] for r in entities.collect()}
+    assert got[("TICKET", "INFRA-1234")] == 2
+    assert got[("TICKET", "INFRA-1235")] == 2
+    assert got[("ORG", "Acme Corporation")] == 3  # variants merged
+    assert ("ORG", "Acme Corporations") not in got
+
+
+def test_vocabulary_covers_pattern_types():
+    assert vocabulary() >= {s.entity_type for s in load_pattern_specs()}
