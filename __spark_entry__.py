@@ -492,6 +492,21 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 wave extraction over a corpus whose extra turn refers to a
+    person by LAST NAME only — resolvable exclusively by wave 2 (it needs
+    wave 1's entity list). Oracle re-derives both waves."""
+    from entity_extraction_service_spark.operators.waves import wave_extract
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir, with_lastname_turn=True)
+    m = wave_extract(t, n_waves=2)
+    return m.select(
+        "conv_id", "turn_idx", "entity_type", "text", "norm_text", "group_norm",
+        "start", "end", "confidence", "method", "surface_id", "wave",
+    )
+
+
 def _md5_pick_num(salt: int, mod: int, base: int = 0) -> F.Column:
     """Deterministic md5-arithmetic number from conv_id (engine-portable)."""
     h = F.conv(
@@ -594,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "e12_candidates": q_e12_candidates,
         "citation_components": q_citation_components,
+        "kg_waves": q_kg_waves,
     }
 
 
@@ -791,6 +807,37 @@ SELECT subj_id, pred, obj_id,
 FROM valid
 GROUP BY subj_id, pred, obj_id
 """
+    # kg_waves: wave-1 rows = the mention set above (method 'model');
+    # wave-2 rows = the last-name reference in the appended turn 11,
+    # resolved to the canonical PERSON. When p1 and p2 share a last name
+    # the wave client's first-wins rule picks the higher-ranked summary
+    # (tie on count=1 -> lexicographically smaller group_norm).
+    kg_waves = base + """
+, lastname AS (
+    SELECT conv_id,
+           string_split(p1, ' ')[-1] AS last_tok,
+           CASE WHEN string_split(p1, ' ')[-1] = string_split(p2, ' ')[-1]
+                     AND lower(p2) < lower(p1)
+                THEN p2 ELSE p1 END AS canonical
+    FROM picks
+), wave2 AS (
+    SELECT conv_id, CAST(11 AS INT) AS turn_idx, 'PERSON' AS entity_type,
+           canonical AS text, lower(canonical) AS norm_text,
+           lower(canonical) AS group_norm,
+           CAST(6 AS INT) AS "start",
+           CAST(6 + length(last_tok) AS INT) AS "end",
+           CAST(0.85 AS DOUBLE) AS confidence, 'wave2' AS method,
+           substr(md5('PERSON:' || lower(canonical)), 1, 16) AS surface_id,
+           CAST(2 AS INT) AS wave
+    FROM lastname
+)
+SELECT conv_id, turn_idx, entity_type, text, norm_text, group_norm,
+       "start", "end", confidence, method, surface_id, CAST(1 AS INT) AS wave
+FROM mentions_id
+UNION ALL
+SELECT * FROM wave2
+"""
+
     comp = ", ".join(
         f"(('0x' || substr(md5(hx || ':{i}'), 1, 8))::BIGINT % 2001 - 1000)"
         for i in range(8)
@@ -810,6 +857,7 @@ FROM m
         "kg_mentions": kg_mentions,
         "kg_entities": kg_entities,
         "kg_edges": kg_edges,
+        "kg_waves": kg_waves,
         "media_features": media_features,
     }
 

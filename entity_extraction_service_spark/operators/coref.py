@@ -1,74 +1,212 @@
 """Stage 2c — reference/coreference resolution (reference L7).
 
 The reference classifies reference types (PRONOUN / DEFINITE_ARTICLE /
-TITLE / ... — entity_registry.py:403-439) and resolves pronouns to the
-most recent person/org mention (:495-513) and "the X" to an earlier
-same-type full mention (:480-493).
+ACRONYM / LAST_NAME / ... — entity_registry.py:403-439) and resolves
+pronouns to the most recent person/org mention (:495-513), "the X" to an
+earlier same-family full mention (:480-493), and acronyms to earlier
+multi-word mentions with matching initials.
 
-Spark-first shape: pronoun occurrences are detected with JVM-side regex
-over turn text; the antecedent is the latest prior PERSON mention in the
-same conversation, found with a window over mentions ordered by
-(turn_idx, start) — ``max_by`` over the union of (pronoun rows, person
-mentions) partitioned by conv_id, which is one shuffle and no Python.
+Spark-first LINEAR shape (r2 rewrite — the r1 join was
+O(pronouns x persons) per conversation, quadratic on a skewed
+conversation): reference occurrences (ALL per turn, with positions) are
+detected by a tiny Arrow-batched scan over turns, then each reference
+class resolves with ONE window over the union of (reference rows,
+candidate antecedent mentions):
 
-Resolved pronouns become *virtual* mentions (is_virtual=true): they
-participate in triple extraction (proximity/pattern pairs) but are
-excluded from canonical-entity aggregation so occurrence counts stay
-mention-faithful.
+    last(antecedent_payload, ignorenulls)
+        OVER (PARTITION BY <conv_id [, key]> ORDER BY turn_idx, start
+              ROWS UNBOUNDED PRECEDING .. 1 PRECEDING)
+
+- PRONOUN: partition by conv_id; antecedents = PERSON mentions; the
+  antecedent is the latest PERSON mention strictly before the pronoun's
+  (turn_idx, start) — position-aware, unlike r1's turn-granular pick.
+- DEFINITE_ARTICLE ("the corporation"): partition by (conv_id, token);
+  antecedents = mentions keyed by the LAST token of their group_norm.
+- ACRONYM ("AC" after "Acme Corporation"): partition by
+  (conv_id, token); antecedents = multi-word mentions keyed by their
+  initial letters.
+
+Each shape is one shuffle of a linear-size stream — the
+``l7_last_antecedent`` oracle's plan. LAST_NAME references are resolved
+by wave-2 extraction instead (waves see prior-wave entities; see
+operators/waves.py).
+
+Resolved references become *virtual* mentions (method='coref'): they
+participate in triple extraction but are excluded from canonical-entity
+aggregation so occurrence counts stay mention-faithful.
 """
 
 from __future__ import annotations
 
+import re
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-PRONOUN_RE = r"(?i)\b(they|he|she)\b"
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+PRONOUN_RE = re.compile(r"\b(they|he|she)\b", re.IGNORECASE)
+DEFINITE_RE = re.compile(r"\bthe\s+([a-z][a-z-]+)\b", re.IGNORECASE)
+ACRONYM_RE = re.compile(r"\b([A-Z]{2,5})\b")
+
+REF_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("ref_type", T.StringType(), False),
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("token", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+    ]
+)
 
 
-def resolve_pronouns(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
-    """Return virtual PERSON mention rows for resolvable pronouns.
+def classify_references(transcripts: DataFrame) -> DataFrame:
+    """All reference occurrences per turn with positions and class
+    (the entity_registry.py:403-439 classifier as a batched scan)."""
 
-    Output columns match MENTION_SCHEMA plus is_virtual. The surface/norm
-    columns carry the *antecedent's* values so downstream id hashing maps
-    the pronoun to the antecedent's entity.
-    """
-    pron = transcripts.select(
-        "conv_id",
-        "turn_idx",
-        F.regexp_instr(F.col("text"), F.lit(PRONOUN_RE)).alias("_pos1"),
-        F.regexp_extract(F.col("text"), PRONOUN_RE, 1).alias("_pron"),
-    ).where(F.col("_pos1") > 0)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                t = text or ""
+                for m in PRONOUN_RE.finditer(t):
+                    rows.append(
+                        (conv_id, int(turn_idx), "PRONOUN", m.group(1),
+                         m.group(1).lower(), m.start(1), m.end(1))
+                    )
+                for m in DEFINITE_RE.finditer(t):
+                    rows.append(
+                        (conv_id, int(turn_idx), "DEFINITE_ARTICLE", m.group(0),
+                         m.group(1).lower(), m.start(0), m.end(0))
+                    )
+                for m in ACRONYM_RE.finditer(t):
+                    rows.append(
+                        (conv_id, int(turn_idx), "ACRONYM", m.group(1),
+                         m.group(1).lower(), m.start(1), m.end(1))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in REF_SCHEMA.fields])
 
-    persons = mentions.where(F.col("entity_type") == "PERSON").select(
-        "conv_id",
-        F.col("turn_idx").alias("p_turn_idx"),
-        F.col("start").alias("p_start"),
-        F.col("text").alias("p_text"),
-        F.col("norm_text").alias("p_norm"),
-        F.col("group_norm").alias("p_group_norm"),
-        F.col("surface_id").alias("p_surface_id"),
-        F.col("global_start").alias("p_global_start"),
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=REF_SCHEMA
     )
 
-    # latest PERSON mention strictly before the pronoun's turn
-    joined = pron.join(persons, "conv_id").where(F.col("p_turn_idx") < F.col("turn_idx"))
-    w = Window.partitionBy("conv_id", "turn_idx", "_pos1").orderBy(
-        F.col("p_turn_idx").desc(), F.col("p_start").desc()
-    )
-    resolved = joined.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
 
+_PAYLOAD_FIELDS = [
+    "entity_type", "text", "norm_text", "group_norm", "global_start", "surface_id",
+]
+
+
+def _antecedent_payload() -> F.Column:
+    return F.struct(*[F.col(c).alias(c) for c in _PAYLOAD_FIELDS])
+
+
+def _resolve_keyed(
+    refs: DataFrame, antecedents: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """The linear resolution kernel: union(ref rows, antecedent rows),
+    one window, pick last non-null antecedent strictly before each ref."""
+    a = antecedents.select(
+        *key_cols, "turn_idx",
+        F.col("start").alias("pos"),
+        _antecedent_payload().alias("_ante"),
+        F.lit(None).cast("string").alias("ref_type"),
+        F.lit(None).cast("string").alias("ref_surface"),
+        F.lit(None).cast("int").alias("ref_start"),
+        F.lit(None).cast("int").alias("ref_end"),
+    )
+    r = refs.select(
+        *key_cols, "turn_idx",
+        F.col("start").alias("pos"),
+        F.lit(None).cast(a.schema["_ante"].dataType).alias("_ante"),
+        F.col("ref_type"),
+        F.col("surface").alias("ref_surface"),
+        F.col("start").alias("ref_start"),
+        F.col("end").alias("ref_end"),
+    )
+    ev = a.unionByName(r)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("turn_idx", "pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    resolved = ev.withColumn("_res", F.last("_ante", ignorenulls=True).over(w))
+    return resolved.where(
+        F.col("ref_type").isNotNull() & F.col("_res").isNotNull()
+    )
+
+
+def _virtual_mentions(resolved: DataFrame, config: PipelineConfig) -> DataFrame:
+    """Project resolved references into MENTION_SCHEMA(+surface_id) rows
+    carrying the antecedent's identity (including its type) at the
+    reference's position."""
     return resolved.select(
-        "conv_id",
-        "turn_idx",
-        (F.col("turn_idx") / 1_000_000).cast("int").alias("chunk_idx"),  # overwritten by caller if needed
-        F.lit("PERSON").alias("entity_type"),
-        F.col("p_text").alias("text"),
-        F.col("p_norm").alias("norm_text"),
-        F.col("p_group_norm").alias("group_norm"),
-        (F.col("_pos1") - 1).cast("int").alias("start"),
-        (F.col("_pos1") - 1 + F.length("_pron")).cast("int").alias("end"),
-        F.col("p_global_start").alias("global_start"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        (F.col("turn_idx") / config.turns_per_chunk).cast("int").alias("chunk_idx"),
+        F.col("_res.entity_type").alias("entity_type"),
+        F.col("_res.text").alias("text"),
+        F.col("_res.norm_text").alias("norm_text"),
+        F.col("_res.group_norm").alias("group_norm"),
+        F.col("ref_start").alias("start"),
+        F.col("ref_end").alias("end"),
+        F.col("_res.global_start").alias("global_start"),
         F.lit(0.7).alias("confidence"),
         F.lit("coref").alias("method"),
-        F.col("p_surface_id").alias("surface_id"),
+        F.col("_res.surface_id").alias("surface_id"),
     )
+
+
+def resolve_pronouns(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    resolve_definites: bool = True,
+    resolve_acronyms: bool = True,
+) -> DataFrame:
+    """Virtual mention rows for every resolvable reference (all classes).
+
+    Output columns match MENTION_SCHEMA + surface_id; the surface/norm
+    columns carry the *antecedent's* values so downstream id hashing maps
+    the reference to the antecedent's entity.
+    """
+    refs = classify_references(transcripts)
+    base = mentions.where(F.col("method") != "coref")
+
+    # PRONOUN -> latest prior PERSON mention in the conversation
+    persons = base.where(F.col("entity_type") == "PERSON")
+    pron = _resolve_keyed(
+        refs.where(F.col("ref_type") == "PRONOUN"), persons, ["conv_id"]
+    )
+    out = _virtual_mentions(pron, config)
+
+    if resolve_definites:
+        # "the X" -> latest prior mention whose group_norm's last token is X
+        keyed = base.withColumn(
+            "token", F.element_at(F.split("group_norm", r"\s+"), -1)
+        )
+        defs = _resolve_keyed(
+            refs.where(F.col("ref_type") == "DEFINITE_ARTICLE"), keyed,
+            ["conv_id", "token"],
+        )
+        out = out.unionByName(_virtual_mentions(defs, config))
+
+    if resolve_acronyms:
+        # ACRONYM -> latest prior multi-word mention with matching initials
+        multi = base.where(F.size(F.split("group_norm", r"\s+")) >= 2).withColumn(
+            "token",
+            F.array_join(
+                F.transform(F.split("group_norm", r"\s+"), lambda t: F.substring(t, 1, 1)),
+                "",
+            ),
+        )
+        acr = _resolve_keyed(
+            refs.where(F.col("ref_type") == "ACRONYM"), multi, ["conv_id", "token"]
+        )
+        out = out.unionByName(_virtual_mentions(acr, config))
+
+    return out

@@ -1,0 +1,274 @@
+"""E5 — wave extraction: sequential passes where later waves see earlier
+waves' entities.
+
+Reference: ExtractionOrchestrator._extract_three_wave /
+_extract_four_wave (/root/reference/src/core/extraction_orchestrator.py:
+551-781) — each wave's prompt embeds the previous waves' entity
+summaries, so later waves can resolve references that are invisible
+without entity knowledge (last names, initialisms); cross-wave dedup is
+keep-first with earlier-wave priority (:1516-1555 — D3).
+
+Spark-first dataflow (no orchestrator state):
+
+    wave 1: the standard fused extraction scan
+    wave k: conv-level entity summaries (one small agg of wave<k output,
+            capped at config.max_prompt_entities — the :863 prompt cap)
+            joined onto the chunk rows -> ONE batched-UDF pass whose
+            prompts embed the summaries -> additional mention rows
+    merge:  D3 keep-first (earlier wave wins on a colliding position)
+
+Each extra wave costs one mention-stream agg + one chunk join + one scan
+— the same shuffle budget as any chunk-keyed stage; nothing is driver-side.
+
+The sandbox wave client is rule-backed (the E8 seam unchanged): wave k
+resolves LAST_NAME references (a capitalized token equal to the last
+token of a known PERSON) and INITIALS references (an all-caps token
+equal to a known multi-word entity's initials) — precisely the two
+reference classes L7 cannot resolve without entity knowledge
+(entity_registry.py:403-439 LAST_NAME/ACRONYM). Emitted mentions carry
+the canonical entity's surface (like L7's virtual mentions) at the
+observed span.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.normalize import group_norm_py, normalize_text_py
+from .assemble import chunk_turns
+from .extract_model import repair_json
+from .mentions import MENTION_SCHEMA
+
+WAVE_PROMPT_TEMPLATE = (
+    "Wave {wave}: these entities are already known: {summaries}. Find "
+    "additional references to them (last names, initials) in the "
+    "conversation below. Respond with JSON {{\"entities\": [...]}}.\n\n"
+    "<conversation>\n{body}\n</conversation>"
+)
+
+WAVE_SCHEMA = T.StructType(
+    list(MENTION_SCHEMA.fields)
+    + [
+        T.StructField("surface_id", T.StringType(), True),
+        T.StructField("wave", T.IntegerType(), False),
+    ]
+)
+
+
+class RuleBackedWaveClient:
+    """Deterministic wave-k model: resolves last-name and initials
+    references against the known-entity summaries in the payload."""
+
+    def generate_batch(self, prompts: list[str], payloads: list[dict]) -> list[str]:
+        out = []
+        for payload in payloads:
+            known = payload["known"]
+            by_last = {}
+            by_initials = {}
+            for k in known:
+                toks = k["text"].split()
+                if k["entity_type"] == "PERSON" and len(toks) >= 2:
+                    by_last.setdefault(toks[-1], k)
+                if len(toks) >= 2:
+                    ini = "".join(t[0].upper() for t in toks if t)
+                    by_initials.setdefault(ini, k)
+            ents = []
+            for t in payload["turns"]:
+                text = t["text"] or ""
+                taken = t["spans"]
+                pos = 0
+                for tok in text.split():
+                    s = text.index(tok, pos)
+                    e = s + len(tok)
+                    pos = e
+                    if any(s < te and e > ts for ts, te in taken):
+                        continue
+                    hit = None
+                    word = tok.rstrip(".,;:!?")
+                    if word in by_last and word[:1].isupper():
+                        hit = by_last[word]
+                    elif word.isupper() and word in by_initials:
+                        hit = by_initials[word]
+                    if hit is not None:
+                        ents.append(
+                            {
+                                "entity_type": hit["entity_type"],
+                                "text": hit["text"],
+                                "observed": word,
+                                "turn_idx": int(t["turn_idx"]),
+                                "start": s,
+                                "end": s + len(word),
+                                "confidence": 0.85,
+                            }
+                        )
+            out.append(json.dumps({"entities": ents}))
+        return out
+
+
+def conv_entity_summaries(
+    mentions: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-conversation known-entity list for the next wave's prompt:
+    top ``max_prompt_entities`` surfaces by occurrence (the reference's
+    50-entity prompt cap, extraction_orchestrator.py:863)."""
+    per_surface = mentions.groupBy("conv_id", "entity_type", "group_norm").agg(
+        F.count("*").alias("n"),
+        F.min_by("text", F.struct(F.col("start"), F.col("turn_idx"))).alias("text"),
+        F.first("surface_id").alias("surface_id"),
+    )
+    ranked = per_surface.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("conv_id").orderBy(F.col("n").desc(), "group_norm")
+        ),
+    ).where(F.col("_rn") <= config.max_prompt_entities)
+    # sort_array on a struct with the rank as first field: collect_list
+    # order is shuffle-dependent, but the prompt (and any first-wins rule
+    # in the client) must be deterministic
+    return ranked.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("_rn", "entity_type", "text", "surface_id"))
+        ).alias("known")
+    )
+
+
+def _wave_pass(
+    transcripts: DataFrame,
+    mentions_so_far: DataFrame,
+    wave: int,
+    client_factory: Callable | None,
+    config: PipelineConfig,
+) -> DataFrame:
+    """One wave-k pass: chunks ⋈ summaries ⋈ existing spans -> batched UDF."""
+    factory = client_factory or (lambda: RuleBackedWaveClient())
+    chunks = chunk_turns(transcripts, config)
+    summaries = conv_entity_summaries(mentions_so_far, config)
+    spans = (
+        mentions_so_far.groupBy("conv_id", "chunk_idx")
+        .agg(
+            F.collect_list(F.struct("turn_idx", "start", "end")).alias("spans")
+        )
+        .withColumnRenamed("chunk_idx", "chunk_idx")
+    )
+    joined = chunks.join(summaries, "conv_id", "left").join(
+        spans, ["conv_id", "chunk_idx"], "left"
+    )
+    cols = [f.name for f in WAVE_SCHEMA.fields]
+    k = config.turns_per_chunk
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = factory()
+        for pdf in batches:
+            prompts, payloads, metas = [], [], []
+            for conv_id, chunk_idx, turns, known, spans_ in zip(
+                pdf["conv_id"], pdf["chunk_idx"], pdf["turns"],
+                pdf["known"], pdf["spans"],
+            ):
+                known_l = [
+                    {"entity_type": e["entity_type"], "text": e["text"],
+                     "surface_id": e["surface_id"]}
+                    for e in (known if known is not None else [])
+                ]
+                span_by_turn: dict[int, list[tuple[int, int]]] = {}
+                for s in (spans_ if spans_ is not None else []):
+                    span_by_turn.setdefault(int(s["turn_idx"]), []).append(
+                        (int(s["start"]), int(s["end"]))
+                    )
+                turns_l = [
+                    {
+                        "turn_idx": int(t["turn_idx"]),
+                        "text": t["text"],
+                        "turn_offset": int(t["turn_offset"]),
+                        "spans": span_by_turn.get(int(t["turn_idx"]), []),
+                    }
+                    for t in turns
+                ]
+                body = "\n".join(f"[{t['turn_idx']}] {t['text'] or ''}" for t in turns_l)
+                prompts.append(
+                    WAVE_PROMPT_TEMPLATE.format(
+                        wave=wave, summaries=[k_["text"] for k_ in known_l], body=body
+                    )
+                )
+                payloads.append({"turns": turns_l, "known": known_l})
+                metas.append((conv_id, int(chunk_idx), turns_l, known_l))
+            responses = client.generate_batch(prompts, payloads)
+
+            rows = []
+            for (conv_id, chunk_idx, turns_l, known_l), resp in zip(metas, responses):
+                obj = repair_json(resp)
+                if not obj:
+                    continue
+                texts = {t["turn_idx"]: t["text"] or "" for t in turns_l}
+                offsets = {t["turn_idx"]: t["turn_offset"] for t in turns_l}
+                known_ids = {k_["surface_id"] for k_ in known_l}
+                for ent in obj.get("entities", []):
+                    try:
+                        ti = int(ent["turn_idx"])
+                        s, e = int(ent["start"]), int(ent["end"])
+                        canonical = str(ent["text"])
+                        observed = str(ent.get("observed", canonical))
+                        etype = str(ent["entity_type"])
+                    except (KeyError, TypeError, ValueError):
+                        continue
+                    # observed span must exist verbatim (T6 discipline)
+                    if ti not in texts or texts[ti][s:e] != observed:
+                        continue
+                    norm = normalize_text_py(canonical)
+                    g = group_norm_py(norm)
+                    from .local_resolve import surface_id_py
+
+                    sid = surface_id_py(etype, g)
+                    # wave mentions must reference known entities
+                    if sid not in known_ids:
+                        continue
+                    rows.append(
+                        (
+                            conv_id, ti, int(ti // k), etype, canonical, norm, g,
+                            s, e, offsets[ti] + s,
+                            float(ent.get("confidence", 0.85)), f"wave{wave}", sid, wave,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(run, schema=WAVE_SCHEMA)
+
+
+def dedup_cross_wave(mentions: DataFrame) -> DataFrame:
+    """D3 — keep-first across waves: identical (conv, turn, type, span)
+    keeps the earliest wave (extraction_orchestrator.py:1516-1555)."""
+    w = Window.partitionBy(
+        "conv_id", "turn_idx", "entity_type", "start", "end"
+    ).orderBy("wave")
+    return (
+        mentions.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def wave_extract(
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    n_waves: int = 2,
+    client_factory: Callable | None = None,
+    wave_client_factory: Callable | None = None,
+) -> DataFrame:
+    """Full E5 wave pipeline -> mention rows with a ``wave`` column.
+
+    ``n_waves=1`` degenerates exactly to the standard extraction path
+    (tested); each additional wave sees the union of all prior waves."""
+    from ..plans.pipeline import extract_mentions
+
+    mentions = extract_mentions(transcripts, config, client_factory=client_factory)
+    tagged = mentions.withColumn("wave", F.lit(1))
+    for wave in range(2, n_waves + 1):
+        extra = _wave_pass(transcripts, tagged, wave, wave_client_factory, config)
+        tagged = tagged.unionByName(extra)
+    return dedup_cross_wave(tagged) if n_waves > 1 else tagged

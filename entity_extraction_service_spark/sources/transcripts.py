@@ -346,7 +346,11 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
 
 
 def transcripts_from_documents(
-    spark: SparkSession, sf_dir: str, turns_per_doc: int = 8, with_facts: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    turns_per_doc: int = 8,
+    with_facts: bool = True,
+    with_lastname_turn: bool = False,
 ) -> DataFrame:
     """Derive a transcripts-shaped table from the driver's documents.parquet.
 
@@ -409,6 +413,18 @@ def transcripts_from_documents(
             "conv_id", F.posexplode(fact_texts).alias("turn_idx", "text")
         ).select("conv_id", F.col("turn_idx"), "text")
         turns = fact_turns.unionByName(text_turns)
+        if with_lastname_turn:
+            # an extra turn referring to person 1 by LAST NAME only — the
+            # reference class only wave-2 extraction can resolve (it needs
+            # wave-1's entity list). Appended after all text turns so
+            # earlier turn offsets are unchanged.
+            last = F.element_at(F.split(person, " "), -1)
+            lastname_turns = docs.select(
+                "conv_id",
+                F.lit(n_facts + turns_per_doc).alias("turn_idx"),
+                F.concat(F.lit("later "), last, F.lit(" patched it.")).alias("text"),
+            )
+            turns = turns.unionByName(lastname_turns)
 
     return turns.select(
         "conv_id",

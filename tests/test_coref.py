@@ -1,0 +1,112 @@
+"""L7 reference resolution: multi-pronoun turns, definite-article and
+acronym references, linear window shape (no mention x pronoun join)."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.coref import (
+    classify_references,
+    resolve_pronouns,
+)
+from entity_extraction_service_spark.plans.pipeline import extract_mentions
+
+DDL = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _transcripts(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, "user", t, None, None) for c, i, t in rows], DDL
+    )
+
+
+def test_classifier_finds_all_reference_classes(spark):
+    t = _transcripts(
+        spark,
+        [("c1", 0, "He said she saw AC near the corporation. They left.")],
+    )
+    refs = classify_references(t).collect()
+    by_type = {}
+    for r in refs:
+        by_type.setdefault(r["ref_type"], []).append(r["surface"])
+    assert sorted(by_type["PRONOUN"]) == ["He", "They", "she"]
+    assert by_type["ACRONYM"] == ["AC"]
+    assert any(s.lower().startswith("the corporation") for s in by_type["DEFINITE_ARTICLE"])
+
+
+def test_all_pronouns_resolve_not_just_first(spark):
+    # r1 resolved only the FIRST pronoun per turn (regexp_instr); both
+    # pronouns here must resolve, each to the latest PERSON before it
+    t = _transcripts(
+        spark,
+        [
+            ("c1", 0, "Dana Rivera joined Acme Corporation."),
+            ("c1", 1, "he said kubectl broke and then she fixed it"),
+        ],
+    )
+    m = extract_mentions(t)
+    virt = resolve_pronouns(t, m).where(F.col("entity_type") == "PERSON").collect()
+    assert len(virt) == 2
+    assert {v["text"] for v in virt} == {"Dana Rivera"}
+    assert sorted(v["start"] for v in virt) == [0, 31]
+
+
+def test_pronoun_antecedent_is_position_aware(spark):
+    # two persons in one turn: the later one (by position) is the antecedent
+    t = _transcripts(
+        spark,
+        [
+            ("c1", 0, "Dana Rivera mentioned Priya Sharma in the standup."),
+            ("c1", 1, "they ran pytest to verify the fix."),
+        ],
+    )
+    m = extract_mentions(t)
+    virt = resolve_pronouns(t, m).where(F.col("entity_type") == "PERSON").collect()
+    assert len(virt) == 1
+    assert virt[0]["text"] == "Priya Sharma"
+
+
+def test_definite_article_resolves_to_full_mention(spark):
+    t = _transcripts(
+        spark,
+        [
+            ("c1", 0, "Acme Corporation standardized on terraform last year."),
+            ("c1", 1, "the corporation is migrating to data mesh."),
+        ],
+    )
+    m = extract_mentions(t)
+    virt = resolve_pronouns(t, m)
+    defs = virt.where((F.col("turn_idx") == 1) & (F.col("entity_type") == "ORG")).collect()
+    assert len(defs) == 1
+    assert defs[0]["group_norm"] == "acme corporation"
+    assert defs[0]["start"] == 0  # span of "the corporation"
+
+
+def test_acronym_resolves_to_initials_match(spark):
+    t = _transcripts(
+        spark,
+        [
+            ("c1", 0, "Globex Systems shipped the migration."),
+            ("c1", 1, "GS standardized on kubectl afterwards."),
+        ],
+    )
+    m = extract_mentions(t)
+    virt = resolve_pronouns(t, m)
+    acr = virt.where(F.col("turn_idx") == 1).collect()
+    assert any(v["group_norm"] == "globex systems" for v in acr)
+
+
+def test_unresolvable_references_drop(spark):
+    t = _transcripts(spark, [("c1", 0, "they ran kubectl before anyone spoke.")])
+    m = extract_mentions(t)
+    virt = resolve_pronouns(t, m).where(F.col("entity_type") == "PERSON")
+    assert virt.count() == 0
+
+
+def test_no_quadratic_join_in_plan(spark):
+    # the resolution plan must be window-based: no join whose both sides
+    # descend from the mention stream (the r1 shape)
+    t = _transcripts(spark, [("c1", 0, "Dana Rivera joined Acme Corporation."),
+                             ("c1", 1, "he said hi")])
+    m = extract_mentions(t)
+    plan = resolve_pronouns(t, m)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan

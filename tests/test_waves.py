@@ -1,0 +1,98 @@
+"""E5 wave extraction: later waves see earlier waves' entities
+(extraction_orchestrator.py:551-781 analog). Wave 2 resolves LAST_NAME /
+INITIALS references that single-pass extraction cannot."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.functions.ids import entity_id_py
+from entity_extraction_service_spark.operators.waves import (
+    dedup_cross_wave,
+    wave_extract,
+)
+from entity_extraction_service_spark.plans.pipeline import extract_mentions
+
+DDL = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _transcripts(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, "user", t, None, None) for c, i, t in rows], DDL
+    )
+
+
+WAVE_FIXTURE = [
+    ("c1", 0, "Dana Rivera joined Acme Corporation."),
+    ("c1", 1, "Rivera standardized on terraform last year."),
+    ("c1", 2, "AC is migrating to data mesh."),
+    ("c2", 0, "Priya Sharma ran kubectl to fix the build."),
+    ("c2", 1, "Sharma used docker for the deployment."),
+]
+
+
+def test_one_wave_degenerates_to_standard_extraction(spark):
+    t = _transcripts(spark, WAVE_FIXTURE)
+    base = extract_mentions(t)
+    w1 = wave_extract(t, n_waves=1).drop("wave")
+    assert base.exceptAll(w1).isEmpty() and w1.exceptAll(base).isEmpty()
+
+
+def test_wave2_resolves_last_names_and_initials(spark):
+    t = _transcripts(spark, WAVE_FIXTURE)
+    m = wave_extract(t, n_waves=2)
+    w2 = m.where(F.col("wave") == 2).collect()
+    got = {(r["conv_id"], r["turn_idx"], r["text"]) for r in w2}
+    assert ("c1", 1, "Dana Rivera") in got        # LAST_NAME
+    # INITIALS — canonical surface is the observed one (trailing dot is
+    # captured by the ORG pattern; normalization strips it for identity)
+    assert ("c1", 2, "Acme Corporation.") in got
+    assert ("c2", 1, "Priya Sharma") in got
+    # wave-2 mentions map to the SAME entity ids as wave 1
+    dana = entity_id_py("PERSON", "dana rivera")
+    assert any(r["surface_id"] == dana for r in w2)
+    # wave-2 rows carry the observed span, not the canonical text's span
+    r = next(r for r in w2 if r["conv_id"] == "c1" and r["turn_idx"] == 1)
+    assert (r["start"], r["end"]) == (0, len("Rivera"))
+
+
+def test_wave2_skips_spans_already_extracted(spark):
+    # "Dana Rivera" in turn 0 contains the token "Rivera": wave 2 must NOT
+    # re-emit it inside an existing mention span
+    t = _transcripts(spark, WAVE_FIXTURE)
+    m = wave_extract(t, n_waves=2)
+    w2_turn0 = m.where((F.col("wave") == 2) & (F.col("turn_idx") == 0))
+    assert w2_turn0.count() == 0
+
+
+def test_wave_triples_connect_lastname_references(spark):
+    # the wave-2 virtual mention participates in triple extraction:
+    # "Rivera standardized on terraform" -> (Dana Rivera, uses_tool, terraform)
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+    from entity_extraction_service_spark.operators.triples import (
+        pattern_triples,
+        proximity_triples,
+    )
+
+    t = _transcripts(spark, WAVE_FIXTURE)
+    m = wave_extract(t, n_waves=2).drop("wave")
+    trip = pattern_triples(t, m).unionByName(proximity_triples(m))
+    dana = entity_id_py("PERSON", "dana rivera")
+    terraform = entity_id_py("TOOL", "terraform")
+    got = {(r["subj_id"], r["pred"], r["obj_id"]) for r in trip.collect()}
+    assert (dana, "uses_tool", terraform) in got
+
+
+def test_cross_wave_dedup_keeps_earlier_wave(spark):
+    rows = [
+        ("c1", 0, 0, "PERSON", "Dana Rivera", "dana rivera", "dana rivera",
+         0, 11, 0, 0.9, "model", "sid1", 1),
+        ("c1", 0, 0, "PERSON", "Dana Rivera", "dana rivera", "dana rivera",
+         0, 11, 0, 0.85, "wave2", "sid1", 2),
+    ]
+    ddl = (
+        "conv_id string, turn_idx int, chunk_idx int, entity_type string, text string, "
+        "norm_text string, group_norm string, start int, end int, global_start long, "
+        "confidence double, method string, surface_id string, wave int"
+    )
+    df = spark.createDataFrame(rows, ddl)
+    out = dedup_cross_wave(df).collect()
+    assert len(out) == 1 and out[0]["wave"] == 1
