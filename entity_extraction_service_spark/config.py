@@ -71,6 +71,10 @@ class PipelineConfig:
     # "chunkrows": window + groupBy/collect_list chunk rows (2 shuffles) —
     #   the operator-path twin kept for parity testing.
     fused_exec: str = "stream"
+    # R2 consumption: route conversations by strategy (skip empty/binary,
+    # per-strategy chunk granularity). Off by default — the routed path
+    # uses chunk rows, not the sorted-stream scan.
+    use_routing: bool = False
     # explicit shared checkpoint directory for the fused-stream parquet
     # materialization. REQUIRED on a multi-node cluster (must be a shared
     # filesystem / object store); when unset, local masters use

@@ -46,23 +46,39 @@ def with_routing(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 
     tokens = chars // 4 (size_detector.py:61-133); strategy thresholds map
     to the reference's SINGLE_PASS/THREE_WAVE/.../CHUNKED routing
-    (document_router.py:163-266). In this engine every path runs the same
-    DataFrame stages; the strategy column only selects chunk granularity
-    and is kept for parity/metrics.
+    (document_router.py:163-266), and the reference's edge cases
+    (:268-330) route first: an EMPTY conversation (no non-whitespace
+    text) and a BINARY-looking one (high non-word-char ratio — an
+    uploaded blob pasted into a chat) are skipped rather than extracted.
+    The strategy column is CONSUMED by route_chunk_turns (chunk
+    granularity + skip) — see pipeline use_routing.
     """
-    conv_chars = F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).over(
-        Window.partitionBy("conv_id")
+    w = Window.partitionBy("conv_id")
+    conv_chars = F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).over(w)
+    nonblank = F.sum(F.length(F.trim(F.coalesce(F.col("text"), F.lit(""))))).over(w)
+    # binary heuristic: share of chars outside \w\s and common punctuation
+    weird = F.length(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[\w\s.,;:!?'\"()\[\]{}@#$%&*+=/<>~^|-]", "")
     )
+    weird_ratio = F.sum(weird).over(w) / F.greatest(conv_chars, F.lit(1))
     size_cat = F.lit("LARGE")
     for name, bound in reversed(SIZE_BOUNDS):
         size_cat = F.when(conv_chars / 4 <= bound, F.lit(name)).otherwise(size_cat)
     strategy = (
-        F.when(F.col("size_category") == "VERY_SMALL", F.lit("SINGLE_PASS"))
+        F.when(F.col("_nonblank") == 0, F.lit("SKIP_EMPTY"))
+        .when(F.col("_weird_ratio") > 0.3, F.lit("SKIP_BINARY"))
+        .when(F.col("size_category") == "VERY_SMALL", F.lit("SINGLE_PASS"))
         .when(F.col("size_category") == "SMALL", F.lit("THREE_WAVE"))
         .when(F.col("size_category") == "MEDIUM", F.lit("FOUR_WAVE"))
         .otherwise(F.lit("THREE_WAVE_CHUNKED"))
     )
-    return transcripts.withColumn("size_category", size_cat).withColumn("strategy", strategy)
+    return (
+        transcripts.withColumn("size_category", size_cat)
+        .withColumn("_nonblank", nonblank)
+        .withColumn("_weird_ratio", weird_ratio)
+        .withColumn("strategy", strategy)
+        .drop("_nonblank", "_weird_ratio")
+    )
 
 
 def chunk_turns(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -77,6 +93,45 @@ def chunk_turns(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG)
     with_off = with_global_offsets(transcripts)
     return (
         with_off.withColumn("chunk_idx", (F.col("turn_idx") / k).cast("int"))
+        .groupBy("conv_id", "chunk_idx")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("turn_idx", "role", "text", "turn_offset"))
+            ).alias("turns")
+        )
+    )
+
+
+def route_chunk_turns(
+    transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """R2-CONSUMING chunker: the strategy column picks the chunk
+    granularity, and SKIP_* conversations never reach extraction.
+
+    - SKIP_EMPTY / SKIP_BINARY: dropped (router edge cases :268-330)
+    - SINGLE_PASS: whole conversation = one chunk (one model prompt —
+      the strategy's whole point for tiny documents)
+    - THREE_WAVE / FOUR_WAVE: standard K-turn chunks
+    - THREE_WAVE_CHUNKED: half-K chunks (bounded prompt size for LARGE
+      conversations, smart_chunker's >50K-char trigger analog)
+
+    Turn-local extraction semantics are chunk-size invariant, so routing
+    only changes prompt composition and task granularity, never the
+    mention set (tested)."""
+    routed = with_routing(transcripts, config)
+    kept = routed.where(~F.col("strategy").startswith("SKIP_"))
+    k = config.turns_per_chunk
+    chunk_of = (
+        F.when(F.col("strategy") == "SINGLE_PASS", F.lit(0))
+        .when(
+            F.col("strategy") == "THREE_WAVE_CHUNKED",
+            (F.col("turn_idx") / max(k // 2, 1)).cast("int"),
+        )
+        .otherwise((F.col("turn_idx") / k).cast("int"))
+    )
+    with_off = with_global_offsets(kept)
+    return (
+        with_off.withColumn("chunk_idx", chunk_of)
         .groupBy("conv_id", "chunk_idx")
         .agg(
             F.sort_array(

@@ -107,6 +107,167 @@ def _existing_tables(base_dir: str) -> list[str]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# S5 — MERGE/upsert semantics (graph_storage.py:200-312 analog: Supabase
+# upsert with Prefer: resolution=merge-duplicates on entity_id). In Spark
+# terms: MERGE INTO on Iceberg; parquet fallback = versioned snapshot
+# directories with an atomically-replaced _LATEST pointer. Incremental
+# batches accumulate into existing rows instead of full recompute.
+#
+# Exactness contract (same as the reference's): accumulation is keyed on
+# the deterministic entity_id / (subj, pred, obj) — exact-id merge.
+# Cross-batch FUZZY variant linking is out of scope for the upsert (as in
+# the reference, where the L2/L5 merge pass runs per-request); a corpus
+# whose surfaces are exact reproduces the from-scratch result bit-for-bit
+# (tested), because both aggregates below are associative.
+# ---------------------------------------------------------------------------
+
+
+def merge_entity_tables(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """Accumulate canonical entity rows on entity_id: occurrence-weighted
+    confidence, unioned variants/document_ids, higher-count representative."""
+    both = existing.unionByName(new)
+    agg = both.groupBy("entity_id").agg(
+        F.max_by(
+            F.struct("entity_text", "entity_type", "canonical_norm"),
+            F.struct(F.col("occurrence_count"), F.col("entity_text")),
+        ).alias("rep"),
+        (
+            F.sum(F.col("confidence") * F.col("occurrence_count"))
+            / F.sum("occurrence_count")
+        ).alias("confidence"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("variants")))).alias("variants"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("document_ids")))
+        ).alias("document_ids"),
+        F.sum("occurrence_count").alias("occurrence_count"),
+    )
+    return agg.select(
+        "entity_id",
+        F.col("rep.entity_text").alias("entity_text"),
+        F.col("rep.entity_type").alias("entity_type"),
+        F.col("rep.canonical_norm").alias("canonical_norm"),
+        "variants",
+        F.round("confidence", 6).alias("confidence"),
+        "document_ids", "occurrence_count",
+    )
+
+
+def merge_edge_tables(
+    existing: DataFrame, new: DataFrame, boost_factor: float = 0.1
+) -> DataFrame:
+    """Recombine stored edge rows on (subj, pred, obj) using the
+    associative partials (conf_sum / support / best) that
+    dedup_and_merge_triples emits, then recompute the T8 boost — exact
+    (sums of sums; max of maxima under the same total order)."""
+    from .triples import TRIPLE_METHOD_PRIORITY
+
+    both = existing.unionByName(new)
+    prio = F.lit(0)
+    for m, p in TRIPLE_METHOD_PRIORITY.items():
+        prio = F.when(F.col("method") == m, F.lit(p)).otherwise(prio)
+    ranked = both.withColumn("_prio", prio)
+    agg = ranked.groupBy("subj_id", "pred", "obj_id").agg(
+        F.max_by(
+            F.struct("best_confidence", "evidence", "conv_id", "turn_idx", "method"),
+            F.struct("_prio", "best_confidence", "conv_id", "turn_idx", "evidence"),
+        ).alias("best"),
+        F.sum("conf_sum").alias("conf_sum"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("methods")))).alias("methods"),
+        F.sum("support").alias("support"),
+    )
+    boosted = F.least(
+        F.lit(1.0),
+        F.col("best.best_confidence")
+        + boost_factor * (F.col("conf_sum") - F.col("best.best_confidence")),
+    )
+    return agg.select(
+        "subj_id", "pred", "obj_id",
+        F.round(boosted, 6).alias("confidence"),
+        F.col("best.conv_id").alias("conv_id"),
+        F.col("best.turn_idx").alias("turn_idx"),
+        F.col("best.evidence").alias("evidence"),
+        F.col("best.method").alias("method"),
+        "methods", "support", "conf_sum",
+        F.col("best.best_confidence").alias("best_confidence"),
+    )
+
+
+def _latest_path(base_dir: str, name: str) -> str | None:
+    marker = os.path.join(base_dir, name, "_LATEST")
+    try:
+        with open(marker) as f:
+            v = f.read().strip()
+        return os.path.join(base_dir, name, v)
+    except OSError:
+        return None
+
+
+def merge_into(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    new_df: DataFrame,
+    merge_fn,
+) -> str:
+    """Versioned MERGE: next snapshot = merge_fn(current, new); the
+    _LATEST pointer is replaced atomically (os.replace), so readers see
+    either the old or the new snapshot, never a partial one. With an
+    Iceberg catalog this whole function is `MERGE INTO`."""
+    table_dir = os.path.join(base_dir, name)
+    os.makedirs(table_dir, exist_ok=True)
+    cur = _latest_path(base_dir, name)
+    merged = new_df if cur is None else merge_fn(spark.read.parquet(cur), new_df)
+    version = f"v{int(time.time() * 1000):013d}"
+    out = os.path.join(table_dir, version)
+    merged.write.mode("overwrite").parquet(out)
+    tmp = os.path.join(table_dir, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(table_dir, "_LATEST"))
+    return out
+
+
+def run_with_merge(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    base_dir: str,
+    config=None,
+) -> dict[str, str]:
+    """Incremental pipeline run: process ONE batch of conversations and
+    MERGE its entities/edges into the store (vs run_with_checkpoint's
+    append-only bucket commits). Edges are stored UNFILTERED (pre-T9) so
+    a key whose confidence crosses the floor only after accumulation is
+    not lost; apply the floor at read time via read_edges()."""
+    from ..config import DEFAULT_CONFIG
+    from ..plans.pipeline import run_pipeline
+
+    cfg = config or DEFAULT_CONFIG
+    r = run_pipeline(transcripts, cfg, use_coref=False, apply_overall_filter=False)
+    paths = {
+        "entities": merge_into(spark, base_dir, "entities", r.entities, merge_entity_tables),
+        "edges": merge_into(
+            spark, base_dir, "edges", r.edges,
+            lambda a, b: merge_edge_tables(a, b, cfg.confidence_boost_factor),
+        ),
+    }
+    return paths
+
+
+def read_edges(spark: SparkSession, base_dir: str, confidence_floor: float = 0.6) -> DataFrame:
+    path = _latest_path(base_dir, "edges")
+    if path is None:
+        raise FileNotFoundError(f"no edges snapshot under {base_dir}")
+    return spark.read.parquet(path).where(F.col("confidence") >= confidence_floor)
+
+
+def read_entities(spark: SparkSession, base_dir: str) -> DataFrame:
+    path = _latest_path(base_dir, "entities")
+    if path is None:
+        raise FileNotFoundError(f"no entities snapshot under {base_dir}")
+    return spark.read.parquet(path)
+
+
 def stage_metrics(df: DataFrame, stage: str) -> DataFrame:
     """V3/V4 analog: per-stage row counts + confidence distribution buckets
     (high >= .8 / med .6-.8 / low), written to a run_metrics table."""

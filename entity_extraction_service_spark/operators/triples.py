@@ -453,6 +453,11 @@ def dedup_and_merge_triples(
         F.col("best.evidence").alias("evidence"),
         F.col("best.method").alias("method"),
         "methods", "support",
+        # associative partials: carrying these makes the edge row itself
+        # MERGE-able (S5): two stored rows for the same key recombine
+        # exactly (sum the sums, keep the better best, recompute boost)
+        F.col("_conf_sum").alias("conf_sum"),
+        F.col("best.confidence").alias("best_confidence"),
     )
 
 

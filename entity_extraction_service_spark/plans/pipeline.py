@@ -170,7 +170,16 @@ def _extract_fused(
         merged = merge_cross_source(resolved)
         return with_entity_surface_id(merged), None, None
 
-    if config.fused_exec == "stream":
+    if config.use_routing:
+        # R2-consuming path: strategy column picks chunk granularity and
+        # SKIP_EMPTY/SKIP_BINARY conversations never reach the UDF
+        from ..operators.assemble import route_chunk_turns
+
+        fused = extract_all_fused(
+            route_chunk_turns(transcripts, config), client_factory, config,
+            gen_triples, emit_verbs,
+        )
+    elif config.fused_exec == "stream":
         from ..operators.extract_stream import chunk_stream, extract_all_fused_stream
 
         fused = extract_all_fused_stream(
@@ -211,6 +220,7 @@ def run_pipeline(
     use_model_triples: bool = False,
     client_factory=None,
     triple_client_factory=None,
+    apply_overall_filter: bool = True,
 ) -> PipelineResult:
     # triples are generated turn-locally inside the fused scan unless
     # coref is on (virtual mentions must join in -> operator path)
@@ -257,7 +267,11 @@ def run_pipeline(
             allowMissingColumns=True,
         )
     validated = validate_triples(raw_triples, surface_map, config)
-    edges = filter_triples(dedup_and_merge_triples(validated, config), config)
+    edges = dedup_and_merge_triples(validated, config)
+    if apply_overall_filter:
+        # T9; incremental MERGE callers keep the unfiltered stream so a
+        # key crossing the floor only after accumulation is not lost
+        edges = filter_triples(edges, config)
 
     return PipelineResult(
         mentions=mentions,

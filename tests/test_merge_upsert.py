@@ -1,0 +1,75 @@
+"""S5 MERGE/upsert semantics (graph_storage.py:200-312 analog): a second
+batch of conversations merges into existing entities/edges, reproducing
+the from-scratch result — both aggregates are associative."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.checkpoint import (
+    read_edges,
+    read_entities,
+    run_with_merge,
+)
+from entity_extraction_service_spark.plans.pipeline import run_pipeline
+from entity_extraction_service_spark.sources.transcripts import (
+    transcripts_from_documents,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def merged_vs_scratch(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("merge_store"))
+    t = transcripts_from_documents(spark, SF_DIR)
+    doc_num = F.split("conv_id", "_").getItem(1).cast("long")
+    batch1 = t.where(doc_num % 2 == 0)
+    batch2 = t.where(doc_num % 2 == 1)
+    run_with_merge(spark, batch1, base)
+    run_with_merge(spark, batch2, base)
+    scratch = run_pipeline(t, use_coref=False)
+    return base, scratch
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_merged_entities_equal_from_scratch(spark, merged_vs_scratch):
+    base, scratch = merged_vs_scratch
+    cols = [
+        "entity_id", "entity_text", "entity_type", "occurrence_count",
+        "confidence", "document_ids", "variants",
+    ]
+    got = _rows(
+        read_entities(spark, base).withColumn(
+            "document_ids", F.array_sort("document_ids")
+        ).withColumn("variants", F.array_sort("variants")),
+        cols,
+    )
+    want = _rows(
+        scratch.entities.withColumn("document_ids", F.array_sort("document_ids"))
+        .withColumn("variants", F.array_sort("variants")),
+        cols,
+    )
+    assert got == want
+
+
+def test_merged_edges_equal_from_scratch(spark, merged_vs_scratch):
+    base, scratch = merged_vs_scratch
+    cols = ["subj_id", "pred", "obj_id", "confidence", "support", "methods"]
+    got = _rows(read_edges(spark, base), cols)
+    want = _rows(scratch.edges, cols)
+    assert got == want
+
+
+def test_second_batch_accumulates_not_replaces(spark, merged_vs_scratch):
+    base, scratch = merged_vs_scratch
+    # entities present in both batches must show document_ids from both
+    ents = read_entities(spark, base).where(F.size("document_ids") >= 2)
+    assert ents.count() > 0
+    sample = ents.limit(5).collect()
+    for r in sample:
+        nums = {int(d.split("_")[1]) % 2 for d in r["document_ids"]}
+        # the hot surfaces span both parities
+        assert nums <= {0, 1}

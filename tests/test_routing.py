@@ -1,0 +1,77 @@
+"""R1/R2 routing: decision table (size categories, strategies, edge
+cases — document_router.py:163-330 analog) and CONSUMPTION: the strategy
+column drives chunk granularity and skips, without changing the mention
+set of clean conversations."""
+
+import dataclasses
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.config import DEFAULT_CONFIG
+from entity_extraction_service_spark.operators.assemble import (
+    route_chunk_turns,
+    with_routing,
+)
+from entity_extraction_service_spark.plans.pipeline import extract_mentions
+
+DDL = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, "user", t, None, None) for c, i, t in rows], DDL
+    )
+
+
+def test_routing_decision_table(spark):
+    rows = (
+        [("tiny", 0, "Dana Rivera ran kubectl.")]
+        + [("small", i, "x" * 4000) for i in range(8)]          # ~32K chars
+        + [("medium", i, "x" * 4000) for i in range(100)]       # ~400K chars
+        + [("large", i, "x" * 4000) for i in range(200)]        # ~800K chars
+        + [("empty", 0, ""), ("empty", 1, "   ")]
+        + [("binary", 0, "\x00\x01\x02\x03\x04" * 200)]
+    )
+    routed = with_routing(_t(spark, rows))
+    got = {
+        r["conv_id"]: (r["size_category"], r["strategy"])
+        for r in routed.select("conv_id", "size_category", "strategy").distinct().collect()
+    }
+    assert got["tiny"] == ("VERY_SMALL", "SINGLE_PASS")
+    assert got["small"] == ("SMALL", "THREE_WAVE")
+    assert got["medium"] == ("MEDIUM", "FOUR_WAVE")
+    assert got["large"] == ("LARGE", "THREE_WAVE_CHUNKED")
+    assert got["empty"][1] == "SKIP_EMPTY"
+    assert got["binary"][1] == "SKIP_BINARY"
+
+
+def test_routed_chunker_consumes_strategy(spark):
+    rows = (
+        [("tiny", i, "hello there") for i in range(40)]  # VERY_SMALL, 40 turns
+        + [("empty", 0, "")]
+        + [("large", i, "x" * 4000) for i in range(200)]
+    )
+    chunks = route_chunk_turns(_t(spark, rows))
+    per_conv = {
+        r["conv_id"]: r["n"]
+        for r in chunks.groupBy("conv_id").agg(F.count("*").alias("n")).collect()
+    }
+    k = DEFAULT_CONFIG.turns_per_chunk
+    assert per_conv["tiny"] == 1                       # SINGLE_PASS: one chunk
+    assert "empty" not in per_conv                     # skipped
+    assert per_conv["large"] == 200 // max(k // 2, 1)  # half-K chunks
+
+
+def test_routed_pipeline_same_mentions_skips_junk(spark):
+    clean = [
+        ("c1", 0, "Dana Rivera works at Acme Corporation."),
+        ("c1", 1, "Priya Sharma ran kubectl to fix the build."),
+    ]
+    junk = [("e1", 0, ""), ("b1", 0, "\x00\x01\x02\x03" * 500)]
+    cfg = dataclasses.replace(DEFAULT_CONFIG, use_routing=True)
+    routed = extract_mentions(_t(spark, clean + junk), cfg)
+    plain = extract_mentions(_t(spark, clean))
+    key = ["conv_id", "turn_idx", "entity_type", "text", "start", "end"]
+    assert sorted(map(tuple, routed.select(*key).collect())) == sorted(
+        map(tuple, plain.select(*key).collect())
+    )
