@@ -507,6 +507,28 @@ def q_kg_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_d6_multipass_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 multipass aggregate over a genuine 2-pass stream: the wave
+    corpus unioned with a synthetic second extraction pass (same spans,
+    0.9x confidence, pass id +10) so every key actually merges two
+    passes — max-confidence wins, passes records both contributors."""
+    from entity_extraction_service_spark.operators.dedup import multipass_aggregate
+    from entity_extraction_service_spark.operators.waves import wave_extract
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir, with_lastname_turn=True)
+    m = wave_extract(t, n_waves=2)
+    second = m.withColumn("wave", F.col("wave") + F.lit(10)).withColumn(
+        "confidence", F.round(F.col("confidence") * 0.9, 6)
+    )
+    agg = multipass_aggregate(m.unionByName(second))
+    return agg.select(
+        "conv_id", "entity_type", "text", "turn_idx", "start", "end", "confidence",
+        F.concat_ws(",", F.col("passes").cast("array<string>")).alias("passes"),
+        "n_passes",
+    )
+
+
 def _md5_pick_num(salt: int, mod: int, base: int = 0) -> F.Column:
     """Deterministic md5-arithmetic number from conv_id (engine-portable)."""
     h = F.conv(
@@ -547,6 +569,42 @@ def q_citation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mentions = extract_mentions_regex(chunk_turns(turns))
     return component_rows(mentions)
+
+
+def q_v1_strategy_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 strategy-aware confidence recalculation over an md5-derived
+    grid of (strategy, method, base confidence, pass number) — exercises
+    all four scoring branches incl. the null-pass multipass fallback and
+    the base==0 -> 0.5 default."""
+    from entity_extraction_service_spark.functions.confidence import strategy_confidence
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("conv_id")
+    )
+    strategies = ["multipass", "ai_enhanced", "unified", "regex"]
+    methods = ["regex", "model", "hybrid"]
+    pn = _md5_pick_num(34, 10)
+    df = (
+        d.withColumn(
+            "strategy",
+            F.element_at(F.array(*[F.lit(s) for s in strategies]), (_md5_pick_num(31, 4) + 1).cast("int")),
+        )
+        .withColumn(
+            "method",
+            F.element_at(F.array(*[F.lit(m) for m in methods]), (_md5_pick_num(32, 3) + 1).cast("int")),
+        )
+        .withColumn("base", _md5_pick_num(33, 101) / F.lit(100).cast("double"))
+        .withColumn("pass_number", F.when(pn < 2, F.lit(None)).otherwise(pn).cast("int"))
+    )
+    return df.select(
+        "conv_id", "strategy", "method",
+        F.round(
+            strategy_confidence(
+                F.col("strategy"), F.col("method"), F.col("base"), F.col("pass_number")
+            ),
+            6,
+        ).alias("confidence"),
+    )
 
 
 def q_e12_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_candidates": q_e12_candidates,
         "citation_components": q_citation_components,
         "kg_waves": q_kg_waves,
+        "d6_multipass_aggregate": q_d6_multipass_aggregate,
+        "v1_strategy_confidence": q_v1_strategy_confidence,
     }
 
 
@@ -853,11 +913,28 @@ SELECT media_id, kind, CAST(8 AS INT) AS feature_dim,
        md5(concat_ws(',', {comp})) AS feature_fp
 FROM m
 """
+    # D6 re-aggregates the kg_waves stream doubled into two passes
+    # (second pass: 0.9x confidence, pass id +10) — max-confidence wins.
+    d6_multipass = (
+        "WITH w AS (\n" + kg_waves + "\n), u AS (\n"
+        '    SELECT conv_id, entity_type, text, turn_idx, "start", "end",\n'
+        "           confidence, wave AS pass FROM w\n"
+        "    UNION ALL\n"
+        '    SELECT conv_id, entity_type, text, turn_idx, "start", "end",\n'
+        "           round(confidence * 0.9, 6), wave + 10 FROM w\n"
+        ")\n"
+        'SELECT conv_id, entity_type, text, turn_idx, "start", "end",\n'
+        "       max(confidence) AS confidence,\n"
+        "       array_to_string(list_sort(list(DISTINCT pass)), ',') AS passes,\n"
+        "       count(*) AS n_passes\n"
+        'FROM u GROUP BY conv_id, entity_type, text, turn_idx, "start", "end"\n'
+    )
     return {
         "kg_mentions": kg_mentions,
         "kg_entities": kg_entities,
         "kg_edges": kg_edges,
         "kg_waves": kg_waves,
+        "d6_multipass_aggregate": d6_multipass,
         "media_features": media_features,
     }
 
@@ -944,11 +1021,53 @@ FROM (
            'domain', 'ex' || udom || '.io' FROM vals
 )
 """
+    v1_strategy_confidence = f"""
+WITH docs AS (
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id FROM documents
+), v AS (
+    SELECT conv_id,
+           list_extract(['multipass', 'ai_enhanced', 'unified', 'regex'],
+                        CAST({num(31, 4)} AS INT) + 1) AS strategy,
+           list_extract(['regex', 'model', 'hybrid'],
+                        CAST({num(32, 3)} AS INT) + 1) AS method,
+           {num(33, 101)} / CAST(100 AS DOUBLE) AS base0,
+           {num(34, 10)} AS pn
+    FROM docs
+), b AS (
+    SELECT conv_id, strategy, method,
+           CASE WHEN base0 > 0 THEN base0 ELSE CAST(0.5 AS DOUBLE) END AS base,
+           CASE WHEN pn < 2 THEN NULL ELSE CAST(pn AS INT) END AS pass_number
+    FROM v
+)
+SELECT conv_id, strategy, method,
+       round(CASE
+         WHEN strategy = 'multipass' THEN
+           CASE WHEN pass_number IS NOT NULL
+                THEN least(CAST(0.3 AS DOUBLE) + pass_number * CAST(0.1 AS DOUBLE),
+                           CAST(0.95 AS DOUBLE))
+                ELSE greatest(base, CAST(0.65 AS DOUBLE)) END
+         WHEN strategy = 'ai_enhanced' THEN
+           CAST(0.85 AS DOUBLE) * CAST(0.3 AS DOUBLE)
+           + (CASE WHEN method = 'regex' THEN CAST(0.9 AS DOUBLE)
+                   WHEN method = 'hybrid' THEN CAST(0.8 AS DOUBLE)
+                   ELSE CAST(0.6 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+           + base * CAST(0.4 AS DOUBLE)
+         WHEN strategy = 'unified' THEN
+           CASE WHEN method = 'model' THEN greatest(base, CAST(0.75 AS DOUBLE))
+                WHEN method = 'regex' THEN greatest(base, CAST(0.65 AS DOUBLE))
+                ELSE greatest(base, CAST(0.7 AS DOUBLE)) END
+         ELSE
+           CASE WHEN method = 'regex' THEN greatest(base, CAST(0.8 AS DOUBLE))
+                ELSE base END
+       END, 6) AS confidence
+FROM b
+"""
     return {
         "simhash_fingerprints": simhash_fingerprints,
         "simhash_near_dups": simhash_near_dups,
         "embedding_dot_pairs": embedding_dot_pairs,
         "citation_components": citation_components,
+        "v1_strategy_confidence": v1_strategy_confidence,
     }
 
 

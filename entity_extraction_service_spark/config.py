@@ -75,6 +75,12 @@ class PipelineConfig:
     # per-strategy chunk granularity). Off by default — the routed path
     # uses chunk rows, not the sorted-stream scan.
     use_routing: bool = False
+    # V1 strategy-aware confidence recalculation: re-score mention
+    # confidence from the router's per-conversation strategy
+    # (functions/confidence.py; extraction_service.py:3086-3146). Off by
+    # default — the method defaults already match the reference's
+    # non-strategy path (:3030-3062).
+    strategy_scoring: bool = False
     # explicit shared checkpoint directory for the fused-stream parquet
     # materialization. REQUIRED on a multi-node cluster (must be a shared
     # filesystem / object store); when unset, local masters use

@@ -1,0 +1,136 @@
+"""V1 — strategy-aware confidence recalculation (pure Catalyst).
+
+Reference: ExtractionService._calculate_strategy_confidence
+(/root/reference/src/core/extraction_service.py:3086-3146) plus the
+zero-confidence method defaults (:3030-3062). Every branch is column
+algebra — no UDF — so the recalculation folds into whatever project node
+precedes it (stays inside WholeStageCodegen, zero extra shuffles).
+
+Strategy vocabulary (reference ExtractionStrategy values):
+
+- ``multipass``    — progressive per-pass confidence min(0.3 + 0.1*pass,
+                     0.95); without a pass number, max(base, 0.65).
+- ``ai_enhanced``  — multi-signal weighted score 0.3*context +
+                     0.3*linguistic + 0.4*semantic(base). Signal mapping
+                     for mention rows: context is always present (every
+                     mention is extracted with its full turn in the
+                     prompt/window → 0.85); linguistic_pattern == came
+                     from the pattern corpus (method 'regex' → 0.9);
+                     validated == cross-method consensus (method
+                     'hybrid' → 0.8); otherwise 0.6.
+- ``unified``      — method-floored: model ≥ 0.75, regex ≥ 0.65,
+                     hybrid ≥ 0.7.
+- anything else    — default regex strategy: regex ≥ 0.8, others keep
+                     their base confidence.
+
+Router-strategy mapping (R2 → V1): the document router emits
+SINGLE_PASS/THREE_WAVE/FOUR_WAVE/THREE_WAVE_CHUNKED
+(operators/assemble.with_routing); waves are multi-pass extraction, the
+single-pass route is the unified extractor
+(document_router.py:163-266 ↔ extraction strategies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# R2 routing strategy -> V1 scoring strategy
+ROUTING_TO_SCORING = {
+    "SINGLE_PASS": "unified",
+    "THREE_WAVE": "multipass",
+    "FOUR_WAVE": "multipass",
+    "THREE_WAVE_CHUNKED": "multipass",
+}
+
+
+def method_default_confidence(method: Column) -> Column:
+    """Zero-confidence defaults by extraction method
+    (extraction_service.py:3030-3062): REGEX_ONLY 0.8, AI_DISCOVERED /
+    HYBRID_CONSENSUS 0.9, REGEX_WITH_AI_* 0.85, unknown 0.8."""
+    return (
+        F.when(method == "regex", F.lit(0.8))
+        .when(method == "model", F.lit(0.9))
+        .when(method.isin("hybrid", "coref"), F.lit(0.85))
+        .otherwise(F.lit(0.8))
+    )
+
+
+RELATIONSHIP_DEFAULT_CONFIDENCE = 0.7  # extraction_service.py:3060-3062
+
+
+def strategy_confidence(
+    strategy: Column,
+    method: Column,
+    base: Column,
+    pass_number: Column | None = None,
+    has_context: Column | None = None,
+) -> Column:
+    """The :3086-3146 scoring tree as one column expression."""
+    base = F.when(base > 0, base).otherwise(F.lit(0.5))  # :3109
+    if pass_number is None:
+        pass_number = F.lit(None).cast("int")
+    if has_context is None:
+        has_context = F.lit(True)
+
+    multipass = F.when(
+        pass_number.isNotNull(),
+        F.least(F.lit(0.3) + pass_number * F.lit(0.1), F.lit(0.95)),
+    ).otherwise(F.greatest(base, F.lit(0.65)))
+
+    context_score = F.when(has_context, F.lit(0.85)).otherwise(F.lit(0.5))
+    linguistic_score = (
+        F.when(method == "regex", F.lit(0.9))    # linguistic_pattern
+        .when(method == "hybrid", F.lit(0.8))    # validated
+        .otherwise(F.lit(0.6))
+    )
+    ai_enhanced = (
+        context_score * F.lit(0.3) + linguistic_score * F.lit(0.3) + base * F.lit(0.4)
+    )
+
+    unified = (
+        F.when(method == "model", F.greatest(base, F.lit(0.75)))
+        .when(method == "regex", F.greatest(base, F.lit(0.65)))
+        .otherwise(F.greatest(base, F.lit(0.7)))
+    )
+
+    default = F.when(method == "regex", F.greatest(base, F.lit(0.8))).otherwise(base)
+
+    return (
+        F.when(strategy == "multipass", multipass)
+        .when(strategy == "ai_enhanced", ai_enhanced)
+        .when(strategy == "unified", unified)
+        .otherwise(default)
+    )
+
+
+def recalculate_confidence(
+    mentions: DataFrame,
+    strategies: DataFrame | None = None,
+    strategy_col: str = "strategy",
+    pass_col: str = "wave",
+) -> DataFrame:
+    """Apply V1 to a mention stream.
+
+    ``strategies``: optional (conv_id, strategy) side table — typically
+    ``with_routing(transcripts).select('conv_id', 'strategy').distinct()``
+    mapped through ROUTING_TO_SCORING. Joined on conv_id (the stream is
+    already hash-partitioned by conv_id after any per-conv stage, so AQE
+    usually plans this shuffle-free or broadcasts the small side). When
+    absent, the stream's own ``strategy`` column is used, or the default
+    branch when neither exists.
+    """
+    df = mentions
+    if strategies is not None:
+        df = df.join(strategies, "conv_id", "left")
+    strat = (
+        F.col(strategy_col) if strategy_col in df.columns else F.lit(None).cast("string")
+    )
+    pass_number = F.col(pass_col).cast("int") if pass_col in df.columns else None
+    return df.withColumn(
+        "confidence",
+        F.round(
+            strategy_confidence(strat, F.col("method"), F.col("confidence"), pass_number),
+            6,
+        ),
+    )

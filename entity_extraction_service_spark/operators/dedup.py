@@ -89,6 +89,40 @@ def dedup_keep_first(mentions: DataFrame, order_cols: list[str] | None = None) -
     )
 
 
+def multipass_aggregate(mentions: DataFrame, pass_col: str = "wave") -> DataFrame:
+    """D6 — multipass aggregate (multi_pass_extractor.py:783-849): key
+    ``(conv, entity_type, text, global_start)`` — the reference's
+    ``f"{entity_type}:{text}:{start_position}"`` dedup key — keep max
+    confidence, record which passes contributed. A distinct keyed op
+    (unlike D2 it keys on the exact position, so repeated surface forms
+    stay separate rows). One hash shuffle with map-side partials; the
+    ``passes``/``n_passes`` columns are the Spark analog of the
+    reference's per-pass metrics + ``duplicates_removed`` counter.
+
+    ``norm_text``/``group_norm``/``surface_id`` are deterministic
+    functions of key columns, so min() is exact, not a tiebreak.
+    """
+    pass_expr = F.col(pass_col) if pass_col in mentions.columns else F.lit(1)
+    optional = [
+        F.min(c).alias(c)
+        for c in ("norm_text", "group_norm", "surface_id")
+        if c in mentions.columns
+    ]
+    return (
+        mentions.withColumn("_pass", pass_expr)
+        .groupBy("conv_id", "entity_type", "text", "global_start")
+        .agg(
+            F.max("confidence").alias("confidence"),
+            F.min("turn_idx").alias("turn_idx"),
+            F.min("start").alias("start"),
+            F.min("end").alias("end"),
+            *optional,
+            F.array_sort(F.collect_set("_pass")).alias("passes"),
+            F.count("*").alias("n_passes"),
+        )
+    )
+
+
 def conv_entity_rollup(mentions: DataFrame) -> DataFrame:
     """D2 — per-conversation entity rollup: one row per
     (conv_id, entity_type, group_norm) with the max-confidence

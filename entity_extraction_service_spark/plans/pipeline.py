@@ -240,6 +240,22 @@ def run_pipeline(
 
         mentions = mentions.persist(StorageLevel.DISK_ONLY)
 
+    if config.strategy_scoring:
+        # V1: router strategy -> scoring strategy, joined per-conv then
+        # recalculated as pure column algebra (functions/confidence.py)
+        from ..functions.confidence import ROUTING_TO_SCORING, recalculate_confidence
+        from ..operators.assemble import with_routing
+
+        scoring = F.lit(None).cast("string")
+        for routed, score in ROUTING_TO_SCORING.items():
+            scoring = F.when(F.col("strategy") == routed, F.lit(score)).otherwise(scoring)
+        strategies = (
+            with_routing(transcripts, config)
+            .select("conv_id", scoring.alias("strategy"))
+            .distinct()
+        )
+        mentions = recalculate_confidence(mentions, strategies)
+
     entities, surface_map = link_entities(mentions, config)
     # surface_map feeds BOTH sides of T6's existence joins (subj + obj) and
     # entities feeds the final agg — persist so each action computes linking

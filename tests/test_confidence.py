@@ -1,0 +1,133 @@
+"""V1 strategy-aware confidence recalculation
+(functions/confidence.py; reference extraction_service.py:3030-3146)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _score(spark, rows):
+    from entity_extraction_service_spark.functions.confidence import strategy_confidence
+
+    df = spark.createDataFrame(
+        rows, "strategy string, method string, base double, pass_number int"
+    )
+    out = df.withColumn(
+        "c",
+        F.round(
+            strategy_confidence(
+                F.col("strategy"), F.col("method"), F.col("base"), F.col("pass_number")
+            ),
+            6,
+        ),
+    )
+    return [r.c for r in out.collect()]
+
+
+def test_multipass_progressive_and_capped(spark):
+    # 0.3 + 0.1*pass, capped at 0.95; null pass -> max(base, 0.65)
+    got = _score(
+        spark,
+        [
+            ("multipass", "model", 0.9, 1),
+            ("multipass", "model", 0.9, 4),
+            ("multipass", "model", 0.9, 9),
+            ("multipass", "model", 0.9, None),
+            ("multipass", "model", 0.3, None),
+        ],
+    )
+    assert got == [0.4, 0.7, 0.95, 0.9, 0.65]
+
+
+def test_ai_enhanced_weighted_signals(spark):
+    # 0.3*0.85 + 0.3*linguistic + 0.4*base; linguistic: regex .9 /
+    # hybrid .8 / model .6
+    got = _score(
+        spark,
+        [
+            ("ai_enhanced", "regex", 0.5, None),
+            ("ai_enhanced", "hybrid", 0.5, None),
+            ("ai_enhanced", "model", 1.0, None),
+        ],
+    )
+    assert got == [
+        pytest.approx(0.255 + 0.27 + 0.2),
+        pytest.approx(0.255 + 0.24 + 0.2),
+        pytest.approx(0.255 + 0.18 + 0.4),
+    ]
+
+
+def test_unified_and_default_floors_and_zero_base(spark):
+    got = _score(
+        spark,
+        [
+            ("unified", "model", 0.5, None),   # floor 0.75
+            ("unified", "regex", 0.5, None),   # floor 0.65
+            ("unified", "hybrid", 0.5, None),  # floor 0.7
+            ("unified", "model", 0.9, None),   # base above floor wins
+            ("regex", "regex", 0.5, None),     # default: regex floor 0.8
+            ("regex", "model", 0.45, None),    # default: base kept
+            ("regex", "model", 0.0, None),     # base 0 -> 0.5 (:3109)
+        ],
+    )
+    assert got == [0.75, 0.65, 0.7, 0.9, 0.8, 0.45, 0.5]
+
+
+def test_recalculate_with_strategy_join_and_wave_pass(spark):
+    from entity_extraction_service_spark.functions.confidence import (
+        recalculate_confidence,
+    )
+
+    mentions = spark.createDataFrame(
+        [
+            ("c1", "model", 0.9, 2),  # multipass wave 2 -> 0.5
+            ("c2", "regex", 0.6, 1),  # unified regex -> 0.65
+            ("c3", "model", 0.42, 1),  # no strategy -> default keeps base
+        ],
+        "conv_id string, method string, confidence double, wave int",
+    )
+    strategies = spark.createDataFrame(
+        [("c1", "multipass"), ("c2", "unified")], "conv_id string, strategy string"
+    )
+    got = {
+        r.conv_id: r.confidence
+        for r in recalculate_confidence(mentions, strategies).collect()
+    }
+    assert got == {"c1": 0.5, "c2": 0.65, "c3": 0.42}
+
+
+def test_method_default_confidence(spark):
+    from entity_extraction_service_spark.functions.confidence import (
+        method_default_confidence,
+    )
+
+    df = spark.createDataFrame(
+        [("regex",), ("model",), ("hybrid",), ("coref",), ("other",)], "method string"
+    )
+    got = [
+        r.d
+        for r in df.select(
+            method_default_confidence(F.col("method")).alias("d")
+        ).collect()
+    ]
+    assert got == [0.8, 0.9, 0.85, 0.85, 0.8]
+
+
+def test_pipeline_strategy_scoring_flag(spark):
+    """strategy_scoring=True reroutes mention confidence through the
+    router strategies without changing the mention set."""
+    from dataclasses import replace
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+    from entity_extraction_service_spark.sources.transcripts import synthesize_transcripts
+
+    t, _ = synthesize_transcripts(spark, n_convs=6, seed=7, mean_turns=6)
+    base = run_pipeline(t, use_coref=False)
+    cfg = replace(DEFAULT_CONFIG, strategy_scoring=True)
+    scored = run_pipeline(t, cfg, use_coref=False)
+    a = base.mentions.select("conv_id", "turn_idx", "entity_type", "text").collect()
+    b = scored.mentions.select("conv_id", "turn_idx", "entity_type", "text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every scored confidence is a legal multipass/unified output
+    confs = {r.confidence for r in scored.mentions.select("confidence").collect()}
+    assert confs and all(0.3 <= c <= 1.0 for c in confs)

@@ -96,3 +96,44 @@ def test_cross_wave_dedup_keeps_earlier_wave(spark):
     df = spark.createDataFrame(rows, ddl)
     out = dedup_cross_wave(df).collect()
     assert len(out) == 1 and out[0]["wave"] == 1
+
+
+def test_d6_multipass_aggregate_merges_across_passes(spark):
+    from entity_extraction_service_spark.operators.dedup import multipass_aggregate
+
+    rows = [
+        # same key (conv, type, text, global_start) seen by passes 1 and 2
+        ("c1", 0, "PERSON", "Ada Lovelace", 5, 17, 5, 0.70, 1),
+        ("c1", 0, "PERSON", "Ada Lovelace", 5, 17, 5, 0.90, 2),
+        # same surface at a DIFFERENT position -> separate row (unlike D2)
+        ("c1", 3, "PERSON", "Ada Lovelace", 2, 14, 302, 0.60, 1),
+        # different type at same span -> separate row
+        ("c1", 0, "ORG", "Ada Lovelace", 5, 17, 5, 0.50, 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, entity_type string, text string, "
+        "start int, end int, global_start long, confidence double, wave int",
+    )
+    out = {
+        (r.entity_type, r.global_start): r
+        for r in multipass_aggregate(df).collect()
+    }
+    assert len(out) == 3
+    merged = out[("PERSON", 5)]
+    assert merged.confidence == 0.90 and merged.n_passes == 2
+    assert list(merged.passes) == [1, 2]
+    assert out[("PERSON", 302)].n_passes == 1
+    assert list(out[("ORG", 5)].passes) == [3]
+
+
+def test_d6_multipass_aggregate_without_pass_column(spark):
+    from entity_extraction_service_spark.operators.dedup import multipass_aggregate
+
+    df = spark.createDataFrame(
+        [("c1", 0, "TOOL", "spark", 0, 5, 0, 0.8)],
+        "conv_id string, turn_idx int, entity_type string, text string, "
+        "start int, end int, global_start long, confidence double",
+    )
+    row = multipass_aggregate(df).collect()[0]
+    assert list(row.passes) == [1] and row.n_passes == 1
