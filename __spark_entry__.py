@@ -347,12 +347,16 @@ def q_l9_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count("*").alias("occurrences"))
     )
-    j = deg.join(occ, "o_custkey")
-    max_deg = Window.partitionBy()
+    # scalar max via broadcast 1-row agg (like operators/graph.py:37) —
+    # not an unpartitioned window, which would funnel all rows through one
+    # task at scale
+    j = deg.join(occ, "o_custkey").crossJoin(
+        F.broadcast(deg.agg(F.max("degree").alias("max_degree")))
+    )
     return j.select(
         "o_custkey",
         F.round(
-            0.7 * (F.col("degree") / F.max("degree").over(max_deg))
+            0.7 * (F.col("degree") / F.col("max_degree"))
             + 0.3 * F.least(F.lit(1.0), F.col("occurrences") / 100.0),
             6,
         ).alias("centrality"),
@@ -929,6 +933,46 @@ FROM m
         "       count(*) AS n_passes\n"
         'FROM u GROUP BY conv_id, entity_type, text, turn_idx, "start", "end"\n'
     )
+    # E12 candidate generation: re-derive the 4 turn texts, rerun the three
+    # generator regexes (RE2/Java-compatible subset), keep-best per surface
+    e12_candidates = f"""
+WITH docs AS (
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+), picks AS (
+    SELECT conv_id, text,
+           {pick(1, persons)} AS p1,
+           {pick(2, persons)} AS p2,
+           {pick(3, list(ORG_NAMES))} AS org,
+           {pick(4, list(TOOL_NAMES))} AS tool,
+           {pick(5, list(CONCEPT_NAMES))} AS concept
+    FROM docs
+), turns AS (
+    SELECT conv_id, 0 AS turn_idx, p1 || ' works at ' || org || '.' AS text FROM picks
+    UNION ALL SELECT conv_id, 1, p2 || ' ran ' || tool || ' to fix the build.' FROM picks
+    UNION ALL SELECT conv_id, 2, org || ' has been discussing ' || concept || ' internally.' FROM picks
+    UNION ALL SELECT conv_id, 3, text FROM picks WHERE length(text) > 0
+), gen AS (
+    SELECT conv_id, turn_idx,
+           unnest(regexp_extract_all(text, '\\b([A-Z][a-z]+(?:\\s+[A-Z][a-z]+)+)\\b', 1)) AS text,
+           'capitalized' AS generator, CAST(0.5 AS DOUBLE) AS confidence
+    FROM turns
+    UNION ALL
+    SELECT conv_id, turn_idx,
+           unnest(regexp_extract_all(text, '"([^"]{{2,60}})"|''([^'']{{2,60}})''', 1)),
+           'quoted', CAST(0.45 AS DOUBLE)
+    FROM turns
+    UNION ALL
+    SELECT conv_id, turn_idx,
+           unnest(regexp_extract_all(text, '\\b([A-Z]{{2,6}})\\b', 1)),
+           'acronym', CAST(0.4 AS DOUBLE)
+    FROM turns
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, text,
+       arg_max(generator, confidence) AS generator,
+       max(confidence) AS confidence
+FROM gen WHERE length(text) > 1
+GROUP BY conv_id, turn_idx, text
+"""
     return {
         "kg_mentions": kg_mentions,
         "kg_entities": kg_entities,
@@ -936,6 +980,7 @@ FROM m
         "kg_waves": kg_waves,
         "d6_multipass_aggregate": d6_multipass,
         "media_features": media_features,
+        "e12_candidates": e12_candidates,
     }
 
 

@@ -116,39 +116,155 @@ class RuleBackedClient:
 
 
 # ---------------------------------------------------------------------------
-# E11 — JSON repair ladder (fresh implementation of the *strategy list* in
-# json_response_parser.py:105-660: strip wrappers, cut to outermost object,
-# drop trailing commas, balance brackets, then give up -> None).
+# E10 — guided-JSON response schema. The declared contract for the model
+# seam (guided_json_schemas.LurisEntityV2ExtractionResponse analog,
+# /root/reference/src/schemas/guided_json_schemas.py:104-366): a client
+# backed by a constrained-decoding server passes this as its guided_json
+# schema; engine-side, conform_entities() enforces the same invariants on
+# whatever came back (required fields, confidence in [0,1], non-negative
+# integer positions, end >= start), so a well-behaved pipeline does not
+# depend on the client honoring the constraint.
+# ---------------------------------------------------------------------------
+
+ENTITY_RESPONSE_SCHEMA: dict = {
+    "type": "object",
+    "properties": {
+        "entities": {
+            "type": "array",
+            "items": {
+                "type": "object",
+                "properties": {
+                    "entity_type": {"type": "string", "minLength": 1},
+                    "text": {"type": "string", "minLength": 1},
+                    "turn_idx": {"type": "integer", "minimum": 0},
+                    "start": {"type": "integer", "minimum": 0},
+                    "end": {"type": "integer", "minimum": 0},
+                    "confidence": {"type": "number", "minimum": 0.0, "maximum": 1.0},
+                },
+                "required": ["entity_type", "text", "turn_idx", "start", "end"],
+            },
+        },
+        "metadata": {"type": "object"},
+    },
+    "required": ["entities"],
+}
+
+# reference-style field aliases (LurisEntityV2 uses start_pos/end_pos and
+# forbids bare 'type'; we accept both spellings liberally and normalize)
+_FIELD_ALIASES = {"type": "entity_type", "start_pos": "start", "end_pos": "end"}
+
+
+def conform_entities(obj: dict | None) -> list[dict]:
+    """ENTITY_RESPONSE_SCHEMA enforcement over a parsed response: alias
+    normalization, required-field / type / range checks (guided_json_
+    schemas.py:177-251 validate_entities — but dropping bad entities
+    instead of raising: one malformed row must not void a whole Arrow
+    batch)."""
+    if not isinstance(obj, dict):
+        return []
+    ents = obj.get("entities")
+    if not isinstance(ents, list):
+        return []
+    out = []
+    for ent in ents:
+        if not isinstance(ent, dict):
+            continue
+        e = {_FIELD_ALIASES.get(k, k): v for k, v in ent.items()}
+        try:
+            if not (isinstance(e["entity_type"], str) and e["entity_type"]):
+                continue
+            if not (isinstance(e["text"], str) and e["text"]):
+                continue
+            ti, s, en = int(e["turn_idx"]), int(e["start"]), int(e["end"])
+        except (KeyError, TypeError, ValueError):
+            continue
+        if ti < 0 or s < 0 or en < s:
+            continue
+        conf = e.get("confidence")
+        if conf is not None:
+            if not isinstance(conf, (int, float)) or not (0.0 <= conf <= 1.0):
+                continue
+        e["turn_idx"], e["start"], e["end"] = ti, s, en
+        out.append(e)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# E11 — JSON repair ladder (fresh implementation of the *strategy list*
+# spread across the reference: multi_pass_extractor._repair_json_content
+# fixes 1-6 + _extract_json_fallback strategies 1-2 (:851-934), the
+# nested extracted_text unwrap (:631-668), and
+# vllm_resilience.ResponseValidator._attempt_json_repair (:231-258).
+# Ordered cheap-to-aggressive CANDIDATE list — the first candidate that
+# parses to a dict wins, so an aggressive rewrite can never corrupt a
+# response that an earlier, safer strategy already parses.
 # ---------------------------------------------------------------------------
 
 _FENCE_RE = re.compile(r"^```(?:json)?\s*|\s*```$", re.MULTILINE)
 _TRAILING_COMMA_RE = re.compile(r",\s*([}\]])")
+_DUP_CLOSE_RE = re.compile(r"\}\}+(?=\s*[,\]])")          # fix 1: {"a":1}}} , -> }
+_ENTITIES_OBJ_RE = re.compile(r'\{[^{}]*"entities"[^{}]*\[[^\]]*\][^{}]*\}', re.DOTALL)
+_ENTITIES_ARR_RE = re.compile(r'"entities"\s*:\s*(\[[^\]]*\])', re.DOTALL)
+_PY_LITERALS = ((re.compile(r"\bTrue\b"), "true"), (re.compile(r"\bFalse\b"), "false"),
+                (re.compile(r"\bNone\b"), "null"))
+
+
+def _repair_candidates(raw: str) -> Iterator[str]:
+    yield raw                                              # 1 raw parse
+    s = _FENCE_RE.sub("", raw).strip()
+    yield s                                                # 2 strip md fences
+    if "{" in s:
+        cut = s[s.index("{"): s.rfind("}") + 1] if "}" in s else s[s.index("{"):]
+        yield cut                                          # 3 outermost object
+        yield _TRAILING_COMMA_RE.sub(r"\1", cut)           # 4 trailing commas
+        opens = cut.count("{") - cut.count("}")
+        sq = cut.count("[") - cut.count("]")
+        if opens > 0 or sq > 0:                            # 5 balance brackets
+            yield cut + "]" * max(sq, 0) + "}" * max(opens, 0)
+        yield _DUP_CLOSE_RE.sub("}", cut)                  # 6 duplicated closers
+        # 7 combined aggressive pass (the reference applies its fixes
+        # cumulatively inside _repair_json_content)
+        agg = _TRAILING_COMMA_RE.sub(r"\1", _DUP_CLOSE_RE.sub("}", cut))
+        opens = agg.count("{") - agg.count("}")
+        sq = agg.count("[") - agg.count("]")
+        agg += "]" * max(sq, 0) + "}" * max(opens, 0)
+        yield agg
+        # 8 python-repr responses: single quotes / True / None
+        py = agg.replace("'", '"')
+        for pat, sub in _PY_LITERALS:
+            py = pat.sub(sub, py)
+        yield py
+    # 9 JSON object containing "entities" buried in prose
+    yield from _ENTITIES_OBJ_RE.findall(s)
+    # 10 bare entities array -> wrap
+    for arr in _ENTITIES_ARR_RE.findall(s):
+        yield '{"entities": ' + _TRAILING_COMMA_RE.sub(r"\1", arr) + "}"
+    # 11 standalone entity object -> wrap in an entities response (fix 6).
+    # Unlike the reference (entity-only parser) this ladder is shared with
+    # the triple parser, so only wrap objects that look like an entity —
+    # a valid {"triples": ...} response must pass through untouched.
+    if "entities" not in s and s.startswith("{") and "entity_type" in s:
+        yield '{"entities": [' + _TRAILING_COMMA_RE.sub(r"\1", s) + "]}"
 
 
 def repair_json(raw: str) -> dict | None:
+    """First candidate parsing to a dict WITH an ``entities`` key wins;
+    a dict without one is kept as fallback so the standalone-entity wrap
+    (strategy 11) still gets its chance."""
     if raw is None:
         return None
-    candidates = [raw]
-    s = _FENCE_RE.sub("", raw).strip()
-    candidates.append(s)
-    # cut to outermost braces
-    if "{" in s:
-        cut = s[s.index("{"): s.rfind("}") + 1] if "}" in s else s[s.index("{"):]
-        candidates.append(cut)
-        candidates.append(_TRAILING_COMMA_RE.sub(r"\1", cut))
-        # balance brackets
-        opens = cut.count("{") - cut.count("}")
-        sq = cut.count("[") - cut.count("]")
-        if opens > 0 or sq > 0:
-            candidates.append(cut + "]" * max(sq, 0) + "}" * max(opens, 0))
-    for c in candidates:
+    fallback = None
+    for c in _repair_candidates(raw):
         try:
             obj = json.loads(c)
-            if isinstance(obj, dict):
-                return obj
         except (json.JSONDecodeError, ValueError):
             continue
-    return None
+        if isinstance(obj, dict):
+            if "entities" in obj:
+                return obj
+            if fallback is None:
+                fallback = obj
+    return fallback
 
 
 def extract_mentions_fused(
@@ -236,7 +352,7 @@ def extract_mentions_fused(
                     continue
                 offsets = {t["turn_idx"]: t["turn_offset"] for t in turns}
                 texts = {t["turn_idx"]: t["text"] or "" for t in turns}
-                for ent in obj.get("entities", []):
+                for ent in conform_entities(obj):
                     try:
                         ti = int(ent["turn_idx"])
                         s, e = int(ent["start"]), int(ent["end"])
@@ -454,7 +570,7 @@ class _FusedKernel:
             obj = repair_json(resp)
             texts = {t["turn_idx"]: t["text"] or "" for t in turns}
             if obj:
-                for ent in obj.get("entities", []):
+                for ent in conform_entities(obj):
                     try:
                         ti = int(ent["turn_idx"])
                         s, e = int(ent["start"]), int(ent["end"])
@@ -622,7 +738,7 @@ def extract_mentions_model(
                     continue
                 offsets = {t["turn_idx"]: t["turn_offset"] for t in turns}
                 texts = {t["turn_idx"]: t["text"] or "" for t in turns}
-                for ent in obj.get("entities", []):
+                for ent in conform_entities(obj):
                     try:
                         ti = int(ent["turn_idx"])
                         s, e = int(ent["start"]), int(ent["end"])

@@ -43,7 +43,7 @@ from pyspark.sql import types as T
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.normalize import group_norm_py, normalize_text_py
 from .assemble import chunk_turns
-from .extract_model import repair_json
+from .extract_model import conform_entities, repair_json
 from .mentions import MENTION_SCHEMA
 
 WAVE_PROMPT_TEMPLATE = (
@@ -208,7 +208,7 @@ def _wave_pass(
                 texts = {t["turn_idx"]: t["text"] or "" for t in turns_l}
                 offsets = {t["turn_idx"]: t["turn_offset"] for t in turns_l}
                 known_ids = {k_["surface_id"] for k_ in known_l}
-                for ent in obj.get("entities", []):
+                for ent in conform_entities(obj):
                     try:
                         ti = int(ent["turn_idx"])
                         s, e = int(ent["start"]), int(ent["end"])

@@ -1,0 +1,137 @@
+"""E10 guided-JSON schema enforcement + E11 repair ladder
+(operators/extract_model.py; reference multi_pass_extractor.py:851-934,
+vllm_resilience.py:231-258, guided_json_schemas.py:104-366)."""
+
+import json
+
+from entity_extraction_service_spark.operators.extract_model import (
+    ENTITY_RESPONSE_SCHEMA,
+    conform_entities,
+    repair_json,
+)
+
+GOOD = {"entities": [{"entity_type": "PERSON", "text": "Ada", "turn_idx": 0, "start": 0, "end": 3}]}
+
+
+def test_repair_valid_passthrough():
+    assert repair_json(json.dumps(GOOD)) == GOOD
+
+
+def test_repair_fenced_and_trailing_comma():
+    raw = '```json\n{"entities": [{"entity_type": "X", "text": "t", "turn_idx": 0, "start": 0, "end": 1},]}\n```'
+    assert len(repair_json(raw)["entities"]) == 1
+
+
+def test_repair_unbalanced_brackets():
+    raw = '{"entities": [{"entity_type": "X", "text": "t", "turn_idx": 0, "start": 0, "end": 1}'
+    assert len(repair_json(raw)["entities"]) == 1
+
+
+def test_repair_duplicated_closing_braces():
+    # multi_pass_extractor.py:851-861 fixes 1-2: {...}}} , -> {...},
+    raw = ('{"entities": [{"entity_type": "X", "text": "a", "turn_idx": 0, "start": 0, "end": 1}}},'
+           ' {"entity_type": "Y", "text": "b", "turn_idx": 0, "start": 2, "end": 3}]}')
+    got = repair_json(raw)
+    assert got and len(got["entities"]) == 2
+
+
+def test_repair_json_buried_in_prose():
+    # fallback strategy 1 (:885-899)
+    raw = ('Sure! Here is the extraction you asked for:\n'
+           '{"entities": [{"entity_type": "X", "text": "t", "turn_idx": 0, "start": 0, "end": 1}]}'
+           "\nLet me know if you need anything else.")
+    assert len(repair_json(raw)["entities"]) == 1
+
+
+def test_repair_bare_entities_array():
+    # fallback strategy 2 (:901-911): the object wrapper is mangled but
+    # the entities array itself is intact
+    raw = 'garbage{{{ "entities": [{"entity_type": "X", "text": "t", "turn_idx": 0, "start": 0, "end": 1}] oops'
+    assert len(repair_json(raw)["entities"]) == 1
+
+
+def test_repair_standalone_entity_wrap():
+    # fix 6 (:876-879): a single bare entity object becomes a response
+    raw = '{"entity_type": "X", "text": "t", "turn_idx": 0, "start": 0, "end": 1}'
+    got = repair_json(raw)
+    assert got and len(got["entities"]) == 1 and got["entities"][0]["text"] == "t"
+
+
+def test_repair_python_repr():
+    raw = "{'entities': [{'entity_type': 'X', 'text': 't', 'turn_idx': 0, 'start': 0, 'end': 1, 'ok': True},"
+    got = repair_json(raw)
+    assert got and got["entities"][0]["ok"] is True
+
+
+def test_repair_hopeless_returns_none():
+    assert repair_json("no json here at all") is None
+    assert repair_json(None) is None
+
+
+def test_conform_drops_schema_violations():
+    ents = conform_entities(
+        {
+            "entities": [
+                {"entity_type": "PERSON", "text": "Ada", "turn_idx": 0, "start": 0, "end": 3},
+                {"entity_type": "", "text": "x", "turn_idx": 0, "start": 0, "end": 1},      # empty type
+                {"entity_type": "X", "text": "x", "turn_idx": 0, "start": 5, "end": 2},     # end < start
+                {"entity_type": "X", "text": "x", "turn_idx": -1, "start": 0, "end": 1},    # neg turn
+                {"entity_type": "X", "text": "x", "turn_idx": 0, "start": 0, "end": 1,
+                 "confidence": 1.5},                                                        # conf out of range
+                {"entity_type": "X", "text": "x", "start": 0, "end": 1},                    # missing turn_idx
+                "not a dict",
+            ]
+        }
+    )
+    assert len(ents) == 1 and ents[0]["text"] == "Ada"
+
+
+def test_conform_normalizes_reference_aliases():
+    # LurisEntityV2 spelling (type/start_pos/end_pos) is accepted
+    ents = conform_entities(
+        {"entities": [{"type": "ORG", "text": "Acme", "turn_idx": 2, "start_pos": 4, "end_pos": 8}]}
+    )
+    assert ents == [{"entity_type": "ORG", "text": "Acme", "turn_idx": 2, "start": 4, "end": 8}]
+
+
+def test_conform_non_dict_inputs():
+    assert conform_entities(None) == []
+    assert conform_entities({"entities": "nope"}) == []
+
+
+def test_schema_constant_shape():
+    # the declared guided-json contract matches what conform enforces
+    item = ENTITY_RESPONSE_SCHEMA["properties"]["entities"]["items"]
+    assert set(item["required"]) == {"entity_type", "text", "turn_idx", "start", "end"}
+    assert item["properties"]["confidence"]["maximum"] == 1.0
+
+
+def test_extraction_with_reference_style_client(spark):
+    """End-to-end: a client speaking LurisEntityV2 field names inside a
+    prose-wrapped, trailing-comma response yields the same mentions as
+    the clean client (E10 + E11 together)."""
+    from entity_extraction_service_spark.operators.extract_model import (
+        RuleBackedClient,
+        extract_mentions_model,
+    )
+    from entity_extraction_service_spark.operators.assemble import chunk_turns
+    from entity_extraction_service_spark.sources.transcripts import synthesize_transcripts
+
+    transcripts, _ = synthesize_transcripts(spark, n_convs=5, seed=11, mean_turns=5)
+
+    class RefStyleSloppyClient(RuleBackedClient):
+        def generate_batch(self, prompts, payloads):
+            out = []
+            for resp in super().generate_batch(prompts, payloads):
+                obj = json.loads(resp)
+                for e in obj["entities"]:
+                    e["type"] = e.pop("entity_type")
+                    e["start_pos"] = e.pop("start")
+                    e["end_pos"] = e.pop("end")
+                out.append("Here you go:\n```json\n" + json.dumps(obj).rstrip("}") + ",}\n```")
+            return out
+
+    chunks = chunk_turns(transcripts).persist()
+    clean = extract_mentions_model(chunks).collect()
+    sloppy = extract_mentions_model(chunks, client_factory=RefStyleSloppyClient).collect()
+    assert sorted(map(tuple, clean)) == sorted(map(tuple, sloppy)) and len(clean) > 0
