@@ -1,0 +1,106 @@
+"""V4 — pipeline performance monitoring (Spark-native).
+
+Reference: PerformanceMonitor (/root/reference/src/core/performance_monitor.py
+:24-300) keeps rolling per-operation latency metrics, tier classification,
+and aggregated distributions inside the service process. A batch engine
+gets most of that from Spark itself (UI/event-log stage metrics), so this
+module covers the pieces a pipeline operator actually needs:
+
+- **Observed stage metrics with zero extra jobs**: ``observe(df, stage)``
+  attaches a ``pyspark.sql.Observation`` computing row count and
+  confidence statistics as a side effect of whatever action the caller
+  already runs — no second ``count()`` pass over a 100 TB stream, which
+  is the difference between monitoring and doubling the bill.
+- **Wall-clock stage timers**: ``time_stage(stage)`` context manager +
+  the reference's latency tier ladder (``classify_tier``,
+  performance_monitor.py:24-33) for the model-client seam.
+- **A run_metrics row**: ``snapshot()`` merges observations, timings and
+  executor info into one flat dict; ``metrics_df(spark)`` turns it into
+  a one-row DataFrame appendable to a ``run_metrics`` table (S6-style
+  results store).
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+# reference tier ladder (performance_monitor.py:24-33)
+_TIERS = (
+    (100, "SS+ Lightning"),
+    (250, "SS Ultra-Fast"),
+    (500, "S+ Exceptional"),
+    (1000, "A Fast"),
+    (2000, "B Standard"),
+    (5000, "C Slow"),
+)
+
+
+def classify_tier(response_time_ms: float) -> str:
+    for bound, name in _TIERS:
+        if response_time_ms < bound:
+            return name
+    return "D Very Slow"
+
+
+class PipelineMonitor:
+    def __init__(self) -> None:
+        self._observations: dict[str, Observation] = {}
+        self._timings_ms: dict[str, float] = {}
+
+    # -- observed metrics (free at the next action) ----------------------
+    def observe(self, df: DataFrame, stage: str, confidence: bool = True) -> DataFrame:
+        """Attach an Observation to ``df``; metrics materialize when the
+        caller's action runs. Re-observing a stage name replaces it."""
+        metrics = [F.count(F.lit(1)).alias("rows")]
+        if confidence and "confidence" in df.columns:
+            metrics += [
+                F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+                F.min("confidence").alias("min_confidence"),
+                F.max("confidence").alias("max_confidence"),
+                F.count(F.when(F.col("confidence") < 0.5, 1)).alias("low_confidence_rows"),
+            ]
+        obs = Observation(stage)
+        self._observations[stage] = obs
+        return df.observe(obs, *metrics)
+
+    # -- wall-clock timers ------------------------------------------------
+    @contextmanager
+    def time_stage(self, stage: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self._timings_ms[stage] = round((time.perf_counter() - t0) * 1000, 3)
+
+    def tier(self, stage: str) -> str | None:
+        ms = self._timings_ms.get(stage)
+        return None if ms is None else classify_tier(ms)
+
+    # -- aggregation ------------------------------------------------------
+    def snapshot(self, spark: SparkSession | None = None) -> dict:
+        """One flat metrics dict. Only call after the observed DataFrames'
+        actions have run — Observation.get blocks until then."""
+        out: dict = {}
+        for stage, obs in self._observations.items():
+            for k, v in obs.get.items():
+                out[f"{stage}.{k}"] = v
+        for stage, ms in self._timings_ms.items():
+            out[f"{stage}.wall_ms"] = ms
+            out[f"{stage}.tier"] = classify_tier(ms)
+        if spark is not None:
+            out["default_parallelism"] = spark.sparkContext.defaultParallelism
+            out["active_jobs"] = len(
+                spark.sparkContext.statusTracker().getActiveJobsIds()
+            )
+        return out
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        """snapshot() as a one-row DataFrame (string-typed values so the
+        run_metrics table schema is stable across stages/metrics)."""
+        snap = self.snapshot(spark)
+        rows = [(k, str(v)) for k, v in sorted(snap.items())]
+        return spark.createDataFrame(rows, "metric string, value string")

@@ -1,0 +1,61 @@
+"""V4 pipeline monitoring (monitoring.py; reference
+performance_monitor.py:24-300)."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.monitoring import PipelineMonitor, classify_tier
+
+
+def test_tier_ladder():
+    assert classify_tier(50) == "SS+ Lightning"
+    assert classify_tier(176) == "SS Ultra-Fast"
+    assert classify_tier(400) == "S+ Exceptional"
+    assert classify_tier(999) == "A Fast"
+    assert classify_tier(1500) == "B Standard"
+    assert classify_tier(3000) == "C Slow"
+    assert classify_tier(10000) == "D Very Slow"
+
+
+def test_observe_counts_without_extra_job(spark):
+    mon = PipelineMonitor()
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") / 100.0).alias("confidence")
+    )
+    observed = mon.observe(df, "stage_a")
+    n = observed.count()  # the caller's own action materializes metrics
+    snap = mon.snapshot()
+    assert snap["stage_a.rows"] == n == 100
+    assert snap["stage_a.min_confidence"] == 0.0
+    assert snap["stage_a.max_confidence"] == 0.99
+    assert snap["stage_a.low_confidence_rows"] == 50
+
+
+def test_observe_without_confidence_column(spark):
+    mon = PipelineMonitor()
+    observed = mon.observe(spark.range(7), "plain")
+    observed.count()
+    assert mon.snapshot() == {"plain.rows": 7}
+
+
+def test_timings_and_metrics_df(spark):
+    mon = PipelineMonitor()
+    with mon.time_stage("linking"):
+        pass
+    snap = mon.snapshot(spark)
+    assert "linking.wall_ms" in snap and snap["linking.tier"] == "SS+ Lightning"
+    assert snap["default_parallelism"] >= 1
+    rows = {r.metric: r.value for r in mon.metrics_df(spark).collect()}
+    assert "linking.wall_ms" in rows
+
+
+def test_observe_over_pipeline_mentions(spark):
+    from entity_extraction_service_spark.plans.pipeline import extract_mentions
+    from entity_extraction_service_spark.sources.transcripts import synthesize_transcripts
+
+    t, _ = synthesize_transcripts(spark, n_convs=4, seed=3, mean_turns=4)
+    mon = PipelineMonitor()
+    m = mon.observe(extract_mentions(t), "mentions")
+    n = m.count()
+    snap = mon.snapshot()
+    assert snap["mentions.rows"] == n > 0
+    assert 0.0 <= snap["mentions.avg_confidence"] <= 1.0
