@@ -743,11 +743,10 @@ WITH docs AS (
     SELECT conv_id, 0 AS turn_idx, 'PERSON' AS entity_type, p1 AS text,
            0 AS s, length(p1) AS e, CAST(0 AS BIGINT) AS turn_offset FROM offsets
     UNION ALL
-    -- the ORG pattern's optional trailing dot captures the sentence-final
-    -- '.' in turn 0 (operators/mentions.py build_pattern_table), so the
-    -- raw surface includes it; normalization strips it back off
-    SELECT conv_id, 0, 'ORG', org || '.', length(p1) + 10,
-           length(p1) + 10 + length(org) + 1, 0 FROM offsets
+    -- the ORG pattern leaves the sentence-final '.' of turn 0 outside the
+    -- surface (patterns/core.yaml org_suffixed lookahead boundary)
+    SELECT conv_id, 0, 'ORG', org, length(p1) + 10,
+           length(p1) + 10 + length(org), 0 FROM offsets
     UNION ALL
     SELECT conv_id, 1, 'PERSON', p2, 0, length(p2), len0 + 1 FROM offsets
     UNION ALL

@@ -97,6 +97,7 @@ class PipelineConfig:
     predicates: tuple[str, ...] = (
         "works_for", "uses_tool", "discusses", "mentions", "replies_to", "related_to",
         "works_on", "operates", "tracked_in", "released_as", "raised_by",
+        "deployed_in", "runs_on", "affects",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -117,11 +118,16 @@ class PipelineConfig:
         ("SERVICE", "VERSION", "released_as"),
         ("SERVICE", "TOOL", "uses_tool"),
         ("ERROR_CODE", "SERVICE", "raised_by"),
+        ("SERVICE", "CLOUD_REGION", "deployed_in"),
+        ("SERVICE", "HOSTNAME", "runs_on"),
+        ("CVE", "SERVICE", "affects"),
     )
 
     entity_types: tuple[str, ...] = (
         "PERSON", "ORG", "TOOL", "CONCEPT", "SERVICE", "VERSION", "IP_ADDR",
         "PATH", "SHA", "TICKET", "URL", "EMAIL", "DATE_ISO", "MONEY", "ERROR_CODE",
+        "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION", "CLOUD_REGION",
+        "HOSTNAME", "CHANNEL",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

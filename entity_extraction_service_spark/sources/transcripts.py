@@ -105,11 +105,18 @@ DISTRACTOR_TURNS = [
     "lunch and learn is cancelled this friday.",
 ]
 
+# (tool, text, expected mentions) — the observability patterns
+# (patterns/observability.yaml) legitimately fire on tool output, so the
+# ground truth labels those surfaces too
 TOOL_OUTPUT_TURNS = [
-    ("ci", "exit code 0; 212 tests passed."),
-    ("linter", "0 errors, 3 warnings."),
-    ("deploy", "rollout complete: 12/12 pods healthy."),
-    ("monitor", "p99 latency 240ms, error rate 0.02%."),
+    ("ci", "exit code 0; 212 tests passed.", ()),
+    ("linter", "0 errors, 3 warnings.", ()),
+    ("deploy", "rollout complete: 12/12 pods healthy.", ()),
+    (
+        "monitor",
+        "p99 latency 240ms, error rate 0.02%.",
+        (("DURATION", "240ms"), ("PERCENT", "0.02%")),
+    ),
 ]
 
 # fact templates: (template, subj_type, obj_type, predicate)
@@ -222,8 +229,12 @@ def _conv_rows(
         role, tool, text = "user", None, None
 
         if roll < 0.15:
-            tool, text = rng.choice(TOOL_OUTPUT_TURNS)
+            tool, text, tool_mentions = rng.choice(TOOL_OUTPUT_TURNS)
             role = "tool"
+            if gt is not None:
+                for m_type, m_surface in tool_mentions:
+                    _record_entity(gt, m_type, m_surface, conv_id)
+                    _record_mention(gt, conv_id, ti, m_type, m_surface, text)
         elif roll < 0.35:
             text = rng.choice(DISTRACTOR_TURNS)
             role = rng.choice(["user", "assistant"])

@@ -50,6 +50,26 @@ NEW_TYPE_FIXTURES = {
         ("MONEY", "$12,400"),
         ("SHA", "9f8a3c1"),
     },
+    "patched CVE-2024-12345 on db-3.prod.internal in us-east-1": {
+        ("CVE", "CVE-2024-12345"),
+        ("HOSTNAME", "db-3.prod.internal"),
+        ("CLOUD_REGION", "us-east-1"),
+    },
+    "request 123e4567-e89b-12d3-a456-426614174000 got HTTP 503 after 250ms": {
+        ("UUID", "123e4567-e89b-12d3-a456-426614174000"),
+        ("HTTP_STATUS", "503"),
+        ("DURATION", "250ms"),
+    },
+    "error rate 3.5% discussed in #incident-4521": {
+        ("PERCENT", "3.5%"),
+        ("CHANNEL", "#incident-4521"),
+    },
+    # overlap guards: a CVE id must not also yield a TICKET, a UUID must
+    # not shed SHA fragments, "$30m" is MONEY not DURATION
+    "budget is $30m for CVE-2021-44228 remediation": {
+        ("MONEY", "$30m"),
+        ("CVE", "CVE-2021-44228"),
+    },
 }
 
 

@@ -42,9 +42,9 @@ def test_wave2_resolves_last_names_and_initials(spark):
     w2 = m.where(F.col("wave") == 2).collect()
     got = {(r["conv_id"], r["turn_idx"], r["text"]) for r in w2}
     assert ("c1", 1, "Dana Rivera") in got        # LAST_NAME
-    # INITIALS — canonical surface is the observed one (trailing dot is
-    # captured by the ORG pattern; normalization strips it for identity)
-    assert ("c1", 2, "Acme Corporation.") in got
+    # INITIALS — canonical surface is the observed dot-less ORG form
+    # (the sentence-final '.' stays outside the pattern boundary)
+    assert ("c1", 2, "Acme Corporation") in got
     assert ("c2", 1, "Priya Sharma") in got
     # wave-2 mentions map to the SAME entity ids as wave 1
     dana = entity_id_py("PERSON", "dana rivera")
