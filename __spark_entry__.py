@@ -628,6 +628,48 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_l1_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+L3 blocked candidate pairs over the derived corpus. The blocking
+    self-join (compat-group + first-token key, block cap) and the JVM-side
+    prefilters (length ratio, token Jaccard) are pure Catalyst, so the
+    DuckDB oracle replays them exactly; the L2 Python scorer sits
+    downstream of this check (covered by the P/R gate)."""
+    from entity_extraction_service_spark.operators.linking import (
+        candidate_pairs,
+        surface_forms,
+    )
+    from entity_extraction_service_spark.plans.pipeline import extract_mentions
+    from entity_extraction_service_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    mentions = extract_mentions(transcripts_from_documents(spark, sf_dir))
+    return candidate_pairs(surface_forms(mentions))
+
+
+def q_s5_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 MERGE/upsert semantics (graph_storage.py:200-312 analog): run the
+    pipeline independently on two disjoint halves of the corpus, MERGE the
+    canonical entity tables on entity_id, and the merged table must equal a
+    full-corpus run — the oracle is the kg_entities SQL verbatim."""
+    from entity_extraction_service_spark.operators.checkpoint import (
+        merge_entity_tables,
+    )
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+    from entity_extraction_service_spark.sources.transcripts import (
+        transcripts_from_documents,
+    )
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    doc_no = F.substring_index("conv_id", "_", -1).cast("long")
+    a = run_pipeline(tr.where(doc_no % 2 == 0), use_coref=False)
+    b = run_pipeline(tr.where(doc_no % 2 == 1), use_coref=False)
+    merged = merge_entity_tables(a.entities, b.entities)
+    return merged.select(
+        "entity_id", "entity_text", "entity_type", "occurrence_count", "confidence"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "d2_dedup_group_max": q_d2_dedup_group_max,
@@ -674,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_waves": q_kg_waves,
         "d6_multipass_aggregate": q_d6_multipass_aggregate,
         "v1_strategy_confidence": q_v1_strategy_confidence,
+        "l1_candidate_pairs": q_l1_candidate_pairs,
+        "s5_merge_incremental": q_s5_merge_incremental,
     }
 
 
@@ -972,6 +1016,43 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, text,
 FROM gen WHERE length(text) > 1
 GROUP BY conv_id, turn_idx, text
 """
+    # L1+L3 blocking oracle: distinct surfaces -> compat-group + first-token
+    # blocked self-join with the block cap and the two JVM prefilters
+    # (length ratio >= t/(2-t) with t = min(0.85, 0.7); token Jaccard >= 0.2)
+    # — a 1:1 replay of operators/linking.py candidate_pairs. rep_text =
+    # min(text) is exact here: every surface in the derived corpus has a
+    # single raw casing (see kg_entities).
+    l1_candidate_pairs = base + """
+, surfaces AS (
+    SELECT entity_type, group_norm, surface_id, min(text) AS rep_text,
+           string_split_regex(group_norm, '\\s+')[1] AS block_key,
+           CASE WHEN entity_type IN ('SERVICE', 'TOOL') THEN 'SERVICE|TOOL'
+                ELSE entity_type END AS compat_group
+    FROM mentions_id
+    GROUP BY entity_type, group_norm, surface_id
+), capped AS (
+    SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY compat_group, block_key) AS block_n
+        FROM surfaces
+    ) WHERE block_n <= 1000
+)
+SELECT type_a, type_b, norm_a, text_a, id_a, norm_b, text_b, id_b
+FROM (
+    SELECT a.entity_type AS type_a, b.entity_type AS type_b,
+           a.group_norm AS norm_a, a.rep_text AS text_a, a.surface_id AS id_a,
+           b.group_norm AS norm_b, b.rep_text AS text_b, b.surface_id AS id_b,
+           list_distinct(string_split_regex(a.group_norm, '\\s+')) AS ta,
+           list_distinct(string_split_regex(b.group_norm, '\\s+')) AS tb
+    FROM capped a JOIN capped b
+      ON a.compat_group = b.compat_group AND a.block_key = b.block_key
+     AND (a.group_norm < b.group_norm
+          OR (a.group_norm = b.group_norm AND a.entity_type < b.entity_type))
+)
+WHERE least(length(norm_a), length(norm_b))
+      / greatest(length(norm_a), length(norm_b)) >= 0.7 / (2 - 0.7)
+  AND len(list_distinct(list_intersect(ta, tb)))
+      / len(list_distinct(list_concat(ta, tb))) >= 0.2
+"""
     return {
         "kg_mentions": kg_mentions,
         "kg_entities": kg_entities,
@@ -980,6 +1061,9 @@ GROUP BY conv_id, turn_idx, text
         "d6_multipass_aggregate": d6_multipass,
         "media_features": media_features,
         "e12_candidates": e12_candidates,
+        "l1_candidate_pairs": l1_candidate_pairs,
+        # S5 incremental merge must reproduce the full-corpus entity table
+        "s5_merge_incremental": kg_entities,
     }
 
 
