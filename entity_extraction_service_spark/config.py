@@ -98,6 +98,7 @@ class PipelineConfig:
         "works_for", "uses_tool", "discusses", "mentions", "replies_to", "related_to",
         "works_on", "operates", "tracked_in", "released_as", "raised_by",
         "deployed_in", "runs_on", "affects",
+        "listens_on", "built_from", "stores_in", "configured_by", "scheduled_as",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -121,6 +122,13 @@ class PipelineConfig:
         ("SERVICE", "CLOUD_REGION", "deployed_in"),
         ("SERVICE", "HOSTNAME", "runs_on"),
         ("CVE", "SERVICE", "affects"),
+        ("SERVICE", "PORT", "listens_on"),
+        ("SERVICE", "DOCKER_IMAGE", "built_from"),
+        ("SERVICE", "OBJECT_URI", "stores_in"),
+        ("SERVICE", "ENV_VAR", "configured_by"),
+        ("SERVICE", "CRON_EXPR", "scheduled_as"),
+        ("SERVICE", "K8S_RESOURCE", "runs_on"),
+        ("PERSON", "PR_NUMBER", "works_on"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -128,6 +136,9 @@ class PipelineConfig:
         "PATH", "SHA", "TICKET", "URL", "EMAIL", "DATE_ISO", "MONEY", "ERROR_CODE",
         "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION", "CLOUD_REGION",
         "HOSTNAME", "CHANNEL",
+        "ENV_VAR", "FEATURE_FLAG", "K8S_RESOURCE", "DOCKER_IMAGE", "GIT_BRANCH",
+        "PR_NUMBER", "DATA_SIZE", "PORT", "CIDR", "MAC_ADDR", "LOG_LEVEL",
+        "USER_HANDLE", "TIME_HHMM", "OBJECT_URI", "CRON_EXPR", "METRIC_NAME",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

@@ -139,6 +139,30 @@ COREF_FOLLOWUPS = [
     ("they used {o} to verify the fix.", "TOOL", "uses_tool"),
 ]
 
+# devops facts exercising the patterns/devops.yaml types end-to-end:
+# (template, subj_type, obj_type, obj_surfaces, predicate). The subject
+# precedes the object and the gap stays <= 80 chars so the T3 proximity
+# rule fires above the T9 confidence floor; predicates come from the
+# ordered type-pair table (config.type_pair_predicates).
+FIXTURE_SERVICES = [
+    "auth-service", "billing-service", "checkout-service",
+    "search-service", "ingest-service", "notify-service",
+]
+DEVOPS_FACTS = [
+    ("{s} is listening on port {o}.", "SERVICE", "PORT",
+     ["8080", "9090", "5432", "6379"], "listens_on"),
+    ("{s} is built from {o}.", "SERVICE", "DOCKER_IMAGE",
+     ["ghcr.io/acme/api:1.4.2", "ghcr.io/acme/worker:2.0.1",
+      "quay.io/data/etl:2024.11"], "built_from"),
+    ("{s} writes to {o}.", "SERVICE", "OBJECT_URI",
+     ["s3://acme-logs/raw", "s3://ml-feats/daily", "gs://acme-backups/pg"],
+     "stores_in"),
+    ("{s} reads {o} at boot.", "SERVICE", "ENV_VAR",
+     ["DATABASE_URL", "REDIS_HOST", "KAFKA_BROKERS"], "configured_by"),
+    ("{s} merged {o} yesterday.", "PERSON", "PR_NUMBER",
+     ["PR #482", "PR #1293", "PR #2088"], "works_on"),
+]
+
 
 @dataclass
 class GroundTruth:
@@ -248,6 +272,21 @@ def _conv_rows(
                 s_id = gt.canonical_id("PERSON", last_person)
                 o_id = _record_entity(gt, obj_type, obj, conv_id)
                 _record_mention(gt, conv_id, ti, obj_type, obj, text)
+                _record_triple(gt, conv_id, s_id, pred, o_id)
+        elif roll < 0.58:
+            # devops fact turn (patterns/devops.yaml types, SERVICE subjects)
+            tmpl, s_type, o_type, surfaces, pred = rng.choice(DEVOPS_FACTS)
+            subj = rng.choice(FIXTURE_SERVICES) if s_type == "SERVICE" else rng.choice(persons)
+            obj = rng.choice(surfaces)
+            text = tmpl.format(s=subj, o=obj)
+            role = rng.choice(["user", "assistant"])
+            if s_type == "PERSON":
+                last_person = subj
+            if gt is not None:
+                s_id = _record_entity(gt, s_type, subj, conv_id)
+                o_id = _record_entity(gt, o_type, obj, conv_id)
+                _record_mention(gt, conv_id, ti, s_type, subj, text)
+                _record_mention(gt, conv_id, ti, o_type, obj, text)
                 _record_triple(gt, conv_id, s_id, pred, o_id)
         else:
             tmpl, s_type, o_type, pred = rng.choice(FACT_TEMPLATES)
