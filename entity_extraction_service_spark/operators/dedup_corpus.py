@@ -160,16 +160,39 @@ def minhash_near_duplicates(
     ``max_bucket`` bounds any one LSH bucket (viral duplicated content);
     it is plumbed here — not buried in the candidate stage — so callers
     that need exact parity with an uncapped reference computation (e.g.
-    the DuckDB oracle) can see and mirror the same cap."""
+    the DuckDB oracle) can see and mirror the same cap.
+
+    Verify-stage shape (the cost center when the corpus is dup-heavy —
+    every candidate pair pays one set intersection):
+
+    - tokens are re-keyed to 60-bit md5-derived longs once per DOC (not
+      per pair); ``array_intersect`` over longs beats string arrays ~1.7x
+      (string hashing dominates the per-pair cost).
+    - |A∪B| = |A| + |B| − |A∩B| (token arrays are distinct by
+      construction), so only ONE hash set is built per pair instead of
+      two. Integer identity — the Jaccard value is bit-identical to the
+      array_union form.
+    - the doc-token table is broadcast to both sides of the pair join, so
+      the (potentially huge) candidate-pair stream never shuffles. At
+      cluster scale the doc table outgrows a broadcast; AQE then picks a
+      shuffle join on the same plan — the hint is advisory.
+
+    A 60-bit re-key collision would need two distinct tokens within one
+    verified pair hashing equal (~|vocab|^2 / 2^61) — negligible, and the
+    md5 base keeps even that failure mode engine-portable."""
     sigs = minhash_signatures(docs, n_hashes, id_col, text_col)
     cands = minhash_lsh_candidates(sigs, n_bands, n_hashes // n_bands, max_bucket)
-    t = docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
-    verified = (
-        cands.join(t.withColumnsRenamed({"id": "id_a", "toks": "toks_a"}), "id_a")
-        .join(t.withColumnsRenamed({"id": "id_b", "toks": "toks_b"}), "id_b")
+    rekey = F.transform(
+        "toks", lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
+    t = docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks")).select(
+        "id", F.size("toks").alias("n"), rekey.alias("htoks")
+    )
+    ta = t.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("htoks").alias("h_a"))
+    tb = t.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("htoks").alias("h_b"))
+    verified = cands.join(F.broadcast(ta), "id_a").join(F.broadcast(tb), "id_b")
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.col("n_a") + F.col("n_b") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return verified.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
