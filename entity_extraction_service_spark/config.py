@@ -99,6 +99,7 @@ class PipelineConfig:
         "works_on", "operates", "tracked_in", "released_as", "raised_by",
         "deployed_in", "runs_on", "affects",
         "listens_on", "built_from", "stores_in", "configured_by", "scheduled_as",
+        "publishes_to", "reads_from", "produces", "trained_on",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -129,6 +130,14 @@ class PipelineConfig:
         ("SERVICE", "CRON_EXPR", "scheduled_as"),
         ("SERVICE", "K8S_RESOURCE", "runs_on"),
         ("PERSON", "PR_NUMBER", "works_on"),
+        ("SERVICE", "KAFKA_TOPIC", "publishes_to"),
+        ("SERVICE", "DATABASE", "reads_from"),
+        ("SERVICE", "QUEUE_NAME", "publishes_to"),
+        ("DAG_ID", "TABLE_NAME", "produces"),
+        ("DAG_ID", "CRON_EXPR", "scheduled_as"),
+        ("MODEL_NAME", "GPU_MODEL", "trained_on"),
+        ("MODEL_NAME", "DATASET_NAME", "uses_tool"),
+        ("PERSON", "DATASET_NAME", "works_on"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -139,6 +148,9 @@ class PipelineConfig:
         "ENV_VAR", "FEATURE_FLAG", "K8S_RESOURCE", "DOCKER_IMAGE", "GIT_BRANCH",
         "PR_NUMBER", "DATA_SIZE", "PORT", "CIDR", "MAC_ADDR", "LOG_LEVEL",
         "USER_HANDLE", "TIME_HHMM", "OBJECT_URI", "CRON_EXPR", "METRIC_NAME",
+        "TABLE_NAME", "DATABASE", "KAFKA_TOPIC", "QUEUE_NAME", "DAG_ID",
+        "MODEL_NAME", "DATASET_NAME", "GPU_MODEL", "ROW_COUNT", "TOKEN_COUNT",
+        "CHECKPOINT_STEP", "RUN_ID",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

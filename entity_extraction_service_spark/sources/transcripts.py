@@ -163,6 +163,39 @@ DEVOPS_FACTS = [
      ["PR #482", "PR #1293", "PR #2088"], "works_on"),
 ]
 
+# data-platform facts exercising patterns/dataplatform.yaml end-to-end:
+# (template, subj_type, subj_surfaces | None for FIXTURE_SERVICES,
+#  obj_type, obj_surfaces, predicate)
+DATAPLATFORM_FACTS = [
+    ("{s} publishes to topic {o}.", "SERVICE", None, "KAFKA_TOPIC",
+     ["orders.created", "payments.settled", "search.clicks"], "publishes_to"),
+    ("{s} reads from database {o}.", "SERVICE", None, "DATABASE",
+     ["billing.primary", "users_db.main", "catalog.replica"], "reads_from"),
+    ("dag {s} produces table {o}.", "DAG_ID",
+     ["nightly_etl", "hourly_rollup", "weekly_sync"], "TABLE_NAME",
+     ["orders.daily_agg", "events.sessionized", "users.snapshot"], "produces"),
+    ("model {s} was trained on {o} GPUs.", "MODEL_NAME",
+     ["llama-3-70b", "bert-large-v2", "rerank-xl-2024"], "GPU_MODEL",
+     ["A100", "H100", "MI300X"], "trained_on"),
+]
+
+# mention-only counter turns (no triple — counters have no pair in the
+# type-pair predicate table): (template, type, surfaces)
+COUNTER_TURNS = [
+    ("the backfill wrote {o} rows.", "ROW_COUNT",
+     ["12,345", "1,048,576", "987,654"]),
+    ("the prompt consumed {o} tokens.", "TOKEN_COUNT",
+     ["55,910", "128,000", "4,096"]),
+    ("resumed training from step {o}.", "CHECKPOINT_STEP",
+     ["42000", "128500", "999000"]),
+    ("run {o} finished clean.", "RUN_ID",
+     ["credit-risk-0142", "churn-weekly-0093"]),
+    ("drained queue {o} before the deploy.", "QUEUE_NAME",
+     ["payments.retry", "email-send.dlq"]),
+    ("loaded dataset {o} into the feature store.", "DATASET_NAME",
+     ["reviews.v3-clean", "common-crawl.cc24"]),
+]
+
 
 @dataclass
 class GroundTruth:
@@ -288,6 +321,30 @@ def _conv_rows(
                 _record_mention(gt, conv_id, ti, s_type, subj, text)
                 _record_mention(gt, conv_id, ti, o_type, obj, text)
                 _record_triple(gt, conv_id, s_id, pred, o_id)
+        elif roll < 0.68:
+            # data-platform turn (patterns/dataplatform.yaml types)
+            role = rng.choice(["user", "assistant"])
+            if rng.random() < 0.35:
+                # counter turn: mention only, no triple
+                tmpl, o_type, surfaces = rng.choice(COUNTER_TURNS)
+                obj = rng.choice(surfaces)
+                text = tmpl.format(o=obj)
+                if gt is not None:
+                    _record_entity(gt, o_type, obj, conv_id)
+                    _record_mention(gt, conv_id, ti, o_type, obj, text)
+            else:
+                tmpl, s_type, s_surfaces, o_type, surfaces, pred = rng.choice(
+                    DATAPLATFORM_FACTS
+                )
+                subj = rng.choice(s_surfaces or FIXTURE_SERVICES)
+                obj = rng.choice(surfaces)
+                text = tmpl.format(s=subj, o=obj)
+                if gt is not None:
+                    s_id = _record_entity(gt, s_type, subj, conv_id)
+                    o_id = _record_entity(gt, o_type, obj, conv_id)
+                    _record_mention(gt, conv_id, ti, s_type, subj, text)
+                    _record_mention(gt, conv_id, ti, o_type, obj, text)
+                    _record_triple(gt, conv_id, s_id, pred, o_id)
         else:
             tmpl, s_type, o_type, pred = rng.choice(FACT_TEMPLATES)
             subj = _pick(rng, s_type, persons, use_hot, hot_org)

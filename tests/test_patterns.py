@@ -70,6 +70,38 @@ NEW_TYPE_FIXTURES = {
         ("MONEY", "$30m"),
         ("CVE", "CVE-2021-44228"),
     },
+    # dataplatform pack (patterns/dataplatform.yaml)
+    "dag nightly_etl produces table orders.daily_agg": {
+        ("DAG_ID", "nightly_etl"),
+        ("TABLE_NAME", "orders.daily_agg"),
+    },
+    "checkout-service publishes to topic orders.created": {
+        ("SERVICE", "checkout-service"),
+        ("KAFKA_TOPIC", "orders.created"),
+    },
+    "model llama-3-70b was trained on H100 GPUs": {
+        ("MODEL_NAME", "llama-3-70b"),
+        ("GPU_MODEL", "H100"),
+    },
+    "the backfill wrote 12,345 rows into database billing.primary": {
+        ("ROW_COUNT", "12,345"),
+        ("DATABASE", "billing.primary"),
+    },
+    "run credit-risk-0142 consumed 55,910 tokens at step 42000": {
+        ("RUN_ID", "credit-risk-0142"),
+        ("TOKEN_COUNT", "55,910"),
+        ("CHECKPOINT_STEP", "42000"),
+    },
+    "drained queue payments.retry, reloaded dataset reviews.v3-clean": {
+        ("QUEUE_NAME", "payments.retry"),
+        ("DATASET_NAME", "reviews.v3-clean"),
+    },
+    # overlap guards: "table scan" / "the job finished" / "run pytest"
+    # must not fire the cue-gated dataplatform patterns (pytest itself is
+    # TOOL vocabulary — the only legitimate mention here)
+    "the table scan for that job finished; run pytest again": {
+        ("TOOL", "pytest"),
+    },
 }
 
 
