@@ -618,6 +618,24 @@ def q_e12_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_mentions(transcripts_from_documents(spark, sf_dir))
 
 
+def q_e13_heuristic_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 third mention stream (heuristic/unpatterned NER,
+    operators/extract_heuristic.py): the capitalized-phrase rule over the
+    derived corpus — reference unpatterned subsystem analog
+    (src/core/unpatterned/entity_candidates.py:381-430)."""
+    from entity_extraction_service_spark.operators.assemble import chunk_turns
+    from entity_extraction_service_spark.operators.extract_heuristic import (
+        extract_mentions_heuristic,
+    )
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    m = extract_mentions_heuristic(chunk_turns(transcripts_from_documents(spark, sf_dir)))
+    return m.select(
+        "conv_id", "turn_idx", "entity_type", "text",
+        F.col("start").alias("s"), F.col("end").alias("e"),
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH + exact-cosine verify. Threshold 0.3 sits inside
     the driver corpus's similarity range (max pairwise cosine ~0.51), so
@@ -712,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embedding_near_dups": q_embedding_near_dups,
         "e12_candidates": q_e12_candidates,
+        "e13_heuristic_mentions": q_e13_heuristic_mentions,
         "citation_components": q_citation_components,
         "kg_waves": q_kg_waves,
         "d6_multipass_aggregate": q_d6_multipass_aggregate,
@@ -1053,12 +1072,34 @@ WHERE least(length(norm_a), length(norm_b))
   AND len(list_distinct(list_intersect(ta, tb)))
       / len(list_distinct(list_concat(ta, tb))) >= 0.2
 """
+    # E13 heuristic/unpatterned NER stream over the derived corpus: the
+    # capitalized-phrase rule fires on exactly the fact-turn PERSON/ORG
+    # surfaces (document turns are lowercase word salad; tool/concept
+    # surfaces are lowercase too)
+    e13_heuristic_mentions = f"""
+WITH docs AS (
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+), picks AS (
+    SELECT conv_id,
+           {pick(1, persons)} AS p1,
+           {pick(2, persons)} AS p2,
+           {pick(3, list(ORG_NAMES))} AS org
+    FROM docs
+)
+SELECT conv_id, CAST(0 AS INT) AS turn_idx, 'PERSON' AS entity_type, p1 AS text,
+       CAST(0 AS INT) AS s, CAST(length(p1) AS INT) AS e FROM picks
+UNION ALL SELECT conv_id, 0, 'ORG', org, length(p1) + 10,
+       length(p1) + 10 + length(org) FROM picks
+UNION ALL SELECT conv_id, 1, 'PERSON', p2, 0, length(p2) FROM picks
+UNION ALL SELECT conv_id, 2, 'ORG', org, 0, length(org) FROM picks
+"""
     return {
         "kg_mentions": kg_mentions,
         "kg_entities": kg_entities,
         "kg_edges": kg_edges,
         "kg_waves": kg_waves,
         "d6_multipass_aggregate": d6_multipass,
+        "e13_heuristic_mentions": e13_heuristic_mentions,
         "media_features": media_features,
         "e12_candidates": e12_candidates,
         "l1_candidate_pairs": l1_candidate_pairs,

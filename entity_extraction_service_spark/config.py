@@ -81,6 +81,11 @@ class PipelineConfig:
     # default — the method defaults already match the reference's
     # non-strategy path (:3030-3062).
     strategy_scoring: bool = False
+    # E13 third mention stream: heuristic/unpatterned NER (capitalized-
+    # phrase rule, operators/extract_heuristic.py) fused into the chunk
+    # scan at the lowest method priority. Off by default — same gating as
+    # the reference's unpatterned handler (request-option opt-in).
+    use_heuristic_ner: bool = False
     # explicit shared checkpoint directory for the fused-stream parquet
     # materialization. REQUIRED on a multi-node cluster (must be a shared
     # filesystem / object store); when unset, local masters use

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-METHOD_PRIORITY = {"model": 3, "hybrid": 2, "coref": 2, "regex": 1}
+METHOD_PRIORITY = {"model": 3, "hybrid": 2, "coref": 2, "regex": 1, "heuristic": 0}
 
 
 def _method_priority_col() -> F.Column:

@@ -1,0 +1,114 @@
+"""E13 third mention stream — unpatterned/heuristic NER (capitalized-phrase
+strategy).
+
+Reference analog: the unpatterned-entity subsystem — a NER strategy
+backed by statistical models (/root/reference/src/core/unpatterned/
+entity_strategies.py:332-470) plus a capitalized-phrase candidate
+generator (/root/reference/src/core/unpatterned/entity_candidates.py:
+381-430). The container ships no spaCy, so — exactly like T2
+(triples_ml) — the model-backed strategy is loader-injected and the
+default is the reference's deterministic capitalized-phrase rule:
+
+- a candidate is a run of >= 2 Capitalized words;
+- ORG when the final word is a corporate suffix (Corporation, Labs, ...);
+- PERSON when exactly two words and no suffix cue;
+- anything else is dropped (the reference hands those to the zero-shot
+  classifier; without one, emitting them would cost precision).
+
+Fusion semantics: rows carry ``method='heuristic'``, the LOWEST method
+priority (dedup.METHOD_PRIORITY defaults unknown methods to 0), so on
+span overlap D5 cross-source merge always prefers model/coref/regex —
+the heuristic stream can only ADD mentions the other two methods missed,
+never displace one. Off by default (config.use_heuristic_ner): the
+rule's recall/precision profile is corpus-dependent, the same reason the
+reference gates its unpatterned handler behind request options.
+
+Spark-first shape: the rule runs inside the SAME fused chunk scan as the
+regex and model streams (extract_model._FusedKernel) — zero extra scans
+or shuffles; this module also exposes the standalone operator for the
+no-model path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.normalize import group_norm_py, normalize_text_py
+
+# run of >= 2 Capitalized words (each letter-initial, lowercase tail)
+CAP_PHRASE_RE = re.compile(r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)+)\b")
+
+ORG_SUFFIXES = frozenset(
+    {
+        "Corporation", "Corp", "Inc", "Ltd", "Labs", "Systems", "Group",
+        "Industries", "Technologies", "Foundation", "Holdings", "Partners",
+    }
+)
+
+HEURISTIC_CONFIDENCE = 0.6  # below every pattern confidence -> D5 never
+# prefers a heuristic row on overlap even within equal method priority
+
+
+def heuristic_mentions_py(text: str) -> list[tuple]:
+    """Capitalized-phrase NER for one turn: [(etype, surface, s, e, conf)].
+
+    Pure function of the text (no state), mirroring
+    entity_candidates.py:381-430 with the classification rule above.
+    """
+    out: list[tuple] = []
+    for m in CAP_PHRASE_RE.finditer(text or ""):
+        words = m.group(1).split()
+        last = words[-1]
+        if last.endswith("s") and last[:-1] in ORG_SUFFIXES:
+            last = last[:-1]  # plural surface variants ("Corporations")
+        if last in ORG_SUFFIXES:
+            etype = "ORG"
+        elif len(words) == 2:
+            etype = "PERSON"
+        else:
+            continue
+        out.append((etype, m.group(1), m.start(1), m.end(1), HEURISTIC_CONFIDENCE))
+    return out
+
+
+def extract_mentions_heuristic(
+    chunks: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    ner_fn: Callable[[str], list[tuple]] | None = None,
+) -> DataFrame:
+    """Standalone heuristic stream over chunked turns (MENTION_SCHEMA rows,
+    method='heuristic'). ``ner_fn`` is the loader seam: inject a real
+    model-backed extractor (spaCy et al.) with the same signature and the
+    plumbing — batching, offsets, ids — is unchanged."""
+    from .mentions import MENTION_SCHEMA
+
+    fn = ner_fn or heuristic_mentions_py
+    cols = [f.name for f in MENTION_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, chunk_idx, turns in zip(
+                pdf["conv_id"], pdf["chunk_idx"], pdf["turns"]
+            ):
+                for t in turns:
+                    text = t["text"] or ""
+                    for etype, surface, s, e, conf in fn(text):
+                        n = normalize_text_py(surface)
+                        g = group_norm_py(n)
+                        rows.append(
+                            (
+                                conv_id, int(t["turn_idx"]), int(chunk_idx),
+                                etype, surface, n, g, s, e,
+                                int(t["turn_offset"]) + s, conf, "heuristic",
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return chunks.mapInPandas(run, schema=MENTION_SCHEMA)

@@ -494,6 +494,13 @@ class _FusedKernel:
         self._gen_triples = gen_triples
         self._emit_verbs = emit_verbs
         self._config = config
+        # E13 third stream (heuristic/unpatterned NER) — fused into the
+        # same scan; lowest method priority so it only ADDS mentions
+        self._heuristic = None
+        if config.use_heuristic_ner:
+            from .extract_heuristic import heuristic_mentions_py
+
+            self._heuristic = heuristic_mentions_py
         # bound lazily on the worker (first process() call): the kernel is
         # built on the driver and pickled per task, but the memos must be
         # the worker-global ones (_WORKER_MEMOS), not per-task copies
@@ -594,6 +601,11 @@ class _FusedKernel:
                     (etype, surface, s, e, conf, "regex")
                     for etype, surface, s, e, conf in scanned
                 ] + model_by_turn.get(ti, [])
+                if self._heuristic is not None:
+                    matches += [
+                        (etype, surface, s, e, conf, "heuristic")
+                        for etype, surface, s, e, conf in self._heuristic(text)
+                    ]
                 resolved = resolve_and_merge(matches)
                 with_ids = []
                 for etype, surface, s, e, conf, method in resolved:

@@ -1,0 +1,77 @@
+"""E13 three-method hybrid fusion: regex ⊕ model ⊕ heuristic NER.
+
+Reference analog: the unpatterned-entity subsystem
+(src/core/unpatterned/entity_strategies.py:332-470,
+entity_candidates.py:381-430) fused with the pattern and AI streams."""
+
+import dataclasses
+
+from entity_extraction_service_spark.config import DEFAULT_CONFIG
+from entity_extraction_service_spark.operators.assemble import chunk_turns
+from entity_extraction_service_spark.operators.extract_heuristic import (
+    extract_mentions_heuristic,
+    heuristic_mentions_py,
+)
+from entity_extraction_service_spark.plans.pipeline import _extract_fused
+
+
+def test_capitalized_phrase_rule():
+    got = heuristic_mentions_py(
+        "Massive Dynamic Holdings hired Jane Doe; ask the big corporation."
+    )
+    assert ("ORG", "Massive Dynamic Holdings", 0, 24, 0.6) in got
+    assert ("PERSON", "Jane Doe") in {(m[0], m[1]) for m in got}
+    # lowercase prose and single capitalized words never fire
+    assert heuristic_mentions_py("the build is green again.") == []
+    assert heuristic_mentions_py("Deployed at noon.") == []
+    # plural corporate suffix classifies as ORG, not PERSON
+    assert heuristic_mentions_py("Acme Corporations filed.")[0][0] == "ORG"
+
+
+def _transcripts(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_three_method_fusion_adds_unpatterned_entities(spark):
+    # "Massive Dynamic Holdings" is in NO pattern vocabulary and the rule-
+    # backed model client (pattern-table-driven) also misses it — only the
+    # heuristic stream can surface it. "Acme Corporation" is ORG vocabulary:
+    # on span overlap the higher-priority streams must win (method !=
+    # 'heuristic' for it).
+    rows = [
+        ("c1", 0, "user", "Massive Dynamic Holdings acquired Acme Corporation.", None, None),
+    ]
+    t = _transcripts(spark, rows)
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, use_heuristic_ner=True)
+    mentions, _, _ = _extract_fused(t, config=cfg, gen_triples=False)
+    got = {(r["entity_type"], r["text"]): r["method"] for r in mentions.collect()}
+
+    assert got[("ORG", "Massive Dynamic Holdings")] == "heuristic"
+    assert got[("ORG", "Acme Corporation")] != "heuristic"
+
+    # flag off (default): the unpatterned org is absent
+    mentions_off, _, _ = _extract_fused(t, gen_triples=False)
+    texts_off = {r["text"] for r in mentions_off.collect()}
+    assert "Massive Dynamic Holdings" not in texts_off
+
+
+def test_standalone_heuristic_operator(spark):
+    rows = [
+        ("c1", 0, "user", "Priya Sharma met Wayne Foundation reps.", None, None),
+        ("c1", 1, "user", "nothing capitalized here.", None, None),
+    ]
+    out = extract_mentions_heuristic(chunk_turns(_transcripts(spark, rows))).collect()
+    got = {(r["entity_type"], r["text"]) for r in out}
+    assert got == {("PERSON", "Priya Sharma"), ("ORG", "Wayne Foundation")}
+    assert all(r["method"] == "heuristic" for r in out)
+    # loader seam: an injected model-backed extractor replaces the rule
+    fake = lambda text: [("CONCEPT", "x", 0, 1, 0.9)] if text else []
+    out2 = extract_mentions_heuristic(
+        chunk_turns(_transcripts(spark, rows)), ner_fn=fake
+    ).collect()
+    assert {r["entity_type"] for r in out2} == {"CONCEPT"}
