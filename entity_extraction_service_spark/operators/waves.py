@@ -272,3 +272,46 @@ def wave_extract(
         extra = _wave_pass(transcripts, tagged, wave, wave_client_factory, config)
         tagged = tagged.unionByName(extra)
     return dedup_cross_wave(tagged) if n_waves > 1 else tagged
+
+
+def four_wave_extract(
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    client_factory: Callable | None = None,
+    wave_client_factory: Callable | None = None,
+    triple_client_factory: Callable | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's FOUR-wave strategy (_extract_four_wave,
+    extraction_orchestrator.py:645-781): entity waves 1-3 accumulate the
+    entity inventory; wave 4 is the RELATIONSHIP wave — a batched model
+    pass whose prompts embed that inventory, emitting (subj, pred, obj)
+    triples validated against it.
+
+    Spark-first composition (no new operator machinery): wave 4 IS the T5
+    model-triples pass over the wave-1..3 mention union — its prompt
+    already embeds <= max_prompt_entities known-entity summaries, so later
+    waves' entities (last-name / initials resolutions) are visible to the
+    relationship extractor, which is the whole point of the 4th wave.
+    T6 validation + T7/T8 dedup-boost + T9 filter run as usual.
+
+    Returns ``(mentions_with_wave, edges)``.
+    """
+    from .linking import link_entities
+    from .triples import (
+        dedup_and_merge_triples,
+        filter_triples,
+        model_triples,
+        validate_triples,
+    )
+
+    tagged = wave_extract(
+        transcripts, config, 3, client_factory, wave_client_factory
+    )
+    mentions = tagged.drop("wave")
+    _, surface_map = link_entities(mentions, config)
+    raw = model_triples(mentions, triple_client_factory, config)
+    edges = filter_triples(
+        dedup_and_merge_triples(validate_triples(raw, surface_map, config), config),
+        config,
+    )
+    return tagged, edges

@@ -81,6 +81,25 @@ def test_wave_triples_connect_lastname_references(spark):
     assert (dana, "uses_tool", terraform) in got
 
 
+def test_four_wave_relationship_wave(spark):
+    # the 4th (relationship) wave sees the entity inventory accumulated by
+    # waves 1-3: "Rivera standardized on terraform" yields a triple whose
+    # SUBJECT is the wave-2-resolved canonical person — impossible for a
+    # relationship pass run before the entity waves
+    from entity_extraction_service_spark.operators.waves import four_wave_extract
+
+    t = _transcripts(spark, WAVE_FIXTURE)
+    mentions, edges = four_wave_extract(t)
+    assert {r["wave"] for r in mentions.select("wave").distinct().collect()} <= {1, 2, 3}
+    dana = entity_id_py("PERSON", "dana rivera")
+    terraform = entity_id_py("TOOL", "terraform")
+    got = {(r["subj_id"], r["pred"], r["obj_id"]) for r in edges.collect()}
+    assert (dana, "uses_tool", terraform) in got
+    # and the wave-4 pass runs AFTER linking: every endpoint id is a known
+    # surface (T6 held)
+    assert all(s and o for s, _, o in got)
+
+
 def test_cross_wave_dedup_keeps_earlier_wave(spark):
     rows = [
         ("c1", 0, 0, "PERSON", "Dana Rivera", "dana rivera", "dana rivera",
