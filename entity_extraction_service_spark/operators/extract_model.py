@@ -72,6 +72,26 @@ def _worker_memo(cfg: PipelineConfig, kind: str) -> dict:
     return _WORKER_MEMOS.setdefault((cfg, kind), {})
 
 
+_MEMO_CAP = 1 << 18
+
+
+def _shared_matches(cfg: PipelineConfig, patterns, text: str) -> list[tuple]:
+    """Worker-global memo of ``_match_turn`` keyed by turn text, SHARED by
+    the regex stream and the rule-backed client: both scan the same texts
+    with the same pattern table inside the same worker process, so sharing
+    halves the regex work per distinct text (the UDF's dominant cost on
+    pattern-heavy configs). Pure-function cache — hit order can't change
+    output."""
+    memo = _worker_memo(cfg, "match_turn")
+    got = memo.get(text)
+    if got is None:
+        got = _match_turn(patterns, text)
+        if len(memo) >= _MEMO_CAP:
+            memo.clear()
+        memo[text] = got
+    return got
+
+
 class RuleBackedClient:
     """Deterministic sandbox model: runs the pattern table over the raw
     turns (passed alongside the prompt as structured payload so the stub
@@ -84,16 +104,10 @@ class RuleBackedClient:
     def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
         self._patterns = build_pattern_table(config)
         self._confidence = config.model_confidence
-        self._memo: dict[str, list[tuple]] = _worker_memo(config, "client_text")
+        self._config = config
 
     def _matches(self, text: str) -> list[tuple]:
-        got = self._memo.get(text)
-        if got is None:
-            got = _match_turn(self._patterns, text)
-            if len(self._memo) >= self._CACHE_CAP:
-                self._memo.clear()
-            self._memo[text] = got
-        return got
+        return _shared_matches(self._config, self._patterns, text)
 
     def generate_batch(self, prompts: list[str], payloads: list[list[dict]]) -> list[str]:
         out = []
@@ -516,10 +530,13 @@ class _FusedKernel:
         return self._factory()
 
     def _scan_text(self, text: str) -> tuple[list[tuple], list[tuple]]:
-        """(regex matches, verb spans) for one turn text, memoized."""
+        """(regex matches, verb spans) for one turn text, memoized. The
+        match list comes from the worker-global memo SHARED with the
+        rule-backed client (_shared_matches) — the client's generate_batch
+        runs first in process(), so the regex stream's scans are hits."""
         got = self._text_memo.get(text)
         if got is None:
-            matches = _match_turn(self._patterns, text)
+            matches = _shared_matches(self._config, self._patterns, text)
             vspans = [
                 (pred, vm.start(), vm.end())
                 for rx, pred in self._verbs
