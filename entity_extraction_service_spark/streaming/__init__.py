@@ -10,6 +10,7 @@ entity statistics maintain themselves with watermarked state.
 from .incremental import (
     stream_transcripts,
     streaming_entity_counts,
+    streaming_entity_registry,
     streaming_mentions,
     write_stream,
 )
@@ -18,5 +19,6 @@ __all__ = [
     "stream_transcripts",
     "streaming_mentions",
     "streaming_entity_counts",
+    "streaming_entity_registry",
     "write_stream",
 ]

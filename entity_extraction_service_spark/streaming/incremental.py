@@ -131,6 +131,87 @@ def streaming_entity_counts(
     )
 
 
+REGISTRY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_type", T.StringType(), False),
+        T.StructField("group_norm", T.StringType(), False),
+        T.StructField("occurrence_count", T.LongType(), False),
+        T.StructField("max_confidence", T.DoubleType(), False),
+        T.StructField("first_seen", T.TimestampType(), True),
+        T.StructField("last_seen", T.TimestampType(), True),
+    ]
+)
+
+REGISTRY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("occurrence_count", T.LongType(), False),
+        T.StructField("max_confidence", T.DoubleType(), False),
+        T.StructField("first_seen", T.TimestampType(), True),
+        T.StructField("last_seen", T.TimestampType(), True),
+    ]
+)
+
+
+def streaming_entity_registry(mentions: DataFrame) -> DataFrame:
+    """Custom STATEFUL operator: a running per-surface entity registry via
+    ``applyInPandasWithState`` — the streaming analog of the S5 entity-sink
+    merge (occurrence accumulation keyed by the identity surface,
+    operators/checkpoint.py merge_entity_tables) and of the reference's
+    long-lived EntityRegistry (src/core/entity_registry.py).
+
+    Each micro-batch folds its mentions into the per-(entity_type,
+    group_norm) state — count, max confidence, first/last seen — and emits
+    the key's UPDATED registry row ("update" output mode): after any
+    prefix of the stream, the latest row per key equals the batch
+    aggregate over that prefix (tested).
+
+    State is per-key constant-size (4 scalars): total state ~
+    |distinct surfaces|, independent of turn count — the right shape at
+    10^12 turns where surfaces plateau but mentions don't. Deployments
+    whose surface vocabulary itself grows unboundedly should evict cold
+    keys with a ProcessingTimeTimeout; the sandbox keeps NoTimeout so the
+    stream == batch equivalence is exact."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state):
+        etype, gnorm = key
+        if state.exists:
+            n, mx, first, last = state.get
+        else:
+            n, mx, first, last = 0, 0.0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            mx = max(mx, float(pdf["confidence"].max()))
+            ts_min, ts_max = pdf["ts"].min(), pdf["ts"].max()
+            if not pd.isna(ts_min):
+                first = ts_min if first is None else min(first, ts_min)
+                last = ts_max if last is None else max(last, ts_max)
+        state.update((n, mx, first, last))
+        yield pd.DataFrame(
+            [
+                {
+                    "entity_type": etype,
+                    "group_norm": gnorm,
+                    "occurrence_count": n,
+                    "max_confidence": mx,
+                    "first_seen": first,
+                    "last_seen": last,
+                }
+            ]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return mentions.groupBy("entity_type", "group_norm").applyInPandasWithState(
+        update,
+        REGISTRY_OUTPUT_SCHEMA,
+        REGISTRY_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_stream(
     df: DataFrame,
     path: str,

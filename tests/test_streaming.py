@@ -78,3 +78,53 @@ def test_windowed_entity_counts(spark, corpus, tmp_path):
         expected.select("window", "entity_type", "group_norm", "n_mentions")
     )
     assert j.isEmpty()
+
+
+def test_stateful_entity_registry_matches_batch(spark, corpus, tmp_path):
+    # custom stateful operator (applyInPandasWithState): after consuming
+    # the whole stream across MULTIPLE micro-batches, the latest emitted
+    # row per key equals the batch aggregate over all mentions
+    from entity_extraction_service_spark.streaming import (
+        streaming_entity_registry,
+    )
+
+    transcripts, _ = corpus
+    src = str(tmp_path / "src")
+    _write_batch(transcripts.where(F.col("conv_id") < "conv_000030"), src)
+    _write_batch(transcripts.where(F.col("conv_id") >= "conv_000030"), src)
+
+    stream = stream_transcripts(spark, src, max_files=1)  # force >1 batch
+    reg = streaming_entity_registry(streaming_mentions(stream))
+    q = (
+        reg.writeStream.format("memory")
+        .queryName("registry")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per (key, micro-batch it changed in);
+    # the final state per key is the row with the max occurrence_count
+    got = (
+        spark.table("registry")
+        .groupBy("entity_type", "group_norm")
+        .agg(
+            F.max("occurrence_count").alias("occurrence_count"),
+            F.max("max_confidence").alias("max_confidence"),
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+        )
+    )
+    expected = (
+        streaming_mentions(transcripts)
+        .groupBy("entity_type", "group_norm")
+        .agg(
+            F.count("*").alias("occurrence_count"),
+            F.max("confidence").alias("max_confidence"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+    )
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
