@@ -86,6 +86,12 @@ class PipelineConfig:
     # scan at the lowest method priority. Off by default — same gating as
     # the reference's unpatterned handler (request-option opt-in).
     use_heuristic_ner: bool = False
+    # caps on the per-entity list columns (variants, document_ids): a hot
+    # entity present in 30% of 10^12 turns' conversations would otherwise
+    # buffer an unbounded set on one reducer (operators/linking.py
+    # canonical_entities). Sorted-prefix semantics; exact below the cap.
+    max_entity_variants: int = 1_000
+    max_entity_documents: int = 10_000
     # explicit shared checkpoint directory for the fused-stream parquet
     # materialization. REQUIRED on a multi-node cluster (must be a shared
     # filesystem / object store); when unset, local masters use

@@ -303,12 +303,43 @@ def canonical_entities(
         else surface_to_canonical
     )
     m = mentions.join(map_side, "surface_id")
-    agg = m.groupBy("entity_id").agg(
-        (F.sum(F.col("confidence")) / F.count("*")).alias("confidence"),
-        F.array_sort(F.collect_set("text")).alias("variants"),
-        F.array_sort(F.collect_set("conv_id")).alias("document_ids"),
-        F.count("*").alias("occurrence_count"),
+    # Skew-bounded aggregation shape: ONE shuffle of the mention stream
+    # onto (entity_id, conv_id, text) partials — the scalar stats and both
+    # list columns then derive from that (small) rollup. A single
+    # groupBy(entity_id).collect_set(conv_id) would buffer one unbounded
+    # set per hot entity on one reducer (the skew knob plants an entity in
+    # 30% of conversations; at 10^12 turns that set is ~10^8 ids). Here
+    # row_number() STREAMS through each key's partition and the
+    # collect_list aggregates at most ``cap`` rows, so reducer memory is
+    # O(cap) at any skew. Below the caps the output is byte-identical to
+    # the sorted-set aggregate (distinct + sorted prefix).
+    rollup = m.groupBy("entity_id", "conv_id", "text").agg(
+        F.sum("confidence").alias("_conf_sum"), F.count("*").alias("_n")
     )
+    stats = rollup.groupBy("entity_id").agg(
+        (F.sum("_conf_sum") / F.sum("_n")).alias("confidence"),
+        F.sum("_n").alias("occurrence_count"),
+    )
+
+    def _capped_list(keyed: DataFrame, col: str, cap: int, out: str) -> DataFrame:
+        w = Window.partitionBy("entity_id").orderBy(col)
+        return (
+            keyed.distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap)
+            .groupBy("entity_id")
+            .agg(F.array_sort(F.collect_list(col)).alias(out))
+        )
+
+    variants = _capped_list(
+        rollup.select("entity_id", "text"), "text",
+        config.max_entity_variants, "variants",
+    )
+    documents = _capped_list(
+        rollup.select("entity_id", "conv_id"), "conv_id",
+        config.max_entity_documents, "document_ids",
+    )
+    agg = stats.join(variants, "entity_id").join(documents, "entity_id")
     entities = agg.join(
         reps.select("entity_id", "entity_text", "canonical_norm", "rep_entity_type"),
         "entity_id",

@@ -225,3 +225,22 @@ def test_l4_attribute_conflict_blocks_ticket_merge(spark):
 
 def test_vocabulary_covers_pattern_types():
     assert vocabulary() >= {s.entity_type for s in load_pattern_specs()}
+
+
+def test_entity_list_caps_bound_hot_entity_state(spark):
+    # a hot entity far above max_entity_documents gets the sorted PREFIX
+    # of its conv ids (bounded reducer state at any skew) while the scalar
+    # stats stay exact over ALL mentions
+    import dataclasses
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+
+    rows = []
+    for c in range(50):
+        rows.extend(_mention_row(f"c{c:03d}", "ORG", "Acme Corporation"))
+    m = spark.createDataFrame(rows, MENTION_DDL)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_entity_documents=10)
+    ents, _ = link_entities(m, cfg)
+    r = ents.collect()[0]
+    assert r["occurrence_count"] == 50
+    assert r["document_ids"] == [f"c{c:03d}" for c in range(10)]
