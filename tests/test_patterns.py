@@ -244,3 +244,20 @@ def test_entity_list_caps_bound_hot_entity_state(spark):
     r = ents.collect()[0]
     assert r["occurrence_count"] == 50
     assert r["document_ids"] == [f"c{c:03d}" for c in range(10)]
+
+
+def test_config_vocab_invariants():
+    """Every type-pair references a declared entity type; every inferred
+    predicate is in the predicate vocabulary; the pattern corpus and the
+    config type vocabulary agree (S3/E3/T10 consistency guard)."""
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+    from entity_extraction_service_spark.sources.patterns import load_pattern_specs
+
+    types = set(DEFAULT_CONFIG.entity_types)
+    preds = set(DEFAULT_CONFIG.predicates)
+    for a, b, p in DEFAULT_CONFIG.type_pair_predicates:
+        assert a in types, a
+        assert b in types, b
+        assert p in preds, p
+    corpus_types = {s.entity_type for s in load_pattern_specs()}
+    assert corpus_types == types
