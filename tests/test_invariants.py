@@ -1,0 +1,34 @@
+"""North-rule per-row invariant: per-turn text equality under stable
+(conv_id, turn_idx) ordering — chunk assembly must carry every turn's
+text byte-for-byte, and every emitted mention's span must slice back out
+of the ORIGINAL turn text exactly."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.assemble import chunk_turns
+from entity_extraction_service_spark.plans.pipeline import extract_mentions
+
+
+def test_chunks_preserve_per_turn_text(spark, corpus):
+    transcripts, _ = corpus
+    chunked = (
+        chunk_turns(transcripts)
+        .select("conv_id", F.explode("turns").alias("t"))
+        .select("conv_id", F.col("t.turn_idx").alias("turn_idx"), F.col("t.text").alias("text"))
+    )
+    src = transcripts.select("conv_id", "turn_idx", "text")
+    assert chunked.exceptAll(src).isEmpty(), "chunking mutated or invented turns"
+    assert src.exceptAll(chunked).isEmpty(), "chunking dropped turns"
+
+
+def test_mention_spans_slice_original_turn_text(spark, corpus):
+    transcripts, _ = corpus
+    mentions = extract_mentions(transcripts)
+    joined = mentions.join(
+        transcripts.select("conv_id", "turn_idx", F.col("text").alias("turn_text")),
+        ["conv_id", "turn_idx"],
+    )
+    bad = joined.where(
+        F.expr("substring(turn_text, start + 1, end - start)") != F.col("text")
+    )
+    assert bad.isEmpty(), f"{bad.count()} mentions whose span does not slice the turn text"
