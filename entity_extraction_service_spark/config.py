@@ -162,6 +162,7 @@ class PipelineConfig:
         "TABLE_NAME", "DATABASE", "KAFKA_TOPIC", "QUEUE_NAME", "DAG_ID",
         "MODEL_NAME", "DATASET_NAME", "GPU_MODEL", "ROW_COUNT", "TOKEN_COUNT",
         "CHECKPOINT_STEP", "RUN_ID",
+        "PHONE", "SSN", "CREDIT_CARD", "SEVERITY",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

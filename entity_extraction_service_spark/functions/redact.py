@@ -1,0 +1,65 @@
+"""PII redaction for training-data hygiene (beyond the reference).
+
+A corpus feeding model training must mask sensitive values before
+materialization. The redaction vocabulary IS the pattern corpus — the
+PII types (patterns/redaction.yaml: PHONE, SSN, CREDIT_CARD, plus EMAIL
+and IP_ADDR from the other packs) each carry a single-capture regex, so
+redaction is a chain of ``regexp_replace`` calls: pure Catalyst, JVM-side,
+whole-stage-codegen friendly — NO Python in the loop, which matters
+because redaction runs over the full raw corpus (the largest scan of
+all) at 100 TB.
+
+Detection parity: the masked spans are exactly the spans the mention
+extractor emits for the same types (same compiled patterns), so
+"mentions of type X" and "text with X redacted" can never disagree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..sources.patterns import PATTERN_DIR, load_pattern_specs
+
+# types masked by default: direct personal identifiers
+DEFAULT_REDACT_TYPES = ("PHONE", "SSN", "CREDIT_CARD", "EMAIL", "IP_ADDR")
+
+
+def _java_safe(pattern: str) -> str:
+    """The corpus patterns are authored in the RE2/Java-compatible subset
+    (validated by the loader tests); pass through unchanged."""
+    return pattern
+
+
+def redact_col(
+    text_col: Column | str,
+    types: tuple[str, ...] = DEFAULT_REDACT_TYPES,
+    pattern_dir: str | None = None,
+) -> Column:
+    """``text`` with every match of the given PII types replaced by its
+    type placeholder (``[PHONE]``, ``[EMAIL]``, ...). One regexp_replace
+    per type — a fixed-length JVM expression chain."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    specs = load_pattern_specs(pattern_dir or PATTERN_DIR)
+    for spec in specs:
+        if spec.entity_type not in types:
+            continue
+        col = F.regexp_replace(
+            col, _java_safe(spec.regex.pattern), f"[{spec.entity_type}]"
+        )
+    return col
+
+
+def with_redacted_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    types: tuple[str, ...] = DEFAULT_REDACT_TYPES,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Add ``out_col`` = redacted ``text_col``; the hygiene pass a
+    training-data pipeline runs before materializing documents."""
+    return df.withColumn(
+        out_col, redact_col(text_col, types, config.pattern_dir or PATTERN_DIR)
+    )

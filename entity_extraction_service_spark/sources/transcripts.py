@@ -194,6 +194,14 @@ COUNTER_TURNS = [
      ["payments.retry", "email-send.dlq"]),
     ("loaded dataset {o} into the feature store.", "DATASET_NAME",
      ["reviews.v3-clean", "common-crawl.cc24"]),
+    # PII / redaction types (patterns/redaction.yaml) — fixture values only
+    ("callback at {o} after the page.", "PHONE",
+     ["+1-415-555-0142", "212.555.0188"]),
+    ("the fixture row used {o} as a fake SSN.", "SSN", ["123-45-6789"]),
+    ("test card {o} was committed by mistake.", "CREDIT_CARD",
+     ["4111 1111 1111 1111"]),
+    ("paging as {o} until the db recovers.", "SEVERITY",
+     ["SEV1", "P2", "SEV3"]),
 ]
 
 

@@ -102,6 +102,20 @@ NEW_TYPE_FIXTURES = {
     "the table scan for that job finished; run pytest again": {
         ("TOOL", "pytest"),
     },
+    # redaction pack (patterns/redaction.yaml): PII shapes are disjoint —
+    # a phone (3-3-4) is not an SSN (3-2-4) nor an IP (needs 3 dots)
+    "callback at +1-415-555-0142, escalated as SEV1": {
+        ("PHONE", "+1-415-555-0142"),
+        ("SEVERITY", "SEV1"),
+    },
+    "fake SSN 123-45-6789 and test card 4111 1111 1111 1111 in the fixture": {
+        ("SSN", "123-45-6789"),
+        ("CREDIT_CARD", "4111 1111 1111 1111"),
+    },
+    "front desk is 212.555.0188, node is 10.2.41.77": {
+        ("PHONE", "212.555.0188"),
+        ("IP_ADDR", "10.2.41.77"),
+    },
 }
 
 

@@ -1,0 +1,51 @@
+"""PII redaction (training-data hygiene, beyond the reference): the
+redaction vocabulary IS the pattern corpus, so masked spans and emitted
+mentions can never disagree; the transform is a pure-Catalyst
+regexp_replace chain (no Python in the corpus-wide scan)."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.functions.redact import (
+    DEFAULT_REDACT_TYPES,
+    with_redacted_text,
+)
+
+
+def test_redacts_every_default_pii_type(spark):
+    rows = [
+        ("d1", "callback at +1-415-555-0142 or mail oncall@example.com"),
+        ("d2", "fake SSN 123-45-6789, test card 4111 1111 1111 1111"),
+        ("d3", "node 10.2.41.77 flapping; front desk 212.555.0188"),
+        ("d4", "no pii in this row at all."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r["text_redacted"] for r in with_redacted_text(df).collect()}
+    assert out["d1"] == "callback at [PHONE] or mail [EMAIL]"
+    assert out["d2"] == "fake SSN [SSN], test card [CREDIT_CARD]"
+    assert out["d3"] == "node [IP_ADDR] flapping; front desk [PHONE]"
+    assert out["d4"] == "no pii in this row at all."
+
+
+def test_redaction_agrees_with_mention_extraction(spark):
+    # every mention of a redacted type must be gone from the redacted text
+    from entity_extraction_service_spark.operators.mentions import (
+        _match_turn,
+        build_pattern_table,
+    )
+
+    text = "SSN 123-45-6789 emailed to a@b.io from 10.0.0.1, call 212.555.0188"
+    pats = build_pattern_table()
+    surfaces = [m[1] for m in _match_turn(pats, text) if m[0] in DEFAULT_REDACT_TYPES]
+    assert len(surfaces) == 4
+    df = spark.createDataFrame([("x", text)], "doc_id string, text string")
+    red = with_redacted_text(df).collect()[0]["text_redacted"]
+    for s in surfaces:
+        assert s not in red, f"{s!r} survived redaction: {red!r}"
+
+
+def test_redaction_is_jvm_only(spark):
+    # the plan must contain no Python UDF nodes (BatchEvalPython /
+    # ArrowEvalPython) — redaction runs over the full corpus scan
+    df = spark.createDataFrame([("x", "a")], "doc_id string, text string")
+    plan = with_redacted_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
