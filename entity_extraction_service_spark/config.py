@@ -92,6 +92,10 @@ class PipelineConfig:
     # canonical_entities). Sorted-prefix semantics; exact below the cap.
     max_entity_variants: int = 1_000
     max_entity_documents: int = 10_000
+    # E4 category pass: when set, the pattern table AND the model-type
+    # vocabulary are restricted to these types (operators/multipass.py
+    # builds one config per pass). None = the unified single pass (E6).
+    restrict_types: tuple[str, ...] | None = None
     # explicit shared checkpoint directory for the fused-stream parquet
     # materialization. REQUIRED on a multi-node cluster (must be a shared
     # filesystem / object store); when unset, local masters use

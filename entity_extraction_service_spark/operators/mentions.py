@@ -62,6 +62,10 @@ def build_pattern_table(config: PipelineConfig = DEFAULT_CONFIG) -> list[Mention
     from ..sources.patterns import PATTERN_DIR, load_pattern_specs
 
     specs = load_pattern_specs(config.pattern_dir or PATTERN_DIR)
+    if config.restrict_types is not None:
+        # E4 category pass: only this pass's types are searched for
+        allowed = set(config.restrict_types)
+        specs = [s for s in specs if s.entity_type in allowed]
     c = config.regex_confidence
     return [
         MentionPattern(s.regex, s.entity_type, c if s.confidence is None else s.confidence)
@@ -72,7 +76,11 @@ def build_pattern_table(config: PipelineConfig = DEFAULT_CONFIG) -> list[Mention
 def vocabulary(config: PipelineConfig = DEFAULT_CONFIG) -> frozenset[str]:
     """Canonical entity-type vocabulary: configured types + every type the
     pattern corpus emits. Model-emitted raw types are mapped (E3) and
-    dropped if they land outside this set."""
+    dropped if they land outside this set. Under a category pass
+    (``config.restrict_types``) the vocabulary is the pass's types, so the
+    model stream is restricted identically to the regex stream."""
+    if config.restrict_types is not None:
+        return frozenset(config.restrict_types)
     return frozenset(config.entity_types) | {
         p.entity_type for p in build_pattern_table(config)
     }

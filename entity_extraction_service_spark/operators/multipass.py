@@ -1,0 +1,85 @@
+"""E4 — multi-pass extraction: one category-restricted pass per entity
+family, merged by D6.
+
+Reference: MultiPassExtractor runs 8 sequential passes, each prompting
+for one entity CATEGORY, then aggregates across passes
+(/root/reference/src/core/multi_pass_extractor.py — pass loop and the
+per-pass category prompts; aggregation :783-849). The per-pass
+restriction is the point: a narrow prompt/pattern set per pass trades
+scans for per-pass precision and smaller prompts.
+
+Spark-first restatement: each pass is the SAME fused chunk scan with the
+pattern table and the model-type vocabulary restricted to the pass's
+types (``config.restrict_types``); passes are independent DataFrames, so
+Spark runs them as parallel branches of one job DAG rather than the
+reference's sequential awaits. D6 (dedup.multipass_aggregate) merges by
+exact position with max-confidence and the contributing-pass set.
+
+Exactness: E2/D5 conflict resolution is per-type, so a pass partition
+that covers every type reproduces the unified single-pass mention set
+exactly (tested) — E6 (one pass) remains the default because it reads
+the corpus once; E4 exists for reference parity and for callers whose
+real model clients need category-restricted prompts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+# 8 category passes mirroring the reference's 8-pass structure, spanning
+# the full 54-type vocabulary (tests assert the partition property)
+DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
+    "identity": ("PERSON", "ORG", "USER_HANDLE"),
+    "infrastructure": (
+        "SERVICE", "HOSTNAME", "IP_ADDR", "CIDR", "MAC_ADDR", "PORT",
+        "CLOUD_REGION", "K8S_RESOURCE", "DOCKER_IMAGE",
+    ),
+    "artifacts": (
+        "VERSION", "SHA", "PATH", "URL", "OBJECT_URI", "GIT_BRANCH",
+        "PR_NUMBER", "TICKET", "ENV_VAR", "FEATURE_FLAG",
+    ),
+    "observability": (
+        "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",
+        "LOG_LEVEL", "METRIC_NAME", "CHANNEL", "SEVERITY",
+    ),
+    "data_platform": (
+        "TABLE_NAME", "DATABASE", "KAFKA_TOPIC", "QUEUE_NAME", "DAG_ID",
+        "MODEL_NAME", "DATASET_NAME", "GPU_MODEL",
+    ),
+    "quantities": (
+        "MONEY", "DATE_ISO", "TIME_HHMM", "DATA_SIZE", "ROW_COUNT",
+        "TOKEN_COUNT", "CHECKPOINT_STEP", "RUN_ID", "CRON_EXPR",
+    ),
+    "pii": ("PHONE", "SSN", "CREDIT_CARD", "EMAIL"),
+    "concepts_tools": ("TOOL", "CONCEPT"),
+}
+
+
+def multi_pass_extract(
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    passes: dict[str, tuple[str, ...]] | None = None,
+    client_factory=None,
+) -> DataFrame:
+    """Mentions with ``pass``/``pass_idx`` columns: one category-restricted
+    extraction per pass, D6-merged. Returns the aggregated mention set
+    (exact position key, max confidence, contributing passes)."""
+    from ..plans.pipeline import extract_mentions
+    from .dedup import multipass_aggregate
+
+    passes = passes or DEFAULT_PASSES
+    tagged = None
+    for idx, (name, types) in enumerate(passes.items(), start=1):
+        cfg = dataclasses.replace(config, restrict_types=tuple(types))
+        m = (
+            extract_mentions(transcripts, cfg, client_factory=client_factory)
+            .withColumn("pass_name", F.lit(name))
+            .withColumn("wave", F.lit(idx))
+        )
+        tagged = m if tagged is None else tagged.unionByName(m)
+    return multipass_aggregate(tagged, pass_col="wave")

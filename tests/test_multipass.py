@@ -1,0 +1,42 @@
+"""E4 multi-pass extraction (multi_pass_extractor.py analog): 8
+category-restricted passes merged by D6 reproduce the unified single
+pass exactly, because E2/D5 conflict resolution is per-type."""
+
+import dataclasses
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.config import DEFAULT_CONFIG
+from entity_extraction_service_spark.operators.multipass import (
+    DEFAULT_PASSES,
+    multi_pass_extract,
+)
+from entity_extraction_service_spark.plans.pipeline import extract_mentions
+from entity_extraction_service_spark.sources.transcripts import synthesize_transcripts
+
+KEY = ["conv_id", "turn_idx", "entity_type", "text", "global_start"]
+
+
+def test_passes_partition_the_vocabulary():
+    flat = [t for types in DEFAULT_PASSES.values() for t in types]
+    assert len(flat) == len(set(flat)), "a type appears in two passes"
+    assert set(flat) == set(DEFAULT_CONFIG.entity_types)
+    assert len(DEFAULT_PASSES) == 8  # the reference's 8-pass structure
+
+
+def test_multipass_equals_single_pass(spark):
+    t, _ = synthesize_transcripts(spark, n_convs=25, with_truth=False)
+    single = extract_mentions(t).select(KEY)
+    multi = multi_pass_extract(t).select(KEY)
+    assert multi.exceptAll(single).isEmpty(), "multipass invented mentions"
+    assert single.exceptAll(multi).isEmpty(), "multipass lost mentions"
+
+
+def test_restricted_pass_emits_only_its_types(spark):
+    t, _ = synthesize_transcripts(spark, n_convs=10, with_truth=False)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, restrict_types=DEFAULT_PASSES["identity"]
+    )
+    got = {r["entity_type"] for r in extract_mentions(t, cfg).select("entity_type").distinct().collect()}
+    assert got <= set(DEFAULT_PASSES["identity"])
+    assert "PERSON" in got
