@@ -115,6 +115,7 @@ class PipelineConfig:
         "deployed_in", "runs_on", "affects",
         "listens_on", "built_from", "stores_in", "configured_by", "scheduled_as",
         "publishes_to", "reads_from", "produces", "trained_on",
+        "depends_on", "owns", "located_in",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -153,6 +154,9 @@ class PipelineConfig:
         ("MODEL_NAME", "GPU_MODEL", "trained_on"),
         ("MODEL_NAME", "DATASET_NAME", "uses_tool"),
         ("PERSON", "DATASET_NAME", "works_on"),
+        ("SERVICE", "SERVICE", "depends_on"),
+        ("ORG", "SERVICE", "owns"),
+        ("HOSTNAME", "CLOUD_REGION", "located_in"),
     )
 
     entity_types: tuple[str, ...] = (

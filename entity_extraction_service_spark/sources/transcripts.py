@@ -161,6 +161,11 @@ DEVOPS_FACTS = [
      ["DATABASE_URL", "REDIS_HOST", "KAFKA_BROKERS"], "configured_by"),
     ("{s} merged {o} yesterday.", "PERSON", "PR_NUMBER",
      ["PR #482", "PR #1293", "PR #2088"], "works_on"),
+    # (PERSON, TICKET) already maps to works_on in the r1 pair table —
+    # this fact reuses it (one predicate per ordered type pair, like the
+    # reference's relationship inference table)
+    ("{s} closed {o} this morning.", "PERSON", "TICKET",
+     ["INFRA-1234", "OPS-774", "SEC-2041"], "works_on"),
 ]
 
 # data-platform facts exercising patterns/dataplatform.yaml end-to-end:
@@ -177,6 +182,16 @@ DATAPLATFORM_FACTS = [
     ("model {s} was trained on {o} GPUs.", "MODEL_NAME",
      ["llama-3-70b", "bert-large-v2", "rerank-xl-2024"], "GPU_MODEL",
      ["A100", "H100", "MI300X"], "trained_on"),
+    # subj/obj service lists are disjoint so no self-loop fact is generated
+    ("{s} depends on {o}.", "SERVICE",
+     ["auth-service", "checkout-service", "search-service"], "SERVICE",
+     ["billing-service", "notify-service", "ingest-service"], "depends_on"),
+    ("{s} owns {o}.", "ORG",
+     ["Acme Corporation", "Globex Systems", "Initech Labs"], "SERVICE",
+     ["checkout-service", "billing-service"], "owns"),
+    ("{s} lives in {o}.", "HOSTNAME",
+     ["db-3.prod.internal", "cache-1.query.corp", "api-2.edge.internal"],
+     "CLOUD_REGION", ["us-east-1", "eu-west-1", "ap-south-1"], "located_in"),
 ]
 
 # mention-only counter turns (no triple — counters have no pair in the

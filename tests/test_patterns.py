@@ -275,3 +275,7 @@ def test_config_vocab_invariants():
         assert p in preds, p
     corpus_types = {s.entity_type for s in load_pattern_specs()}
     assert corpus_types == types
+    # one predicate per ordered type pair — a duplicate pair silently
+    # loses to whichever entry builds the rules dict last
+    pairs = [(a, b) for a, b, _ in DEFAULT_CONFIG.type_pair_predicates]
+    assert len(pairs) == len(set(pairs)), "duplicate ordered type pair"
