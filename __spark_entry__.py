@@ -646,6 +646,18 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation plan (plans/curation.py):
+    exact dedup -> MinHash-LSH near-dup prune -> quality floor ->
+    language filter. Output excludes the redacted-text column (the PII
+    patterns use lookbehind, which DuckDB's RE2 cannot replay); redaction
+    itself is oracle-tested componentwise and pytest-gated."""
+    from entity_extraction_service_spark.plans.curation import curate_corpus
+
+    out = curate_corpus(_t(spark, sf_dir, "documents"), redact=False)
+    return out.select("doc_id", "lang", "quality")
+
+
 def q_l1_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1+L3 blocked candidate pairs over the derived corpus. The blocking
     self-join (compat-group + first-token key, block cap) and the JVM-side
@@ -736,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_multipass_aggregate": q_d6_multipass_aggregate,
         "v1_strategy_confidence": q_v1_strategy_confidence,
         "l1_candidate_pairs": q_l1_candidate_pairs,
+        "corpus_curation": q_corpus_curation,
         "s5_merge_incremental": q_s5_merge_incremental,
     }
 
@@ -1240,8 +1253,39 @@ FROM b
     }
 
 
+def _curation_oracle_sql(base: dict[str, str]) -> str:
+    """Composed end-to-end curation oracle, assembled from the component
+    oracles so the SQL can never drift from them: exact-dedup keepers ->
+    (minhash near-dup SQL, re-pointed at the keepers) -> quality/lang
+    expressions (re-pointed at the survivors) -> floors."""
+    near = base["minhash_lsh_near_dups"].replace("FROM documents", "FROM keepers")
+    quality = base["doc_quality"].replace("FROM documents", "FROM surv")
+    lang = base["doc_lang_id"].replace("FROM documents", "FROM surv")
+    return f"""
+WITH keepers AS (
+    SELECT d.* FROM documents d JOIN (
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keeper_id
+        FROM documents GROUP BY fp
+    ) k ON d.doc_id = k.keeper_id
+), near AS (
+{near}
+), surv AS (
+    SELECT * FROM keepers
+    WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM near)
+), q AS (
+{quality}
+), l AS (
+{lang}
+)
+SELECT q.doc_id, l.lang_pred AS lang, q.quality
+FROM q JOIN l ON q.doc_id = l.doc_id
+WHERE q.quality >= 0.3 AND l.lang_pred IN ('en')
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         **_kg_oracle_sqls(),
         **_portable_oracle_sqls(),
         "d2_dedup_group_max": """
@@ -1557,3 +1601,5 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
     }
+    out["corpus_curation"] = _curation_oracle_sql(out)
+    return out

@@ -1,0 +1,81 @@
+"""Corpus-curation plan: the training-data hygiene pipeline, composed.
+
+The LLM-data-pipeline operators (dedup_corpus, text_stats, redact) as ONE
+declarative plan — what a 100 TB pretraining-data job actually runs
+before materializing a training shard:
+
+    exact dedup (keep min doc_id per content fingerprint)
+      -> near-dup prune (MinHash-LSH candidates, exact-Jaccard verify;
+         greedy keep-lowest-id: any doc similar to a lower-id survivor
+         is dropped)
+      -> quality floor (length/punctuation/stopword score)
+      -> language filter
+      -> PII redaction (pure-Catalyst regexp_replace chain)
+
+Everything is JVM-side except nothing — there is no Python in this plan
+at all. Each stage is individually DuckDB-oracled by the driver
+(exact_dedup_docs, minhash_lsh_near_dups, doc_quality, doc_lang_id);
+the composed plan is oracled end-to-end as ``corpus_curation``.
+
+Scale shape: two hash shuffles (content fingerprint; LSH band buckets)
+plus broadcast-verified candidate pairs — the same bounded shapes the
+component operators document. The greedy near-dup rule (drop the higher
+id of every verified pair) is deterministic and one-pass; a
+connected-components variant (cluster then keep one per component) is
+``linking.connected_components`` applied to the pair list when cluster
+semantics are required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.redact import with_redacted_text
+from ..functions.text_stats import lang_id, quality_score
+from ..operators.dedup_corpus import exact_duplicates, minhash_near_duplicates
+
+
+def curate_corpus(
+    docs: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    quality_floor: float = 0.3,
+    languages: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.8,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    redact: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curated corpus: (doc_id, lang, quality, text[, text_redacted])."""
+    # exact dedup: keep the min doc_id of each content-fingerprint group
+    keepers = docs.join(
+        exact_duplicates(docs, id_col, text_col).select(
+            F.col("keeper_id").alias(id_col)
+        ),
+        id_col,
+    )
+    # near-dup prune among exact survivors: every verified pair (a < b)
+    # drops b — greedy, deterministic, one pass
+    drops = (
+        minhash_near_duplicates(
+            keepers, near_dup_threshold, n_hashes, n_bands, id_col, text_col
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    survivors = keepers.join(drops, id_col, "left_anti")
+
+    scored = survivors.select(
+        id_col,
+        text_col,
+        lang_id(F.col(text_col)).alias("lang"),
+        quality_score(F.col(text_col)).alias("quality"),
+    ).where(
+        (F.col("quality") >= quality_floor) & F.col("lang").isin(*languages)
+    )
+    if redact:
+        scored = with_redacted_text(scored, text_col, "text_redacted", config=config)
+    return scored
