@@ -646,6 +646,28 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 iters, d=0.85) over the canonical
+    entity graph (operators/graph.py pagerank); oracle unrolls the same
+    three iterations as CTEs over the kg_edges derivation."""
+    from entity_extraction_service_spark.operators.graph import pagerank
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    r = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
+    return pagerank(r.edges)
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the undirected canonical entity graph."""
+    from entity_extraction_service_spark.operators.graph import triangle_count
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    r = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
+    return triangle_count(r.edges)
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation plan (plans/curation.py):
     exact dedup -> MinHash-LSH near-dup prune -> quality floor ->
@@ -749,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_strategy_confidence": q_v1_strategy_confidence,
         "l1_candidate_pairs": q_l1_candidate_pairs,
         "corpus_curation": q_corpus_curation,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_triangles": q_kg_triangles,
         "s5_merge_incremental": q_s5_merge_incremental,
     }
 
@@ -1602,4 +1626,56 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out["corpus_curation"] = _curation_oracle_sql(out)
+    out["kg_pagerank"] = _pagerank_oracle_sql(out)
+    out["kg_triangles"] = _triangles_oracle_sql(out)
     return out
+
+
+def _graph_edges_cte(base: dict[str, str]) -> str:
+    """The kg_edges derivation wrapped as an ``edges`` CTE — assembled
+    from the existing oracle so the graph oracles cannot drift from the
+    edge-list oracle."""
+    return "WITH edges AS (\n" + base["kg_edges"] + "\n)"
+
+
+def _pagerank_oracle_sql(base: dict[str, str]) -> str:
+    """3 unrolled PageRank iterations (d=0.85), identical math to
+    operators/graph.py pagerank; N is computed inline."""
+    it = """
+, r{k} AS (
+    SELECT n.id,
+           (1 - 0.85) / (SELECT cnt FROM nn)
+           + 0.85 * coalesce((
+               SELECT sum(p.rank / o.outdeg)
+               FROM e JOIN r{p} p ON p.id = e.e_src
+                      JOIN outdeg o ON o.e_src = e.e_src
+               WHERE e.e_dst = n.id), 0.0) AS rank
+    FROM nodes n
+)"""
+    sql = _graph_edges_cte(base) + """
+, e AS (
+    SELECT DISTINCT subj_id AS e_src, obj_id AS e_dst FROM edges
+    WHERE subj_id != obj_id
+), nodes AS (
+    SELECT e_src AS id FROM e UNION SELECT e_dst FROM e
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes)
+, outdeg AS (SELECT e_src, count(*) AS outdeg FROM e GROUP BY e_src)
+, r0 AS (SELECT id, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes)"""
+    for k in (1, 2, 3):
+        sql += it.format(k=k, p=k - 1)
+    sql += """
+SELECT id AS entity_id, round(rank, 5) AS pagerank FROM r3
+"""
+    return sql
+
+
+def _triangles_oracle_sql(base: dict[str, str]) -> str:
+    return _graph_edges_cte(base) + """
+, und AS (
+    SELECT DISTINCT least(subj_id, obj_id) AS lo, greatest(subj_id, obj_id) AS hi
+    FROM edges WHERE subj_id != obj_id
+)
+SELECT count(*) AS n_triangles
+FROM und e1 JOIN und e2 ON e1.hi = e2.lo JOIN und e3
+     ON e3.lo = e1.lo AND e3.hi = e2.hi
+"""

@@ -63,3 +63,78 @@ def communities(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     return connected_components(verts, e, max_iterations=max_iterations).withColumnRenamed(
         "id", "entity_id"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+) -> DataFrame:
+    """Fixed-iteration directed PageRank over the canonical edge list
+    -> (entity_id, pagerank).
+
+    Simplified formulation (no dangling-mass redistribution, parallel
+    edges collapsed): r0 = 1/N; r_{k+1}(v) = (1-d)/N + d * sum over
+    in-edges u->v of r_k(u)/outdeg(u). Each iteration is ONE join + ONE
+    aggregation on the edge list; for deep iteration counts at scale,
+    localCheckpoint every few iterations cuts the self-referential
+    lineage exactly as connected_components does. N is a driver scalar
+    (one count) so the teleport term is a literal, engine-portable.
+    Output rounded to 5 decimals — the per-node contribution sums are
+    order-dependent in the last float bits across engines."""
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).where(
+        F.col(src) != F.col(dst)
+    ).distinct()
+    nodes = (
+        e.select(F.col("e_src").alias("id"))
+        .union(e.select(F.col("e_dst").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("e_src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["e_src"] == ranks["id"])
+            .join(outdeg, "e_src")
+            .groupBy("e_dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_mass"))
+        )
+        ranks = nodes.join(contrib, nodes["id"] == contrib["e_dst"], "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select(F.col("id").alias("entity_id"), F.round("rank", 5).alias("pagerank"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "subj_id", dst: str = "obj_id"
+) -> DataFrame:
+    """Global triangle count over the UNDIRECTED canonicalized edge list
+    -> one row (n_triangles).
+
+    Edges are canonicalized to (lo < hi) and deduped; triangles are
+    (a,b),(b,c),(a,c) with a < b < c, so each triangle is counted exactly
+    once. At driver scale this is the plain two-join form; at 100 TB the
+    standard refinement is the degree-ordered node-iterator (orient each
+    edge from the lower-degree endpoint before joining) — same logical
+    plan with a degree join ahead of it, which bounds the skew of the
+    first self-join."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count("*").alias("n_triangles"))
