@@ -646,6 +646,49 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity boundary): the
+    classic event-analytics window shape — lag + boundary flag +
+    cumulative sum, one shuffle on (user_id). Per-session rollup:
+    bounds, event count, value sum."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ: cast via timestamp (session TZ is UTC,
+    # matching DuckDB's epoch() on the same naive value)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+
+
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5/L8 connected components over the canonical entity graph —
+    driver-oracled via a DuckDB recursive reachability closure (component
+    label = min reachable entity id, the same contract both CC strategies
+    implement)."""
+    from entity_extraction_service_spark.operators.graph import communities
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    r = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
+    return communities(r.edges).select("entity_id", "component")
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (3 iters, d=0.85) over the canonical
     entity graph (operators/graph.py pagerank); oracle unrolls the same
@@ -773,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
+        "kg_communities": q_kg_communities,
+        "sessionize_events": q_sessionize_events,
         "s5_merge_incremental": q_s5_merge_incremental,
     }
 
@@ -1628,7 +1673,49 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_curation"] = _curation_oracle_sql(out)
     out["kg_pagerank"] = _pagerank_oracle_sql(out)
     out["kg_triangles"] = _triangles_oracle_sql(out)
+    out["kg_communities"] = _communities_oracle_sql(out)
+    out["sessionize_events"] = """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT *, CAST(sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 6) AS value_sum
+        FROM sess GROUP BY user_id, session_idx
+    """
     return out
+
+
+def _communities_oracle_sql(base: dict[str, str]) -> str:
+    """CC as a recursive reachability closure: component(v) = min id
+    reachable from v over undirected edges — the exact contract of both
+    connected_components strategies."""
+    return _graph_edges_cte(base) + """
+, und AS (
+    SELECT DISTINCT subj_id AS a, obj_id AS b FROM edges WHERE subj_id != obj_id
+), sym AS (
+    SELECT a, b FROM und UNION SELECT b, a FROM und
+), nodes AS (SELECT DISTINCT a AS id FROM sym)
+, reach AS (
+    WITH RECURSIVE r(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.b, r.comp FROM r JOIN sym s ON s.a = r.id
+    ) SELECT * FROM r
+)
+SELECT id AS entity_id, min(comp) AS component FROM reach GROUP BY id
+"""
 
 
 def _graph_edges_cte(base: dict[str, str]) -> str:
