@@ -1,0 +1,39 @@
+"""PageRank / triangle-count semantics on hand graphs (the driver oracle
+checks values on the derived corpus; these pin the math on graphs small
+enough to verify by eye)."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.graph import pagerank, triangle_count
+
+EDGE_DDL = "subj_id string, obj_id string"
+
+
+def test_pagerank_uniform_on_a_cycle(spark):
+    # a -> b -> c -> a: perfectly symmetric, every iteration preserves 1/3
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], EDGE_DDL)
+    got = {r["entity_id"]: r["pagerank"] for r in pagerank(e).collect()}
+    assert got == {"a": round(1 / 3, 5), "b": round(1 / 3, 5), "c": round(1 / 3, 5)}
+
+
+def test_pagerank_sink_accumulates(spark):
+    # a -> c, b -> c: c receives all mass, a and b only teleport
+    e = spark.createDataFrame([("a", "c"), ("b", "c")], EDGE_DDL)
+    got = {r["entity_id"]: r["pagerank"] for r in pagerank(e, iterations=1).collect()}
+    n, d = 3, 0.85
+    assert got["a"] == round((1 - d) / n, 5)
+    assert got["b"] == round((1 - d) / n, 5)
+    assert got["c"] == round((1 - d) / n + d * (2 / n), 5)
+
+
+def test_triangle_count_exact(spark):
+    # one triangle (a,b,c) plus a pendant edge (c,d); parallel/reversed
+    # duplicates must not double-count
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")]
+    e = spark.createDataFrame(rows, EDGE_DDL)
+    assert triangle_count(e).collect()[0]["n_triangles"] == 1
+
+    # two triangles sharing the edge (a, b)
+    rows2 = [("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("a", "d")]
+    e2 = spark.createDataFrame(rows2, EDGE_DDL)
+    assert triangle_count(e2).collect()[0]["n_triangles"] == 2
