@@ -399,6 +399,27 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # *verify* (a spurious CC merge would change entity_ids and fail the check).
 # ---------------------------------------------------------------------------
 
+_KG_RESULT_CACHE: dict = {}
+
+
+def _kg_result(spark: SparkSession, sf_dir: str):
+    """One pipeline run per (session, sf_dir), shared by every kg_*
+    driver entry: the flagship outputs are a pure function of the input
+    parquet, and run_pipeline materializes its stages (parquet checkpoint
+    for the fused scan, localCheckpointed match edges, persisted surface
+    map), so downstream entries reuse those materializations instead of
+    re-running extraction + linking per query."""
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KG_RESULT_CACHE:
+        _KG_RESULT_CACHE[key] = run_pipeline(
+            transcripts_from_documents(spark, sf_dir), use_coref=False
+        )
+    return _KG_RESULT_CACHE[key]
+
+
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_service_spark.plans.pipeline import extract_mentions
     from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
@@ -407,10 +428,7 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_service_spark.plans.pipeline import run_pipeline
-    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
-
-    r = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
+    r = _kg_result(spark, sf_dir)
     return r.edges.select("subj_id", "pred", "obj_id", "confidence", "conv_id")
 
 
@@ -487,10 +505,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_service_spark.plans.pipeline import run_pipeline
-    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
-
-    r = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
+    r = _kg_result(spark, sf_dir)
     return r.entities.select(
         "entity_id", "entity_text", "entity_type", "occurrence_count", "confidence"
     )
@@ -682,10 +697,7 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     label = min reachable entity id, the same contract both CC strategies
     implement)."""
     from entity_extraction_service_spark.operators.graph import communities
-    from entity_extraction_service_spark.plans.pipeline import run_pipeline
-    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
-
-    r = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
+    r = _kg_result(spark, sf_dir)
     return communities(r.edges).select("entity_id", "component")
 
 
@@ -694,20 +706,14 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity graph (operators/graph.py pagerank); oracle unrolls the same
     three iterations as CTEs over the kg_edges derivation."""
     from entity_extraction_service_spark.operators.graph import pagerank
-    from entity_extraction_service_spark.plans.pipeline import run_pipeline
-    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
-
-    r = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
+    r = _kg_result(spark, sf_dir)
     return pagerank(r.edges)
 
 
 def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count over the undirected canonical entity graph."""
     from entity_extraction_service_spark.operators.graph import triangle_count
-    from entity_extraction_service_spark.plans.pipeline import run_pipeline
-    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
-
-    r = run_pipeline(transcripts_from_documents(spark, sf_dir), use_coref=False)
+    r = _kg_result(spark, sf_dir)
     return triangle_count(r.edges)
 
 
