@@ -92,6 +92,12 @@ class PipelineConfig:
     # canonical_entities). Sorted-prefix semantics; exact below the cap.
     max_entity_variants: int = 1_000
     max_entity_documents: int = 10_000
+    # refusal caps for the EXACT all-pairs twins (the LSH paths are the
+    # scale path): jaccard_pairs raises when any block exceeds this many
+    # docs; quantized_dot_pairs raises when the corpus exceeds
+    # allpairs_max_rows. Both would otherwise go quadratic silently.
+    jaccard_max_block_size: int = 10_000
+    allpairs_max_rows: int = 20_000
     # E4 category pass: when set, the pattern table AND the model-type
     # vocabulary are restricted to these types (operators/multipass.py
     # builds one config per pass). None = the unified single pass (E6).

@@ -275,6 +275,7 @@ def quantized_dot_pairs(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs similarity on integer-quantized embeddings — the
     exactness-verifiable twin of the cosine path.
@@ -284,7 +285,20 @@ def quantized_dot_pairs(
     (the DuckDB oracle included) reproduces it bit-for-bit — float cosine
     sums differ across engines in the last ulps and cannot be hash-
     compared. Use for correctness harnesses and small re-rank sets; the
-    LSH/IVF paths are the scale path."""
+    LSH/IVF paths are the scale path. Enforced, not advisory: the call
+    REFUSES (raises ValueError) when the corpus exceeds ``max_rows``
+    (default ``PipelineConfig.allpairs_max_rows``) — an unguarded
+    cartesian product cannot run by accident at scale."""
+    from ..config import DEFAULT_CONFIG
+
+    cap = DEFAULT_CONFIG.allpairs_max_rows if max_rows is None else max_rows
+    n = corpus.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"quantized_dot_pairs refused: corpus has > {cap} rows "
+            f"(max_rows={cap}); route candidates through lsh_topk/ivf_topk "
+            "and use this only on the bounded re-rank set"
+        )
     q = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("long"))
     c = corpus.select(F.col(id_col).alias("id"), q.alias("qv"))
     a, b = c.alias("a"), c.alias("b")

@@ -123,9 +123,27 @@ def _existing_tables(base_dir: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
-def merge_entity_tables(existing: DataFrame, new: DataFrame) -> DataFrame:
+def merge_entity_tables(
+    existing: DataFrame, new: DataFrame, config=None
+) -> DataFrame:
     """Accumulate canonical entity rows on entity_id: occurrence-weighted
-    confidence, unioned variants/document_ids, higher-count representative."""
+    confidence, unioned variants/document_ids, higher-count representative.
+
+    The sorted-prefix caps (``max_entity_variants`` / ``max_entity_documents``
+    — linking.py canonical_entities) are RE-APPLIED after the union: the
+    prefix-of-sorted-distinct aggregate is mergeable (each element of the
+    capped union prefix is within the cap prefix of whichever side it came
+    from), so capped incremental merges equal the capped from-scratch run
+    and the list columns stay bounded across arbitrarily many batches.
+
+    Rounding caveat: ``confidence`` re-averages the already-6dp-rounded
+    per-batch means, so an incremental result can differ from the
+    from-scratch run in the last decimal (~1 ulp at 6dp) when batch means
+    round differently; counts, ids, and list columns are exact.
+    """
+    from ..config import DEFAULT_CONFIG
+
+    cfg = config or DEFAULT_CONFIG
     both = existing.unionByName(new)
     agg = both.groupBy("entity_id").agg(
         F.max_by(
@@ -136,9 +154,13 @@ def merge_entity_tables(existing: DataFrame, new: DataFrame) -> DataFrame:
             F.sum(F.col("confidence") * F.col("occurrence_count"))
             / F.sum("occurrence_count")
         ).alias("confidence"),
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("variants")))).alias("variants"),
-        F.array_sort(
-            F.array_distinct(F.flatten(F.collect_list("document_ids")))
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("variants")))),
+            1, cfg.max_entity_variants,
+        ).alias("variants"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("document_ids")))),
+            1, cfg.max_entity_documents,
         ).alias("document_ids"),
         F.sum("occurrence_count").alias("occurrence_count"),
     )
@@ -193,14 +215,18 @@ def merge_edge_tables(
     )
 
 
-def _latest_path(base_dir: str, name: str) -> str | None:
+def _latest_version(base_dir: str, name: str) -> str | None:
     marker = os.path.join(base_dir, name, "_LATEST")
     try:
         with open(marker) as f:
-            v = f.read().strip()
-        return os.path.join(base_dir, name, v)
+            return f.read().strip()
     except OSError:
         return None
+
+
+def _latest_path(base_dir: str, name: str) -> str | None:
+    v = _latest_version(base_dir, name)
+    return None if v is None else os.path.join(base_dir, name, v)
 
 
 def merge_into(
@@ -212,13 +238,23 @@ def merge_into(
 ) -> str:
     """Versioned MERGE: next snapshot = merge_fn(current, new); the
     _LATEST pointer is replaced atomically (os.replace), so readers see
-    either the old or the new snapshot, never a partial one. With an
-    Iceberg catalog this whole function is `MERGE INTO`."""
+    either the old or the new snapshot, never a partial one. The version
+    is a monotonic counter derived from the CURRENT pointer (never a wall
+    clock), so the output directory can never collide with the snapshot
+    the lazy merged plan is still reading, regardless of clock skew or
+    sub-millisecond back-to-back merges. Single-writer protocol (as the
+    parquet fallback for Iceberg's optimistic-concurrency `MERGE INTO`):
+    two concurrent writers would both read the same base and the last
+    pointer replace would win, silently dropping the other batch —
+    serialize merge_into calls per table."""
     table_dir = os.path.join(base_dir, name)
     os.makedirs(table_dir, exist_ok=True)
-    cur = _latest_path(base_dir, name)
+    cur_version = _latest_version(base_dir, name)
+    cur = None if cur_version is None else os.path.join(table_dir, cur_version)
     merged = new_df if cur is None else merge_fn(spark.read.parquet(cur), new_df)
-    version = f"v{int(time.time() * 1000):013d}"
+    version = f"v{(int(cur_version[1:]) + 1) if cur_version else 1:013d}"
+    if version == cur_version:
+        raise RuntimeError(f"snapshot version collision for {name}: {version}")
     out = os.path.join(table_dir, version)
     merged.write.mode("overwrite").parquet(out)
     tmp = os.path.join(table_dir, "_LATEST.tmp")
@@ -245,7 +281,10 @@ def run_with_merge(
     cfg = config or DEFAULT_CONFIG
     r = run_pipeline(transcripts, cfg, use_coref=False, apply_overall_filter=False)
     paths = {
-        "entities": merge_into(spark, base_dir, "entities", r.entities, merge_entity_tables),
+        "entities": merge_into(
+            spark, base_dir, "entities", r.entities,
+            lambda a, b: merge_entity_tables(a, b, cfg),
+        ),
         "edges": merge_into(
             spark, base_dir, "edges", r.edges,
             lambda a, b: merge_edge_tables(a, b, cfg.confidence_boost_factor),

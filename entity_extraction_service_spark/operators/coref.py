@@ -113,6 +113,13 @@ def _resolve_keyed(
     a = antecedents.select(
         *key_cols, "turn_idx",
         F.col("start").alias("pos"),
+        # row-kind tiebreaker: an antecedent mention co-located with a
+        # reference at the same (turn_idx, pos) — e.g. "The Hartford" is
+        # both an ORG mention and a DEFINITE_ARTICLE reference — must sort
+        # deterministically; antecedents sort first, so the co-located
+        # mention counts as preceding (it resolves the ref to itself, which
+        # downstream T7 dedup collapses) instead of shuffle-order roulette
+        F.lit(0).alias("_kind"),
         _antecedent_payload().alias("_ante"),
         F.lit(None).cast("string").alias("ref_type"),
         F.lit(None).cast("string").alias("ref_surface"),
@@ -122,6 +129,7 @@ def _resolve_keyed(
     r = refs.select(
         *key_cols, "turn_idx",
         F.col("start").alias("pos"),
+        F.lit(1).alias("_kind"),
         F.lit(None).cast(a.schema["_ante"].dataType).alias("_ante"),
         F.col("ref_type"),
         F.col("surface").alias("ref_surface"),
@@ -131,7 +139,10 @@ def _resolve_keyed(
     ev = a.unionByName(r)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("turn_idx", "pos")
+        # _ante as the last key orders two antecedents sharing an exact
+        # start position (refs all have a null payload, already separated
+        # by _kind) — the window is fully deterministic
+        .orderBy("turn_idx", "pos", "_kind", "_ante")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     resolved = ev.withColumn("_res", F.last("_ante", ignorenulls=True).over(w))

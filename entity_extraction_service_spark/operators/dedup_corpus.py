@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..config import DEFAULT_CONFIG
 from ..functions.text_stats import fingerprint
 
 TOKEN_SPLIT = r"\s+"
@@ -57,11 +58,30 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.0,
+    max_block_size: int | None = None,
 ) -> DataFrame:
-    """Blocked all-pairs unigram Jaccard (block on a partition-friendly key)."""
+    """Blocked all-pairs unigram Jaccard (block on a partition-friendly key).
+
+    EXACT twin, not the scale path: one hot block (a dominant ``source``)
+    makes the self-join quadratic in that block's size, so the call
+    REFUSES (raises ValueError) when any block exceeds ``max_block_size``
+    (default ``PipelineConfig.jaccard_max_block_size``). Use
+    minhash_lsh_near_dups for unbounded corpora and keep this as its
+    verify stage / small-corpus oracle twin.
+    """
+    cap = DEFAULT_CONFIG.jaccard_max_block_size if max_block_size is None else max_block_size
     t = docs.select(
         F.col(block_col).alias("block"), F.col(id_col).alias("id"), _tokens(text_col).alias("toks")
     )
+    hot = (
+        t.groupBy("block").agg(F.count("*").alias("n"))
+        .where(F.col("n") > cap).select("block", "n").limit(1).collect()
+    )
+    if hot:
+        raise ValueError(
+            f"jaccard_pairs refused: block {hot[0]['block']!r} has {hot[0]['n']} docs "
+            f"(> max_block_size={cap}); use minhash_lsh_near_dups for corpora this size"
+        )
     a, b = t.alias("a"), t.alias("b")
     pairs = a.join(
         b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id"))

@@ -277,9 +277,12 @@ def canonical_entities(
         components.withColumnRenamed("id", "surface_id"), "surface_id", "left"
     ).withColumn("component", F.coalesce("component", "surface_id"))
 
-    # representative member = max occurrence_count, tiebreak min group_norm
+    # representative member = max occurrence_count, tiebreak min group_norm,
+    # then entity_type: L3 cross-type merges (e.g. TOOL "redis" vs SERVICE
+    # "redis") put two surfaces with the SAME group_norm in one component,
+    # so group_norm alone leaves the pick shuffle-order dependent
     w = Window.partitionBy("component").orderBy(
-        F.col("occurrence_count").desc(), F.col("group_norm")
+        F.col("occurrence_count").desc(), F.col("group_norm"), F.col("entity_type")
     )
     with_rep = labeled.withColumn("_rn", F.row_number().over(w))
     reps = with_rep.where(F.col("_rn") == 1).select(

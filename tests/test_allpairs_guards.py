@@ -1,0 +1,48 @@
+"""Refusal guards on the EXACT all-pairs twins (VERDICT r2 'What's wrong'
+#1/#2): jaccard_pairs and quantized_dot_pairs are correctness twins of the
+LSH scale paths and must refuse oversized inputs instead of silently going
+quadratic."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.ann import quantized_dot_pairs
+from entity_extraction_service_spark.operators.dedup_corpus import jaccard_pairs
+
+
+def _docs(spark, n, source="hot"):
+    return spark.range(n).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit(source).alias("source"),
+        F.concat(F.lit("alpha beta gamma doc "), F.col("id")).alias("text"),
+    )
+
+
+def test_jaccard_pairs_refuses_hot_block(spark):
+    docs = _docs(spark, 30)
+    with pytest.raises(ValueError, match="jaccard_pairs refused"):
+        jaccard_pairs(docs, max_block_size=10)
+
+
+def test_jaccard_pairs_runs_under_cap(spark):
+    docs = _docs(spark, 6)
+    out = jaccard_pairs(docs, max_block_size=10)
+    assert out.count() == 15  # C(6,2) pairs, one block
+
+
+def test_quantized_dot_pairs_refuses_oversized_corpus(spark):
+    vecs = spark.range(25).select(
+        F.concat(F.lit("v"), F.col("id")).alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="quantized_dot_pairs refused"):
+        quantized_dot_pairs(vecs, min_dot=0, max_rows=10)
+
+
+def test_quantized_dot_pairs_runs_under_cap(spark):
+    vecs = spark.range(5).select(
+        F.concat(F.lit("v"), F.col("id")).alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("embedding"),
+    )
+    out = quantized_dot_pairs(vecs, min_dot=0, max_rows=10)
+    assert out.count() == 10  # C(5,2)

@@ -37,3 +37,41 @@ def test_triangle_count_exact(spark):
     rows2 = [("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("a", "d")]
     e2 = spark.createDataFrame(rows2, EDGE_DDL)
     assert triangle_count(e2).collect()[0]["n_triangles"] == 2
+
+
+def test_pagerank_empty_and_self_loop_edges(spark):
+    # empty edge list and all-self-loop edge list: no nodes -> empty result,
+    # not a driver-side ZeroDivisionError from the 1/n teleport term
+    empty = spark.createDataFrame([], EDGE_DDL)
+    assert pagerank(empty).collect() == []
+    loops = spark.createDataFrame([("a", "a"), ("b", "b")], EDGE_DDL)
+    assert pagerank(loops).collect() == []
+
+
+def test_triangle_orientation_bounds_hub_fanout(spark):
+    # hub graph: one vertex h connected to 200 leaves, plus 3 genuine
+    # triangles threaded through the hub (h-l0-l1, h-l2-l3, h-l4-l5).
+    # The naive lo<hi orientation would give the hub C(200,2)=19900 wedges;
+    # degree ordering points every leaf AT the hub, so the hub's oriented
+    # out-degree is 0 and the wedge join stays linear in the leaf count.
+    from entity_extraction_service_spark.operators.graph import oriented_edges
+
+    rows = [("h", f"l{i}") for i in range(200)]
+    rows += [("l0", "l1"), ("l2", "l3"), ("l4", "l5")]
+    e = spark.createDataFrame(rows, EDGE_DDL)
+    assert triangle_count(e).collect()[0]["n_triangles"] == 3
+
+    o = oriented_edges(e)
+    fanout = {
+        r["u"]: r["n"]
+        for r in o.groupBy("u").agg(F.count("*").alias("n")).collect()
+    }
+    # the hub keeps no out-edges; every vertex's fan-out is bounded by its
+    # triangle partners, not its raw degree
+    assert fanout.get("h", 0) == 0
+    assert max(fanout.values()) <= 2
+    # wedge cardinality (the first join's output) is tiny vs the naive 19900
+    w1 = o.select(F.col("u"), F.col("v").alias("a"))
+    w2 = o.select(F.col("u"), F.col("v").alias("b"))
+    n_wedges = w1.join(w2, "u").where(F.col("a") < F.col("b")).count()
+    assert n_wedges <= 10

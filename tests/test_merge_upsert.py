@@ -73,3 +73,66 @@ def test_second_batch_accumulates_not_replaces(spark, merged_vs_scratch):
         nums = {int(d.split("_")[1]) % 2 for d in r["document_ids"]}
         # the hot surfaces span both parities
         assert nums <= {0, 1}
+
+
+def test_merge_reapplies_list_caps(spark):
+    """Capped sorted-prefix lists stay bounded and equal the capped
+    from-scratch aggregate across incremental merges (ADVICE r2:
+    checkpoint.py merge_entity_tables cap re-application)."""
+    from dataclasses import replace
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+    from entity_extraction_service_spark.operators.checkpoint import (
+        merge_entity_tables,
+    )
+
+    cfg = replace(DEFAULT_CONFIG, max_entity_variants=3, max_entity_documents=2)
+    ddl = (
+        "entity_id string, entity_text string, entity_type string, "
+        "canonical_norm string, variants array<string>, confidence double, "
+        "document_ids array<string>, occurrence_count bigint"
+    )
+    a = spark.createDataFrame(
+        [("e1", "Acme", "ORG", "acme", ["Acme", "acme co", "acme inc"],
+          0.8, ["c1", "c3"], 5)],
+        ddl,
+    )
+    b = spark.createDataFrame(
+        [("e1", "Acme", "ORG", "acme", ["ACME", "Acme", "acme corp"],
+          0.9, ["c0", "c2"], 3)],
+        ddl,
+    )
+    row = merge_entity_tables(a, b, cfg).collect()[0]
+    # sorted-prefix semantics: cap smallest distinct values of the union
+    assert row["variants"] == ["ACME", "Acme", "acme co"]
+    assert row["document_ids"] == ["c0", "c1"]
+    assert row["occurrence_count"] == 8
+
+
+def test_merge_into_versions_are_monotonic(spark, tmp_path):
+    """Snapshot versions come from a counter, not the wall clock: two
+    back-to-back merges in the same millisecond can never self-overwrite
+    (ADVICE r2: checkpoint.py merge_into versioning)."""
+    import os
+
+    from entity_extraction_service_spark.operators.checkpoint import (
+        _latest_version,
+        merge_entity_tables,
+        merge_into,
+    )
+
+    base = str(tmp_path)
+    ddl = (
+        "entity_id string, entity_text string, entity_type string, "
+        "canonical_norm string, variants array<string>, confidence double, "
+        "document_ids array<string>, occurrence_count bigint"
+    )
+    df = spark.createDataFrame(
+        [("e1", "Acme", "ORG", "acme", ["Acme"], 0.8, ["c1"], 1)], ddl
+    )
+    p1 = merge_into(spark, base, "entities", df, merge_entity_tables)
+    v1 = _latest_version(base, "entities")
+    p2 = merge_into(spark, base, "entities", df, merge_entity_tables)
+    v2 = _latest_version(base, "entities")
+    assert v1 == "v0000000000001" and v2 == "v0000000000002"
+    assert p1 != p2 and os.path.isdir(p1) and os.path.isdir(p2)

@@ -37,9 +37,9 @@ NEW_TYPE_FIXTURES = {
         ("VERSION", "v2.14.3"),
         ("TICKET", "INFRA-1234"),
     },
-    "page oncall@example.com, runbook https://wiki.internal/db": {
+    "page oncall@example.com, runbook https://wiki.example.com/db": {
         ("EMAIL", "oncall@example.com"),
-        ("URL", "https://wiki.internal/db"),
+        ("URL", "https://wiki.example.com/db"),
     },
     "node 10.2.41.7 bad since 2025-11-28, logs in /var/log/syslog": {
         ("IP_ADDR", "10.2.41.7"),
