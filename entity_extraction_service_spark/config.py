@@ -86,6 +86,11 @@ class PipelineConfig:
     # scan at the lowest method priority. Off by default — same gating as
     # the reference's unpatterned handler (request-option opt-in).
     use_heuristic_ner: bool = False
+    # T2 fourth triple stream: shallow-SVO dependency triples
+    # (operators/triples_ml.py dependency_triples_default). Off by default
+    # — same gating as the reference, whose dep extractor only runs when a
+    # parser model is loaded (relationship_extractor.py:448-449).
+    use_dep_triples: bool = False
     # caps on the per-entity list columns (variants, document_ids): a hot
     # entity present in 30% of 10^12 turns' conversations would otherwise
     # buffer an unbounded set on one reducer (operators/linking.py

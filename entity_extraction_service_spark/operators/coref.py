@@ -25,11 +25,19 @@ candidate antecedent mentions):
 - ACRONYM ("AC" after "Acme Corporation"): partition by
   (conv_id, token); antecedents = multi-word mentions keyed by their
   initial letters.
+- POSSESSIVE ("Smith's") and TITLE ("Dr. Smith"): same token-keyed
+  kernel as DEFINITE_ARTICLE — the reference token is the possessivized
+  base / surname, matched to the LAST token of an earlier mention's
+  group_norm (entity_registry.py:416-422).
+- ROLE_REFERENCE (bare "engineer"/"oncall"/...): same person-antecedent
+  kernel as PRONOUN (:428-431); "the <role>" classifies as
+  DEFINITE_ARTICLE first, as in the reference (:411-413).
 
 Each shape is one shuffle of a linear-size stream — the
 ``l7_last_antecedent`` oracle's plan. LAST_NAME references are resolved
 by wave-2 extraction instead (waves see prior-wave entities; see
-operators/waves.py).
+operators/waves.py); FULL_NAME is the non-reference default class (a
+full mention is its own antecedent).
 
 Resolved references become *virtual* mentions (method='coref'): they
 participate in triple extraction but are excluded from canonical-entity
@@ -51,6 +59,26 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 PRONOUN_RE = re.compile(r"\b(they|he|she)\b", re.IGNORECASE)
 DEFINITE_RE = re.compile(r"\bthe\s+([a-z][a-z-]+)\b", re.IGNORECASE)
 ACRONYM_RE = re.compile(r"\b([A-Z]{2,5})\b")
+# the reference's remaining classes (entity_registry.py:403-439):
+# POSSESSIVE — "'s" marker (:416-418); token = the possessivized base, so
+# "Smith's" keys to mentions whose group_norm ends in "smith" (both a
+# last-name and a full-name antecedent match via the last token).
+POSSESSIVE_RE = re.compile(r"\b([A-Za-z][A-Za-z-]+)'s\b")
+# the reference classifies ENTITY OCCURRENCES (text variants), so "it's"
+# never reaches it; this scan runs on raw text and must drop contractions
+_POSSESSIVE_STOP = frozenset(
+    {"it", "he", "she", "that", "let", "what", "there", "here", "who", "one"}
+)
+# TITLE — honorific + capitalized surname (:420-422); the legal titles
+# (judge/justice) become the generic honorifics of transcript text.
+TITLE_RE = re.compile(r"\b(?:[Mm]r|[Mm]s|[Mm]rs|[Dd]r|[Mm]x)\.?\s+([A-Z][a-z-]+)\b")
+# ROLE_REFERENCE — bare role noun (:428-431; counsel/plaintiff/... becomes
+# the engineering-room vocabulary). "the <role>" is DEFINITE_ARTICLE — the
+# reference checks definite first (:411-413) — so a preceding article
+# suppresses this class.
+ROLE_RE = re.compile(
+    r"(?<![Tt]he )\b(engineer|oncall|reviewer|manager|author|admin)\b"
+)
 
 REF_SCHEMA = T.StructType(
     [
@@ -87,6 +115,23 @@ def classify_references(transcripts: DataFrame) -> DataFrame:
                 for m in ACRONYM_RE.finditer(t):
                     rows.append(
                         (conv_id, int(turn_idx), "ACRONYM", m.group(1),
+                         m.group(1).lower(), m.start(1), m.end(1))
+                    )
+                for m in POSSESSIVE_RE.finditer(t):
+                    if m.group(1).lower() in _POSSESSIVE_STOP:
+                        continue
+                    rows.append(
+                        (conv_id, int(turn_idx), "POSSESSIVE", m.group(0),
+                         m.group(1).lower(), m.start(0), m.end(0))
+                    )
+                for m in TITLE_RE.finditer(t):
+                    rows.append(
+                        (conv_id, int(turn_idx), "TITLE", m.group(0),
+                         m.group(1).lower(), m.start(0), m.end(0))
+                    )
+                for m in ROLE_RE.finditer(t):
+                    rows.append(
+                        (conv_id, int(turn_idx), "ROLE_REFERENCE", m.group(1),
                          m.group(1).lower(), m.start(1), m.end(1))
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in REF_SCHEMA.fields])
@@ -188,20 +233,29 @@ def resolve_pronouns(
     refs = classify_references(transcripts)
     base = mentions.where(F.col("method") != "coref")
 
-    # PRONOUN -> latest prior PERSON mention in the conversation
+    # PRONOUN and ROLE_REFERENCE -> latest prior PERSON mention in the
+    # conversation (one kernel call: both classes share antecedent set and
+    # partitioning, entity_registry.py:495-513 recent-person pick)
     persons = base.where(F.col("entity_type") == "PERSON")
     pron = _resolve_keyed(
-        refs.where(F.col("ref_type") == "PRONOUN"), persons, ["conv_id"]
+        refs.where(F.col("ref_type").isin("PRONOUN", "ROLE_REFERENCE")),
+        persons, ["conv_id"],
     )
     out = _virtual_mentions(pron, config)
 
     if resolve_definites:
-        # "the X" -> latest prior mention whose group_norm's last token is X
+        # DEFINITE_ARTICLE / POSSESSIVE / TITLE -> latest prior mention
+        # whose group_norm's LAST token matches the reference token ("the
+        # corporation" -> "acme corporation"; "Smith's" / "Dr. Smith" ->
+        # "alice smith"). One kernel call for all three token-keyed classes.
         keyed = base.withColumn(
             "token", F.element_at(F.split("group_norm", r"\s+"), -1)
         )
         defs = _resolve_keyed(
-            refs.where(F.col("ref_type") == "DEFINITE_ARTICLE"), keyed,
+            refs.where(
+                F.col("ref_type").isin("DEFINITE_ARTICLE", "POSSESSIVE", "TITLE")
+            ),
+            keyed,
             ["conv_id", "token"],
         )
         out = out.unionByName(_virtual_mentions(defs, config))

@@ -364,7 +364,10 @@ def model_triples(
     return grouped.mapInPandas(run, schema=TRIPLE_SCHEMA)
 
 
-TRIPLE_METHOD_PRIORITY = {"model": 4, "pattern": 3, "proximity": 2, "ml": 1}
+# T7/T8 best-row pick order; mirrors the reference's extraction-method
+# order (relationship_extractor.py:147-165: pattern, dependency,
+# proximity, ml under the LLM wave). Renumbering preserves relative order.
+TRIPLE_METHOD_PRIORITY = {"model": 5, "pattern": 4, "dep": 3, "proximity": 2, "ml": 1}
 
 
 def validate_triples(

@@ -2,11 +2,20 @@
 
 T2 (dependency-parse triples, reference
 relationship_extractor.py:441-630): spaCy dependency paths between
-entity-pair head tokens, classified by a (dep, lemma) table. spaCy is not
-in this container, so the operator raises a clear NotImplementedError
-unless a model loader is injected — the Spark plumbing (mapInPandas with
-one parser per executor process, never per row) is real and tested via a
-fake loader.
+entity-pair head tokens, classified by a (dep, lemma) table
+(:600-630). This module ships TWO T2 paths:
+
+- ``dependency_triples_default`` — the DEFAULT, dependency-light
+  deterministic shallow-SVO parser: a tiny Arrow-batched scan finds
+  inflected verb forms with sentence bounds, then pure Catalyst picks
+  the nearest preceding mention as nsubj and the nearest following
+  mention as dobj within the sentence, classifying the (lemma,
+  type-pair) exactly where the reference classifies the (dep, lemma)
+  path. No external model; runs in this container.
+- ``dependency_triples`` — the loader seam for a REAL parser (spaCy et
+  al): mapInPandas with one parser per executor process, never per row.
+  Raises NotImplementedError only when neither a loader nor the default
+  path's inputs are available.
 
 T4 (ML-model triples, reference relationship_extractor.py:729-785 +
 relationship_models.py:450-496): candidate pairs <= max_entity_distance
@@ -19,17 +28,194 @@ across partitionings.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from .triples import TRIPLE_SCHEMA
+from .triples import TRIPLE_SCHEMA, type_pair_predicate_df
 
 ML_THRESHOLD = 0.75  # relationship_extractor.py:56 ml confidence floor
 ML_BATCH_SIZE = 32   # relationship_models.py:450-496 batch_predict size
+
+# (verb form) -> (lemma, confidence): the transcript-domain port of the
+# reference's (dep, lemma) -> (RelationshipType, confidence) table
+# (relationship_extractor.py:600-630 — e.g. (nsubj, sue) -> SUES 0.9,
+# (nsubj, own) -> OWNS 0.85, default RELATED_TO 0.65). Only UNAMBIGUOUSLY
+# INFLECTED forms trigger (3sg -s, past -ed, gerund -ing, irregular
+# pasts): bare infinitives ("run", "use", "join", "read") double as nouns
+# in technical text and a shallow parser has no dep labels to
+# disambiguate them — a precision choice the reference gets from nsubj.
+_DEP_LEMMAS: dict[str, tuple[tuple[str, ...], float]] = {
+    "work": (("works", "worked", "working"), 0.85),
+    "join": (("joins", "joined", "joining"), 0.85),
+    "run": (("runs", "running", "ran"), 0.85),
+    "use": (("uses", "used", "using"), 0.85),
+    "discuss": (("discusses", "discussed", "discussing"), 0.85),
+    "research": (("researches", "researched", "researching"), 0.8),
+    "migrate": (("migrates", "migrated", "migrating"), 0.8),
+    "standardize": (("standardizes", "standardized", "standardizing"), 0.85),
+    "mention": (("mentions", "mentioned", "mentioning"), 0.8),
+    "own": (("owns", "owned"), 0.85),
+    "depend": (("depends", "depended", "depending"), 0.85),
+    "publish": (("publishes", "published", "publishing"), 0.85),
+    "read": (("reads",), 0.8),
+    "merge": (("merges", "merged", "merging"), 0.8),
+    "close": (("closes", "closed", "closing"), 0.8),
+    "listen": (("listens", "listened", "listening"), 0.85),
+    "write": (("writes", "wrote", "writing"), 0.8),
+    "produce": (("produces", "produced", "producing"), 0.85),
+    "train": (("trains", "trained"), 0.85),
+    "live": (("lives", "lived"), 0.8),
+    "patch": (("patches", "patched", "patching"), 0.8),
+    "build": (("builds", "built"), 0.85),
+    "deploy": (("deploys", "deployed", "deploying"), 0.85),
+}
+DEP_VERB_FORMS: dict[str, tuple[str, float]] = {
+    form: (lemma, conf)
+    for lemma, (forms, conf) in _DEP_LEMMAS.items()
+    for form in forms
+}
+DEP_CONFIDENCE_FLOOR = 0.65  # dependency_confidence_threshold analog
+
+_DEP_VERB_RE = re.compile(
+    r"\b(" + "|".join(sorted(DEP_VERB_FORMS, key=len, reverse=True)) + r")\b",
+    re.IGNORECASE,
+)
+_SENT_BOUND_RE = re.compile(r"[.!?\n]")
+
+DEP_VERB_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("lemma", T.StringType(), False),
+        T.StructField("verb_conf", T.DoubleType(), False),
+        T.StructField("v_start", T.IntegerType(), False),
+        T.StructField("v_end", T.IntegerType(), False),
+        T.StructField("sent_start", T.IntegerType(), False),
+        T.StructField("sent_end", T.IntegerType(), False),
+    ]
+)
+
+
+def dep_verb_occurrences(transcripts: DataFrame) -> DataFrame:
+    """Inflected-verb occurrences per turn with sentence bounds (the
+    sentence is the reference's pair-generation unit,
+    relationship_extractor.py:496-510)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DEP_VERB_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                t = text or ""
+                if not t:
+                    continue
+                bounds = [0] + [m.end() for m in _SENT_BOUND_RE.finditer(t)] + [len(t)]
+                for m in _DEP_VERB_RE.finditer(t):
+                    lemma, conf = DEP_VERB_FORMS[m.group(1).lower()]
+                    s_start = max(b for b in bounds if b <= m.start())
+                    s_end = min(b for b in bounds if b >= m.end())
+                    rows.append(
+                        (conv_id, int(turn_idx), lemma, conf,
+                         m.start(1), m.end(1), s_start, s_end)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=DEP_VERB_SCHEMA
+    )
+
+
+def dependency_triples_default(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """T2 default — shallow-SVO dependency triples (method='dep').
+
+    Per verb occurrence: nsubj = nearest mention ending at/before the
+    verb, dobj = nearest mention starting at/after it, both inside the
+    verb's sentence (the reference maps entities to head tokens and walks
+    the dep path, :495-563; with only linear structure available, the
+    nearest same-sentence mention IS the nsubj/dobj head-token pick for
+    SVO clauses). The predicate comes from the ordered type-pair table —
+    the same assignment rule T1 uses for expected types
+    (relationship_extractor.py:357-374) — reversed pairs flip
+    subject/object; pairs outside the table are dropped (a precision
+    narrowing of the reference's RELATED_TO-0.65 default, which with no
+    real dep path would fire on every mention-verb-mention co-occurrence).
+    One join + one agg on the mention stream — bounded per turn, same
+    scale shape as T1.
+    """
+    occ = dep_verb_occurrences(transcripts)
+    m = mentions.select(
+        "conv_id", "turn_idx", "entity_type", "text", "start", "end", "surface_id"
+    )
+    j = occ.join(m, ["conv_id", "turn_idx"])
+    g = j.groupBy(
+        "conv_id", "turn_idx", "lemma", "verb_conf", "v_start", "v_end",
+        "sent_start", "sent_end",
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("end") <= F.col("v_start")) & (F.col("start") >= F.col("sent_start")),
+                F.struct(
+                    F.col("end").alias("end"), F.col("start").alias("start"),
+                    F.col("surface_id").alias("sid"), F.col("entity_type").alias("etype"),
+                    F.col("text").alias("txt"),
+                ),
+            )
+        ).alias("subj"),
+        F.min(
+            F.when(
+                (F.col("start") >= F.col("v_end")) & (F.col("end") <= F.col("sent_end")),
+                F.struct(
+                    F.col("start").alias("start"), F.col("end").alias("end"),
+                    F.col("surface_id").alias("sid"), F.col("entity_type").alias("etype"),
+                    F.col("text").alias("txt"),
+                ),
+            )
+        ).alias("obj"),
+    )
+    g = g.where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+
+    preds = type_pair_predicate_df(transcripts.sparkSession, config)
+    fwd = preds.select(
+        F.col("type_a").alias("subj_type"), F.col("type_b").alias("obj_type"),
+        F.col("pred").alias("pred_fwd"),
+    )
+    rev = preds.select(
+        F.col("type_b").alias("subj_type"), F.col("type_a").alias("obj_type"),
+        F.col("pred").alias("pred_rev"),
+    )
+    g = (
+        g.withColumn("subj_type", F.col("subj.etype"))
+        .withColumn("obj_type", F.col("obj.etype"))
+        .join(F.broadcast(fwd), ["subj_type", "obj_type"], "left")
+        .join(F.broadcast(rev), ["subj_type", "obj_type"], "left")
+        .where(F.col("pred_fwd").isNotNull() | F.col("pred_rev").isNotNull())
+    )
+    # forward pair keeps (left, right); reverse-only pair flips them — the
+    # reference's assign-by-expected-type rule (:357-374)
+    use_fwd = F.col("pred_fwd").isNotNull()
+    out = g.select(
+        F.when(use_fwd, F.col("subj.sid")).otherwise(F.col("obj.sid")).alias("subj_id"),
+        F.coalesce("pred_fwd", "pred_rev").alias("pred"),
+        F.when(use_fwd, F.col("obj.sid")).otherwise(F.col("subj.sid")).alias("obj_id"),
+        F.col("verb_conf").alias("confidence"),
+        "conv_id", "turn_idx",
+        # evidence mirrors the reference's "dep_path: ..." format (:553)
+        F.concat(
+            F.lit("dep_path: nsubj -> "), F.col("lemma"), F.lit(" -> dobj")
+        ).alias("evidence"),
+        F.lit("dep").alias("method"),
+    )
+    return out.where(F.col("confidence") >= DEP_CONFIDENCE_FLOOR)
 
 
 class RuleBackedPairClassifier:
@@ -125,8 +311,9 @@ def dependency_triples(
     list[list[(subj_text, pred, obj_text, confidence)]]`` (one list per
     input text, batched). One parser instance per Python worker process —
     the executor-side model-cache pattern for heavyweight NLP models.
-    Without a loader (no spaCy in this container) this raises
-    NotImplementedError — the documented stub per the build contract.
+    Without a loader (no spaCy in this container), use
+    ``dependency_triples_default`` — the deterministic shallow-SVO
+    default; this seam raises to make the missing-parser case explicit.
     """
     if parser_loader is None:
         try:
@@ -134,7 +321,8 @@ def dependency_triples(
         except ImportError as e:
             raise NotImplementedError(
                 "dependency_triples needs spaCy (not in this container) or an "
-                "injected parser_loader; see docstring for the loader contract"
+                "injected parser_loader; use dependency_triples_default(transcripts, "
+                "mentions) for the built-in deterministic shallow-SVO parser"
             ) from e
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -282,6 +282,14 @@ def run_pipeline(
             model_triples(triple_mentions, triple_client_factory, config),
             allowMissingColumns=True,
         )
+    if config.use_dep_triples:
+        # T2 shallow-SVO dependency triples (raw rows, same normalization)
+        from ..operators.triples_ml import dependency_triples_default
+
+        raw_triples = raw_triples.unionByName(
+            dependency_triples_default(transcripts, triple_mentions, config),
+            allowMissingColumns=True,
+        )
     validated = validate_triples(raw_triples, surface_map, config)
     edges = dedup_and_merge_triples(validated, config)
     if apply_overall_filter:

@@ -110,3 +110,63 @@ def test_no_quadratic_join_in_plan(spark):
     plan = resolve_pronouns(t, m)._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+def test_possessive_resolves_via_last_token(spark):
+    # "Rivera's" -> earlier full mention "Dana Rivera" (reference
+    # POSSESSIVE class, entity_registry.py:416-418)
+    t = _transcripts(
+        spark,
+        [
+            ("c1", 0, "Dana Rivera joined Acme Corporation."),
+            ("c1", 1, "Rivera's branch broke the build."),
+        ],
+    )
+    m = extract_mentions(t)
+    virt = resolve_pronouns(t, m).collect()
+    poss = [v for v in virt if v["turn_idx"] == 1 and v["start"] == 0]
+    assert len(poss) == 1
+    assert poss[0]["text"] == "Dana Rivera"
+    assert poss[0]["entity_type"] == "PERSON"
+    assert poss[0]["method"] == "coref"
+
+
+def test_title_resolves_to_full_person(spark):
+    t = _transcripts(
+        spark,
+        [
+            ("c1", 0, "Dana Rivera joined Acme Corporation."),
+            ("c1", 1, "Dr. Rivera approved the rollout."),
+        ],
+    )
+    m = extract_mentions(t)
+    virt = resolve_pronouns(t, m).collect()
+    title = [v for v in virt if v["turn_idx"] == 1 and v["start"] == 0]
+    assert len(title) == 1
+    assert title[0]["text"] == "Dana Rivera"
+
+
+def test_role_reference_resolves_to_latest_person(spark):
+    # bare role noun -> most recent PERSON; "the engineer" stays a
+    # DEFINITE_ARTICLE (reference checks definite first, :411-413)
+    t = _transcripts(
+        spark,
+        [
+            ("c1", 0, "Dana Rivera joined Acme Corporation."),
+            ("c1", 1, "Priya Sharma mentioned Dana Rivera in the standup."),
+            ("c1", 2, "oncall paged at 3am about redis."),
+        ],
+    )
+    m = extract_mentions(t)
+    refs = classify_references(t)
+    assert refs.where(F.col("ref_type") == "ROLE_REFERENCE").count() == 1
+    virt = resolve_pronouns(t, m).where(F.col("turn_idx") == 2).collect()
+    role = [v for v in virt if v["start"] == 0]
+    assert len(role) == 1
+    # latest PERSON before turn 2 is Dana Rivera (position-aware pick)
+    assert role[0]["text"] == "Dana Rivera"
+
+
+def test_contractions_are_not_possessives(spark):
+    t = _transcripts(spark, [("c1", 0, "it's broken and that's fine")])
+    refs = classify_references(t)
+    assert refs.where(F.col("ref_type") == "POSSESSIVE").count() == 0
