@@ -38,7 +38,7 @@ HEADLINE = [
     "minhash_lsh_near_dups",
     "simhash_fingerprints",
     "embedding_topk",
-    "token_stats",
+    "text_analysis",
 ]
 
 

@@ -1,0 +1,57 @@
+"""Embedding columns for the materialization contract (reference
+graph_storage.py:124-142 `graph.chunks.content_embedding VECTOR(2048)` and
+:223-243 `graph.entities.embedding VECTOR(2000)`).
+
+The reference fills these from an embedding service; this sandbox has no
+model, so the featurizer is a SEAM: ``lattice_embedding`` is the
+deterministic default (md5 integer-lattice components, same construction
+as the multimodal fake features — operators/multimodal.py:110-120), and a
+real encoder drops in by replacing the column expression (the schema,
+joins, and ANN consumers are unchanged). Pure Catalyst + engine-portable
+md5 arithmetic, so the DuckDB oracle reproduces every component exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_ENTITY_EMBEDDING_DIM = 16  # sandbox stand-in for VECTOR(2000)
+DEFAULT_CONTENT_EMBEDDING_DIM = 16  # sandbox stand-in for VECTOR(2048)
+
+
+def lattice_embedding(key: F.Column, dim: int = DEFAULT_ENTITY_EMBEDDING_DIM) -> F.Column:
+    """array<double> of ``dim`` components in [-1, 1]: component i =
+    ((int(md5(key || ':' || i)[:8], 16) % 2001) - 1000) / 1000. Integer
+    lattice -> bit-exact across engines (float cosine SUMS still differ in
+    the last ulps; rank-project before hash-comparing, as embedding_topk
+    does)."""
+    comps = []
+    for i in range(dim):
+        h = F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(f":{i}"))), 1, 8), 16, 10
+        ).cast("long")
+        comps.append(((F.pmod(h, F.lit(2001)) - 1000) / 1000.0).cast("double"))
+    return F.array(*comps)
+
+
+def with_entity_embeddings(
+    entities: DataFrame, dim: int = DEFAULT_ENTITY_EMBEDDING_DIM
+) -> DataFrame:
+    """graph.entities.embedding analog, keyed on the deterministic
+    entity_id (itself md5(type:norm)[:16]) so the column is a pure
+    function of the canonical identity."""
+    return entities.withColumn("embedding", lattice_embedding(F.col("entity_id"), dim))
+
+
+def with_content_embeddings(
+    chunks: DataFrame,
+    text_col: str = "text",
+    dim: int = DEFAULT_CONTENT_EMBEDDING_DIM,
+) -> DataFrame:
+    """graph.chunks.content_embedding analog: content-derived (md5 of the
+    chunk text), so identical content embeds identically — the property
+    the exact-dedup and ANN paths rely on."""
+    return chunks.withColumn(
+        "content_embedding", lattice_embedding(F.md5(F.col(text_col)), dim)
+    )

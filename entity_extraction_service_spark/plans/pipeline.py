@@ -306,10 +306,31 @@ def run_pipeline(
 
 
 def pipeline_tables(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> dict[str, DataFrame]:
-    """Checkpoint-friendly wrapper: subset of transcripts -> output tables."""
+    """Checkpoint-friendly wrapper: subset of transcripts -> output tables.
+
+    The durable contract mirrors graph_storage.py: entities carry the
+    deterministic ``embedding`` column (graph.entities.embedding analog,
+    :223-243) and a chunks table carries ``content_embedding``
+    (graph.chunks.content_embedding, :124-142) plus the token_count
+    heuristic (len//4, :157) — both from the featurizer seam
+    (functions/embeddings.py)."""
+    from ..functions.embeddings import with_content_embeddings, with_entity_embeddings
+    from ..operators.assemble import chunk_turns
+
     r = run_pipeline(transcripts, config)
+    chunks = chunk_turns(transcripts, config).select(
+        "conv_id",
+        "chunk_idx",
+        F.concat_ws("\n", F.col("turns.text")).alias("content"),
+    )
+    chunks = with_content_embeddings(chunks, text_col="content").withColumn(
+        "token_count", F.floor(F.length("content") / 4).cast("int")
+    )
     return {
         "mentions": r.mentions,
-        "entities": r.entities.withColumn("conv_id", F.explode("document_ids")),
+        "entities": with_entity_embeddings(
+            r.entities.withColumn("conv_id", F.explode("document_ids"))
+        ),
         "edges": r.edges,
+        "chunks": chunks,
     }

@@ -23,7 +23,7 @@ def test_full_run_then_noop_rerun(spark, corpus, tmp_path):
     base = str(tmp_path / "kg")
 
     paths = run_with_checkpoint(spark, transcripts, base, pipeline_tables, N_BUCKETS)
-    assert set(paths) == {"mentions", "entities", "edges"}
+    assert set(paths) == {"mentions", "entities", "edges", "chunks"}
     counts = {k: spark.read.parquet(p).count() for k, p in paths.items()}
     assert all(v > 0 for v in counts.values())
     assert completed_buckets(spark, base) == set(range(N_BUCKETS))
