@@ -127,6 +127,7 @@ class PipelineConfig:
         "listens_on", "built_from", "stores_in", "configured_by", "scheduled_as",
         "publishes_to", "reads_from", "produces", "trained_on",
         "depends_on", "owns", "located_in",
+        "granted_to", "billed_to",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -168,6 +169,14 @@ class PipelineConfig:
         ("SERVICE", "SERVICE", "depends_on"),
         ("ORG", "SERVICE", "owns"),
         ("HOSTNAME", "CLOUD_REGION", "located_in"),
+        # tier-3 packs (patterns/security.yaml, patterns/finance.yaml)
+        ("SERVICE", "API_KEY", "configured_by"),
+        ("SERVICE", "IAM_ROLE", "granted_to"),
+        ("SERVICE", "SECURITY_GROUP", "deployed_in"),
+        ("SERVICE", "OAUTH_SCOPE", "granted_to"),
+        ("ORG", "INVOICE_ID", "billed_to"),
+        ("PERSON", "PO_NUMBER", "works_on"),
+        ("ORG", "COST_CENTER", "tracked_in"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -182,6 +191,8 @@ class PipelineConfig:
         "MODEL_NAME", "DATASET_NAME", "GPU_MODEL", "ROW_COUNT", "TOKEN_COUNT",
         "CHECKPOINT_STEP", "RUN_ID",
         "PHONE", "SSN", "CREDIT_CARD", "SEVERITY",
+        "API_KEY", "JWT_TOKEN", "IAM_ROLE", "SECURITY_GROUP", "OAUTH_SCOPE",
+        "INVOICE_ID", "PO_NUMBER", "EIN", "IBAN", "COST_CENTER",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

@@ -38,10 +38,11 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
     "infrastructure": (
         "SERVICE", "HOSTNAME", "IP_ADDR", "CIDR", "MAC_ADDR", "PORT",
         "CLOUD_REGION", "K8S_RESOURCE", "DOCKER_IMAGE",
+        "SECURITY_GROUP", "IAM_ROLE",
     ),
     "artifacts": (
         "VERSION", "SHA", "PATH", "URL", "OBJECT_URI", "GIT_BRANCH",
-        "PR_NUMBER", "TICKET", "ENV_VAR", "FEATURE_FLAG",
+        "PR_NUMBER", "TICKET", "ENV_VAR", "FEATURE_FLAG", "OAUTH_SCOPE",
     ),
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",
@@ -54,8 +55,12 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
     "quantities": (
         "MONEY", "DATE_ISO", "TIME_HHMM", "DATA_SIZE", "ROW_COUNT",
         "TOKEN_COUNT", "CHECKPOINT_STEP", "RUN_ID", "CRON_EXPR",
+        "INVOICE_ID", "PO_NUMBER", "COST_CENTER",
     ),
-    "pii": ("PHONE", "SSN", "CREDIT_CARD", "EMAIL"),
+    # credentials and account/tax ids are sensitive-value types — same
+    # category as the reference's PII handling
+    "pii": ("PHONE", "SSN", "CREDIT_CARD", "EMAIL",
+            "API_KEY", "JWT_TOKEN", "IBAN", "EIN"),
     "concepts_tools": ("TOOL", "CONCEPT"),
 }
 
