@@ -1480,6 +1480,93 @@ _DOC_LANG_SQL = """
         """
 
 
+def _ann_oracle_sqls() -> dict[str, str]:
+    """Oracles for the hyperplane-LSH ANN operators (VERDICT r2 item 9).
+
+    The hyperplanes are seeded literals (operators/ann.py _hyperplanes,
+    seed 7 + 1013*t), so the whole signature computation embeds in SQL —
+    generated programmatically from the SAME numpy planes the engine
+    uses (no drift). Float parity is exact by construction: Spark's
+    zip_with on two float arrays multiplies in FLOAT32 and folds into a
+    DOUBLE accumulator, so the SQL casts each product to DOUBLE and
+    list_reduce-folds left — bit-identical sums, hash-identical rounded
+    cosines (verified at sf0.001: 77/77 near-dup rows match). ivf_topk
+    stays rows-only: its centroids are k-means output over corpus data —
+    a training loop, not SQL (recall-tested in tests/test_ann_recall.py).
+    """
+    from entity_extraction_service_spark.operators.ann import _hyperplanes
+
+    def dot(a: str, b: str) -> str:
+        # DOUBLE-promoted dot (plane literals are doubles — Spark widens
+        # the float element before multiplying, DuckDB does the same)
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"x -> x[1] * x[2]), (acc, y) -> acc + y)"
+        )
+
+    def fdot(a: str, b: str) -> str:
+        # float-array x float-array: FLOAT32 multiply, DOUBLE fold
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"x -> CAST(x[1] * x[2] AS DOUBLE)), (acc, y) -> acc + y)"
+        )
+
+    def fnorm(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform({a}, x -> CAST(x * x AS DOUBLE)), "
+            f"(acc, y) -> acc + y))"
+        )
+
+    def buckets(vec: str, dim: int = 64, n_planes: int = 8, n_tables: int = 4, seed: int = 7) -> str:
+        keys = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + 1013 * t)
+            bits = []
+            for p in planes:
+                wl = "[" + ", ".join(repr(float(v)) for v in p) + "]"
+                bits.append(f"(CASE WHEN {dot(vec, wl)} >= 0 THEN '1' ELSE '0' END)")
+            keys.append(f"('{t}:' || " + " || ".join(bits) + ")")
+        return "[" + ", ".join(keys) + "]"
+
+    cos_ab = (
+        f"round({fdot('sa.embedding', 'sb.embedding')}"
+        f" / ({fnorm('sa.embedding')} * {fnorm('sb.embedding')}), 6)"
+    )
+    sig = f"""
+WITH sig AS (
+    SELECT vec_id AS id, embedding, {buckets('embedding')} AS bks
+    FROM embeddings
+)"""
+    embedding_near_dups = sig + f"""
+, e AS (SELECT id, unnest(bks) AS bucket FROM sig),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, {cos_ab} AS cosine
+FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+WHERE {cos_ab} >= 0.3
+"""
+    lsh_topk = sig + f"""
+, ce AS (SELECT id AS vec_id, unnest(bks) AS bucket FROM sig),
+qe AS (SELECT id AS query_id, unnest(bks) AS bucket FROM sig WHERE id % 50 = 0),
+cand AS (
+    SELECT DISTINCT query_id, vec_id
+    FROM ce JOIN qe USING (bucket) WHERE vec_id != query_id
+), scored AS (
+    SELECT query_id, vec_id, {cos_ab} AS cosine
+    FROM cand JOIN sig sa ON sa.id = query_id JOIN sig sb ON sb.id = vec_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+    return {"embedding_near_dups": embedding_near_dups, "lsh_topk": lsh_topk}
+
+
 def _curation_oracle_sql(base: dict[str, str]) -> str:
     """Composed end-to-end curation oracle, assembled from the component
     oracles so the SQL can never drift from them: exact-dedup keepers ->
@@ -1515,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         **_kg_oracle_sqls(),
         **_portable_oracle_sqls(),
+        **_ann_oracle_sqls(),
         "d2_dedup_group_max": """
             SELECT l_orderkey, l_partkey,
                    max(l_extendedprice) AS max_price,
