@@ -113,6 +113,23 @@ def main() -> None:
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # MinHash-LSH on a realistic corpus (VERDICT r2 item 8): the driver
+    # documents' tiny vocabulary makes minhash_lsh_near_dups above mostly
+    # measure writing ~millions of true pairs; this fixed-size 10^4-vocab
+    # corpus with planted near-dups measures the operator itself. The
+    # corpus build is untimed (localCheckpoint materializes it first).
+    from entity_extraction_service_spark.operators.dedup_corpus import (
+        minhash_near_duplicates,
+    )
+    from entity_extraction_service_spark.sources.bench_corpus import (
+        synthesize_rich_documents,
+    )
+
+    rich = synthesize_rich_documents(spark, n_docs=5_000).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    _materialize(minhash_near_duplicates(rich, threshold=0.8, n_hashes=16, n_bands=4))
+    timings["minhash_lsh_rich"] = round(time.perf_counter() - t0, 3)
+
     total = time.perf_counter() - t_suite
     out = {
         "metric": "headline_suite_wall",

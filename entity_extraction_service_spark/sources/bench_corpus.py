@@ -1,0 +1,53 @@
+"""Deterministic rich-vocabulary benchmark corpus (VERDICT r2 item 8).
+
+The driver's documents tables share a tiny vocabulary, so at sf0.1 the
+MinHash-LSH benchmark spends its time writing ~2.8M genuinely-similar
+pairs — measuring output volume, not the operator. This corpus fixes the
+measurement: ~10^4-token vocabulary (random pairs land near Jaccard 0, as
+in a real web corpus) with near-duplicates PLANTED at a controlled rate,
+so the LSH banding, bucket join, and verify stages dominate the timing.
+
+Pure column arithmetic (md5 picks, same construction as
+transcripts_from_documents): the corpus is a deterministic function of
+(n_docs, tokens_per_doc, vocab_size) — no driver-side loop, no RNG state,
+identical on any engine/partitioning, scale by raising n_docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synthesize_rich_documents(
+    spark: SparkSession,
+    n_docs: int = 5_000,
+    tokens_per_doc: int = 200,
+    vocab_size: int = 10_000,
+) -> DataFrame:
+    """(doc_id, source, text): token i of doc d is ``w<md5(seed_d:i) %
+    vocab_size>``. Docs are paired (2k, 2k+1): the odd doc reuses the even
+    doc's seed except at every 10th position, planting one near-duplicate
+    pair per even doc at set-Jaccard ~0.8-0.85 (just above the standard
+    0.8 dedup threshold)."""
+    ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    pair_base = (F.floor(F.col("doc_id") / 2) * 2).cast("long")
+
+    def tok(i: F.Column) -> F.Column:
+        own = (F.col("doc_id") % 2 == 1) & (i % 10 == 0)
+        seed_doc = F.when(own, F.col("doc_id")).otherwise(pair_base)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", seed_doc.cast("string"), i.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        return F.concat(F.lit("w"), F.pmod(h, F.lit(vocab_size)).cast("string"))
+
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(tokens_per_doc - 1)), tok), " "
+    )
+    return ids.select(
+        "doc_id", F.lit("bench").alias("source"), text.alias("text")
+    )

@@ -1,0 +1,36 @@
+"""Rich-vocabulary bench corpus: determinism, planted near-dups, and a
+realistic (near-zero) background similarity level."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.dedup_corpus import (
+    minhash_near_duplicates,
+)
+from entity_extraction_service_spark.sources.bench_corpus import (
+    synthesize_rich_documents,
+)
+
+
+def test_corpus_is_deterministic(spark):
+    a = synthesize_rich_documents(spark, n_docs=40).collect()
+    b = synthesize_rich_documents(spark, n_docs=40).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # vocabulary is wide: a 40-doc sample already uses thousands of tokens
+    n_tok = (
+        synthesize_rich_documents(spark, n_docs=40)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .select(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    assert n_tok > 3_000
+
+
+def test_planted_pairs_found_and_background_is_quiet(spark):
+    docs = synthesize_rich_documents(spark, n_docs=200)
+    pairs = minhash_near_duplicates(docs, threshold=0.8, n_hashes=16, n_bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(2 * k, 2 * k + 1) for k in range(100)}
+    # LSH at 16 hashes / 4 bands has ~banding recall at J~0.82; require
+    # the bulk of planted pairs and nothing else above the 0.8 verify
+    assert got <= planted
+    assert len(got) >= 80
