@@ -44,6 +44,20 @@ from ..functions.normalize import group_norm_py, normalize_text_py
 # run of >= 2 Capitalized words (each letter-initial, lowercase tail)
 CAP_PHRASE_RE = re.compile(r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)+)\b")
 
+# quoted-span generator (entity_candidates.py:~470-520 analog): a short
+# double-quoted span is a candidate; typed by the capitalized rule when it
+# applies, else CONCEPT (the reference hands untyped spans to its
+# zero-shot classifier — CONCEPT is the deterministic default here)
+QUOTED_RE = re.compile(r'"([^"\n]{2,60})"')
+
+# context-driven generator (entity_candidates.py:~540-599 analog): a
+# naming cue introduces a candidate; single token, CONCEPT by default
+CONTEXT_CUE_RE = re.compile(
+    r"\b(?:called|named|aka|known as|dubbed)\s+([A-Za-z][\w.-]{1,40})"
+)
+
+CONTEXT_CONFIDENCE = 0.55  # below the quoted/capitalized rules
+
 ORG_SUFFIXES = frozenset(
     {
         "Corporation", "Corp", "Inc", "Ltd", "Labs", "Systems", "Group",
@@ -55,26 +69,77 @@ HEURISTIC_CONFIDENCE = 0.6  # below every pattern confidence -> D5 never
 # prefers a heuristic row on overlap even within equal method priority
 
 
-def heuristic_mentions_py(text: str) -> list[tuple]:
-    """Capitalized-phrase NER for one turn: [(etype, surface, s, e, conf)].
+def _classify_cap_phrase(surface: str) -> str | None:
+    """The capitalized-phrase classification rule
+    (entity_candidates.py:381-430 analog): ORG on corporate suffix,
+    PERSON on exactly two words, else unclassified (None)."""
+    words = surface.split()
+    last = words[-1]
+    if last.endswith("s") and last[:-1] in ORG_SUFFIXES:
+        last = last[:-1]  # plural surface variants ("Corporations")
+    if last in ORG_SUFFIXES:
+        return "ORG"
+    if len(words) == 2:
+        return "PERSON"
+    return None
 
-    Pure function of the text (no state), mirroring
-    entity_candidates.py:381-430 with the classification rule above.
+
+def heuristic_mentions_py(
+    text: str,
+    generators: tuple[str, ...] = ("capitalized", "quoted", "context"),
+) -> list[tuple]:
+    """Unpatterned candidate generators for one turn:
+    [(etype, surface, s, e, conf)].
+
+    Pure function of the text (no state). Three of the reference's four
+    generators (entity_candidates.py:349-599) run deterministically:
+    capitalization (:381-430), quoted-span (:~470-520), and
+    context-driven cues (:~540-599). The fourth — noun-phrase chunks —
+    genuinely needs a POS model (the reference uses spaCy noun_chunks);
+    inject it via ``extract_mentions_heuristic``'s ``ner_fn`` seam, the
+    same pattern as T2's parser loader. Overlapping candidates from
+    different generators are emitted as-is; D2/D5 dedup downstream keeps
+    the best row per span, exactly as the reference funnels all
+    generators into one candidate pool.
     """
     out: list[tuple] = []
-    for m in CAP_PHRASE_RE.finditer(text or ""):
-        words = m.group(1).split()
-        last = words[-1]
-        if last.endswith("s") and last[:-1] in ORG_SUFFIXES:
-            last = last[:-1]  # plural surface variants ("Corporations")
-        if last in ORG_SUFFIXES:
-            etype = "ORG"
-        elif len(words) == 2:
-            etype = "PERSON"
-        else:
-            continue
-        out.append((etype, m.group(1), m.start(1), m.end(1), HEURISTIC_CONFIDENCE))
-    return out
+    t = text or ""
+    if "capitalized" in generators:
+        for m in CAP_PHRASE_RE.finditer(t):
+            etype = _classify_cap_phrase(m.group(1))
+            if etype is None:
+                continue
+            out.append((etype, m.group(1), m.start(1), m.end(1), HEURISTIC_CONFIDENCE))
+    if "quoted" in generators:
+        for m in QUOTED_RE.finditer(t):
+            surface = m.group(1).strip()
+            if not surface or len(surface.split()) > 6:
+                continue
+            # the capitalized classification only applies to spans the
+            # capitalized generator would recognize; other quoted spans
+            # default to CONCEPT
+            etype = (
+                _classify_cap_phrase(surface)
+                if CAP_PHRASE_RE.fullmatch(surface)
+                else None
+            ) or "CONCEPT"
+            out.append(
+                (etype, surface, m.start(1), m.end(1), HEURISTIC_CONFIDENCE)
+            )
+    if "context" in generators:
+        for m in CONTEXT_CUE_RE.finditer(t):
+            out.append(
+                ("CONCEPT", m.group(1), m.start(1), m.end(1), CONTEXT_CONFIDENCE)
+            )
+    # a span two generators both propose (e.g. a quoted capitalized name)
+    # is one candidate, as in the reference's shared candidate pool
+    seen: set = set()
+    deduped = []
+    for row in out:
+        if row not in seen:
+            seen.add(row)
+            deduped.append(row)
+    return deduped
 
 
 def extract_mentions_heuristic(

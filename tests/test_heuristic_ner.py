@@ -75,3 +75,42 @@ def test_standalone_heuristic_operator(spark):
         chunk_turns(_transcripts(spark, rows)), ner_fn=fake
     ).collect()
     assert {r["entity_type"] for r in out2} == {"CONCEPT"}
+
+
+def test_quoted_span_generator():
+    from entity_extraction_service_spark.operators.extract_heuristic import (
+        heuristic_mentions_py,
+    )
+
+    got = heuristic_mentions_py('deploy the thing we discussed: "vector clocks" v2')
+    assert ("CONCEPT", "vector clocks") in {(t, s) for t, s, *_ in got}
+    # quoted capitalized phrases keep the capitalized classification
+    got2 = heuristic_mentions_py('the memo mentions "Globex Systems" twice')
+    types = {(t, s) for t, s, *_ in got2}
+    assert ("ORG", "Globex Systems") in types
+    # over-long quotes are not candidates
+    got3 = heuristic_mentions_py('"one two three four five six seven eight" said someone')
+    assert not [s for _, s, *_ in got3 if s.startswith("one two")]
+
+
+def test_context_cue_generator():
+    from entity_extraction_service_spark.operators.extract_heuristic import (
+        heuristic_mentions_py,
+    )
+
+    got = heuristic_mentions_py("the rollout plan known as blue-green.v2 shipped")
+    assert ("CONCEPT", "blue-green.v2") in {(t, s) for t, s, *_ in got}
+    got2 = heuristic_mentions_py("a service dubbed franken-proxy handles it")
+    assert ("CONCEPT", "franken-proxy") in {(t, s) for t, s, *_ in got2}
+
+
+def test_generators_are_selectable():
+    from entity_extraction_service_spark.operators.extract_heuristic import (
+        heuristic_mentions_py,
+    )
+
+    text = 'Dana Rivera shipped "vector clocks" aka clocks.v2'
+    only_cap = heuristic_mentions_py(text, generators=("capitalized",))
+    assert {t for t, *_ in only_cap} == {"PERSON"}
+    all_gen = heuristic_mentions_py(text)
+    assert {t for t, *_ in all_gen} == {"PERSON", "CONCEPT"}
