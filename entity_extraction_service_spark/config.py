@@ -75,6 +75,11 @@ class PipelineConfig:
     # per-strategy chunk granularity). Off by default — the routed path
     # uses chunk rows, not the sorted-stream scan.
     use_routing: bool = False
+    # R3 complexity estimator consumption (smart_chunker.py:482-524 +
+    # :300-308): complex LARGE conversations chunk at quarter-K. Off by
+    # default, like use_routing (the reference treats the estimator as an
+    # optional chunk-sizing input).
+    use_complexity_sizing: bool = False
     # V1 strategy-aware confidence recalculation: re-score mention
     # confidence from the router's per-conversation strategy
     # (functions/confidence.py; extraction_service.py:3086-3146). Off by

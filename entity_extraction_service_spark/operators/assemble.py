@@ -27,6 +27,70 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 # size categories — /root/reference/src/routing/size_detector.py:72-78
 SIZE_BOUNDS = (("VERY_SMALL", 5_000), ("SMALL", 50_000), ("MEDIUM", 150_000))
 
+# R3 — complexity-term tiers (smart_chunker.py:129-145 LEGAL_TERMS analog,
+# re-voiced for transcript-domain technical vocabulary; weights 3/2/1 as
+# in the reference's weighted density, :498-506)
+COMPLEXITY_TERMS = {
+    3: ("linearizability", "idempotency", "serializable", "quorum",
+        "backpressure", "sharding", "consensus", "checkpointing",
+        "watermark", "compaction", "vectorized", "saga"),
+    2: ("deployment", "migration", "rollback", "latency", "throughput",
+        "partition", "replication", "timeout", "retry", "regression",
+        "failover", "canary"),
+    1: ("build", "test", "deploy", "log", "error", "server", "service",
+        "bug", "fix", "release"),
+}
+# citation-density analog (:516-520): structured-reference shapes per 100
+# words — tickets, URLs, semantic versions
+CITE_SHAPE_RE = r"[A-Z][A-Z0-9]{1,9}-\d{1,6}|https?://\S+|\bv\d+\.\d+\.\d+\b"
+
+
+def with_complexity(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """R3 — per-conversation ``complexity`` column in [0, 1]
+    (smart_chunker.py:482-524 calculate_complexity, ported term-for-term):
+
+        term_score  = (3*hi + 2*med + 1*low) / (3 * total_words)
+        base        = (term_score + min(avg_sentence_len / 50, 1)) / 2
+        cite_factor = min((cites / (total_words/100)) / 5, 1)
+        complexity  = clamp(0.6 * base + 0.4 * cite_factor, 0, 1)
+
+    Pure Catalyst: per-turn regexp counts, then one window sum per
+    conversation (the same (conv_id) partitioning with_routing already
+    shuffles on, so routing + complexity share an exchange)."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    lower = F.lower(text)
+    words = F.when(
+        F.length(F.trim(text)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(text), r"\s+")))
+    tier_counts = {
+        w: F.regexp_count(lower, F.lit(r"\b(" + "|".join(terms) + r")\b"))
+        for w, terms in COMPLEXITY_TERMS.items()
+    }
+    sents = F.regexp_count(text, F.lit(r"[.!?]"))
+    cites = F.regexp_count(text, F.lit(CITE_SHAPE_RE))
+
+    w = Window.partitionBy("conv_id")
+    tw = F.sum(words).over(w).cast("double")
+    weighted = sum(
+        (F.sum(c).over(w) * F.lit(wt) for wt, c in tier_counts.items()),
+        F.lit(0),
+    ).cast("double")
+    total_sents = F.sum(sents).over(w).cast("double")
+    total_cites = F.sum(cites).over(w).cast("double")
+
+    term_score = F.when(tw > 0, weighted / (tw * 3)).otherwise(F.lit(0.0))
+    avg_sent_len = tw / F.greatest(total_sents, F.lit(1.0))
+    base = (term_score + F.least(avg_sent_len / 50, F.lit(1.0))) / 2
+    cite_factor = F.least(
+        F.when(tw > 0, (total_cites / (tw / 100)) / 5).otherwise(F.lit(0.0)),
+        F.lit(1.0),
+    )
+    score = F.when(tw > 0, 0.6 * base + 0.4 * cite_factor).otherwise(F.lit(0.0))
+    return transcripts.withColumn(
+        "complexity",
+        F.round(F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)), 6),
+    )
+
 
 def with_global_offsets(transcripts: DataFrame) -> DataFrame:
     """Add per-turn document-global char offsets (turn texts joined by '\\n')."""
@@ -121,11 +185,21 @@ def route_chunk_turns(
     routed = with_routing(transcripts, config)
     kept = routed.where(~F.col("strategy").startswith("SKIP_"))
     k = config.turns_per_chunk
+    chunked_k: F.Column | int = max(k // 2, 1)
+    if config.use_complexity_sizing:
+        # C2/R3 smart-size consumption (smart_chunker.py:300-308: higher
+        # complexity -> smaller optimal chunk): complex LARGE
+        # conversations chunk at quarter-K. Same (conv_id) window
+        # partitioning as routing — no extra shuffle.
+        kept = with_complexity(kept, config)
+        chunked_k = F.when(
+            F.col("complexity") >= 0.5, F.lit(max(k // 4, 1))
+        ).otherwise(F.lit(max(k // 2, 1)))
     chunk_of = (
         F.when(F.col("strategy") == "SINGLE_PASS", F.lit(0))
         .when(
             F.col("strategy") == "THREE_WAVE_CHUNKED",
-            (F.col("turn_idx") / max(k // 2, 1)).cast("int"),
+            (F.col("turn_idx") / chunked_k).cast("int"),
         )
         .otherwise((F.col("turn_idx") / k).cast("int"))
     )

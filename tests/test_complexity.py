@@ -1,0 +1,77 @@
+"""R3 — complexity estimator (reference smart_chunker.py:482-524):
+term-density + sentence-length + citation-shape composite, consumed by
+the router as a chunk-granularity knob (C2 smart-size analog)."""
+
+from dataclasses import replace
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.config import DEFAULT_CONFIG
+from entity_extraction_service_spark.operators.assemble import (
+    route_chunk_turns,
+    with_complexity,
+)
+
+DDL = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _transcripts(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, "user", t, None, None) for c, i, t in rows], DDL
+    )
+
+
+def test_jargon_scores_above_smalltalk(spark):
+    t = _transcripts(
+        spark,
+        [
+            ("hard", 0,
+             "the quorum lost linearizability after the failover; idempotency "
+             "of the checkpointing path broke replication and backpressure "
+             "tripped, see INFRA-1234 and https://status.example.com and v2.14.3"),
+            ("easy", 0, "lunch was good today"),
+            ("easy", 1, "see you tomorrow"),
+        ],
+    )
+    got = {r["conv_id"]: r["complexity"] for r in
+           with_complexity(t).select("conv_id", "complexity").distinct().collect()}
+    assert 0.0 <= got["easy"] < got["hard"] <= 1.0
+    assert got["hard"] > 0.2
+
+
+def test_empty_conversation_scores_zero(spark):
+    t = _transcripts(spark, [("c", 0, ""), ("c", 1, "   ")])
+    got = with_complexity(t).select("complexity").distinct().collect()
+    assert [r["complexity"] for r in got] == [0.0]
+
+
+def test_complexity_is_per_conversation_constant(spark):
+    t = _transcripts(
+        spark,
+        [("c", 0, "quorum consensus sharding"), ("c", 1, "ok"), ("c", 2, "fine")],
+    )
+    vals = {r["complexity"] for r in with_complexity(t).collect()}
+    assert len(vals) == 1
+
+
+def test_router_consumes_complexity_for_chunk_granularity(spark):
+    # a LARGE (THREE_WAVE_CHUNKED) conversation dense in complex terms
+    # chunks at quarter-K when complexity sizing is on; the mention set is
+    # chunk-size invariant so routing only changes granularity
+    jargon = (
+        "the quorum lost linearizability; idempotency of checkpointing "
+        "broke replication and backpressure tripped during the migration "
+        "rollback deployment latency throughput partition replication "
+        "see INFRA-1234 and https://status.example.com and v2.14.3 "
+    )
+    rows = [("big", i, jargon * 80) for i in range(32)]
+    t = _transcripts(spark, rows)
+    cfg = replace(DEFAULT_CONFIG, use_complexity_sizing=True)
+    chunks = route_chunk_turns(t, cfg)
+    n_complex = chunks.count()
+    chunks_plain = route_chunk_turns(t, DEFAULT_CONFIG)
+    n_plain = chunks_plain.count()
+    # quarter-K granularity yields ~2x the half-K chunk count
+    assert n_complex > n_plain
+    k = DEFAULT_CONFIG.turns_per_chunk
+    assert n_complex == len(rows) // max(k // 4, 1)
