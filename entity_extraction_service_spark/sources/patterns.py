@@ -43,6 +43,45 @@ import yaml
 PATTERN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "patterns")
 
 
+def _read_pattern_files(pattern_dir: str) -> list[tuple[str, str]]:
+    """[(filename, file text)] sorted by name — zip-deployment-safe.
+
+    With ``spark-submit --py-files package.zip`` the package root is a
+    zipimport path, so ``os.listdir`` fails on the packaged default;
+    importlib.resources traverses the zip instead. A caller-supplied
+    directory still reads straight from the filesystem."""
+    if os.path.isdir(pattern_dir):
+        out = []
+        for fname in sorted(os.listdir(pattern_dir)):
+            if fname.endswith((".yaml", ".yml")):
+                with open(os.path.join(pattern_dir, fname)) as f:
+                    out.append((fname, f.read()))
+        return out
+    if os.path.abspath(pattern_dir) != os.path.abspath(PATTERN_DIR):
+        raise FileNotFoundError(f"pattern dir not found: {pattern_dir}")
+    from importlib import resources
+
+    pkg = resources.files("entity_extraction_service_spark").joinpath("patterns")
+    return [
+        (p.name, p.read_text())
+        for p in sorted(pkg.iterdir(), key=lambda p: p.name)
+        if p.name.endswith((".yaml", ".yml"))
+    ]
+
+
+def _read_packaged_text(path: str, rel: str) -> str:
+    """Read a packaged data file, falling back to importlib.resources for
+    zip deployments."""
+    if os.path.exists(path):
+        with open(path) as f:
+            return f.read()
+    from importlib import resources
+
+    return (
+        resources.files("entity_extraction_service_spark").joinpath(rel).read_text()
+    )
+
+
 @dataclass(frozen=True)
 class PatternSpec:
     name: str
@@ -66,11 +105,8 @@ def load_pattern_specs(pattern_dir: str = PATTERN_DIR) -> tuple[PatternSpec, ...
     on filesystem enumeration order.
     """
     specs: list[PatternSpec] = []
-    for fname in sorted(os.listdir(pattern_dir)):
-        if not fname.endswith((".yaml", ".yml")):
-            continue
-        with open(os.path.join(pattern_dir, fname)) as f:
-            doc = yaml.safe_load(f) or {}
+    for fname, text in _read_pattern_files(pattern_dir):
+        doc = yaml.safe_load(text) or {}
         for group_name, group in doc.items():
             if group_name == "metadata" or not isinstance(group, dict):
                 continue
@@ -128,8 +164,9 @@ def load_type_mappings(
     Mirrors the reference's mapping table semantics: unknown raw types
     map to themselves (the caller decides whether to keep or drop them).
     """
-    with open(path) as f:
-        raw = json.load(f)
+    raw = json.loads(
+        _read_packaged_text(path, "patterns/entity_type_mappings.json")
+    )
     return {
         str(k).upper(): str(v) for k, v in raw.items() if not str(k).startswith("__")
     }

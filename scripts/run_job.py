@@ -57,10 +57,29 @@ def main() -> None:
         )
         from pyspark.sql import functions as F
 
+        from entity_extraction_service_spark.functions.embeddings import (
+            with_content_embeddings,
+            with_entity_embeddings,
+        )
+        from entity_extraction_service_spark.operators.assemble import chunk_turns
+
+        # S4 chunks table (graph.chunks analog: content + token_count +
+        # content_embedding) alongside the entity/edge tables; entities
+        # carry the embedding column (graph.entities.embedding analog)
+        chunks = chunk_turns(subset).select(
+            "conv_id", "chunk_idx",
+            F.concat_ws("\n", F.col("turns.text")).alias("content"),
+        )
+        chunks = with_content_embeddings(chunks, text_col="content").withColumn(
+            "token_count", F.floor(F.length("content") / 4).cast("int")
+        )
         return {
             "mentions": r.mentions,
-            "entities": r.entities.withColumn("conv_id", F.explode("document_ids")),
+            "entities": with_entity_embeddings(
+                r.entities.withColumn("conv_id", F.explode("document_ids"))
+            ),
             "edges": r.edges,
+            "chunks": chunks,
         }
 
     paths = run_with_checkpoint(spark, transcripts, args.output, stage_fn, args.buckets)

@@ -307,3 +307,32 @@ def test_config_vocab_invariants():
     # loses to whichever entry builds the rules dict last
     pairs = [(a, b) for a, b, _ in DEFAULT_CONFIG.type_pair_predicates]
     assert len(pairs) == len(set(pairs)), "duplicate ordered type pair"
+
+
+def test_pattern_corpus_loads_from_zip_deployment(tmp_path):
+    """spark-submit --py-files ships the package as a ZIP: executors
+    import from a zipimport path where os.listdir fails. The loader must
+    fall back to importlib.resources (round-3 regression: the honest
+    zip-only smoke run crashed executor-side before this)."""
+    import shutil
+    import subprocess
+    import sys
+
+    zip_path = shutil.make_archive(
+        str(tmp_path / "pkg"), "zip",
+        root_dir=".", base_dir="entity_extraction_service_spark",
+    )
+    code = (
+        "import sys; sys.path.insert(0, {z!r});\n"
+        "from entity_extraction_service_spark.sources.patterns import ("
+        "load_pattern_specs, load_type_mappings)\n"
+        "s = load_pattern_specs(); m = load_type_mappings()\n"
+        "assert len(s) >= 60 and len(m) >= 170, (len(s), len(m))\n"
+        "print('ok')\n"
+    ).format(z=zip_path)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "ok"
