@@ -132,7 +132,7 @@ class PipelineConfig:
         "listens_on", "built_from", "stores_in", "configured_by", "scheduled_as",
         "publishes_to", "reads_from", "produces", "trained_on",
         "depends_on", "owns", "located_in",
-        "granted_to", "billed_to",
+        "granted_to", "billed_to", "posts_in", "reports",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -182,6 +182,11 @@ class PipelineConfig:
         ("ORG", "INVOICE_ID", "billed_to"),
         ("PERSON", "PO_NUMBER", "works_on"),
         ("ORG", "COST_CENTER", "tracked_in"),
+        # workflow pairs over existing pattern types
+        ("PERSON", "CHANNEL", "posts_in"),
+        ("SERVICE", "METRIC_NAME", "reports"),
+        ("SERVICE", "FEATURE_FLAG", "configured_by"),
+        ("PERSON", "GIT_BRANCH", "works_on"),
     )
 
     entity_types: tuple[str, ...] = (

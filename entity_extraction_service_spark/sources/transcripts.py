@@ -224,6 +224,22 @@ FINANCE_FACTS = [
      ["4521-BM", "30890-QA", "777-OP"], "tracked_in"),
 ]
 
+# workflow facts over existing pattern types (cue-gated surfaces) — the
+# round-3 predicate-breadth pairs, same 6-tuple shape
+WORKFLOW_FACTS = [
+    ("{s} posted the summary in {o}.", "PERSON", None, "CHANNEL",
+     ["#incident-4521", "#platform-help", "#release-train"], "posts_in"),
+    ("{s} exposes metric {o} now.", "SERVICE", None, "METRIC_NAME",
+     ["http.server.latency", "queue.depth_total", "cache.hit_ratio"],
+     "reports"),
+    ("{s} gates rollout behind flag {o}.", "SERVICE", None, "FEATURE_FLAG",
+     ["checkout.v2-beta", "search-rerank.on", "billing.dryrun"],
+     "configured_by"),
+    ("{s} cut branch {o} for the fix.", "PERSON", None, "GIT_BRANCH",
+     ["release/1.4", "feature/login-retry", "hotfix/oom-guard"],
+     "works_on"),
+]
+
 # mention-only counter turns (no triple — counters have no pair in the
 # type-pair predicate table): (template, type, surfaces)
 COUNTER_TURNS = [
@@ -409,7 +425,7 @@ def _conv_rows(
         elif roll < 0.76:
             # tier-3 security/finance turn (patterns/{security,finance}.yaml)
             tmpl, s_type, s_surfaces, o_type, surfaces, pred = rng.choice(
-                SECURITY_FACTS + FINANCE_FACTS
+                SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS
             )
             if s_type == "PERSON":
                 subj = rng.choice(persons)
