@@ -113,11 +113,17 @@ def main() -> None:
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # the headline wall covers the r1/r2-comparable suite only — freeze it
+    # BEFORE the round-3 rich-corpus addition below so cross-round
+    # BENCH_r{N} comparisons stay apples-to-apples
+    total = time.perf_counter() - t_suite
+
     # MinHash-LSH on a realistic corpus (VERDICT r2 item 8): the driver
     # documents' tiny vocabulary makes minhash_lsh_near_dups above mostly
     # measure writing ~millions of true pairs; this fixed-size 10^4-vocab
     # corpus with planted near-dups measures the operator itself. The
-    # corpus build is untimed (localCheckpoint materializes it first).
+    # corpus build is untimed (localCheckpoint materializes it first);
+    # the per-query timing is reported in `queries`, outside the wall.
     from entity_extraction_service_spark.operators.dedup_corpus import (
         minhash_near_duplicates,
     )
@@ -129,8 +135,6 @@ def main() -> None:
     t0 = time.perf_counter()
     _materialize(minhash_near_duplicates(rich, threshold=0.8, n_hashes=16, n_bands=4))
     timings["minhash_lsh_rich"] = round(time.perf_counter() - t0, 3)
-
-    total = time.perf_counter() - t_suite
     out = {
         "metric": "headline_suite_wall",
         "value": round(total, 3),

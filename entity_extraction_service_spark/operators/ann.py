@@ -276,6 +276,7 @@ def quantized_dot_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rows: int | None = None,
+    config=None,
 ) -> DataFrame:
     """All-pairs similarity on integer-quantized embeddings — the
     exactness-verifiable twin of the cosine path.
@@ -291,7 +292,11 @@ def quantized_dot_pairs(
     cartesian product cannot run by accident at scale."""
     from ..config import DEFAULT_CONFIG
 
-    cap = DEFAULT_CONFIG.allpairs_max_rows if max_rows is None else max_rows
+    cap = (
+        max_rows
+        if max_rows is not None
+        else (config or DEFAULT_CONFIG).allpairs_max_rows
+    )
     n = corpus.limit(cap + 1).count()
     if n > cap:
         raise ValueError(

@@ -136,24 +136,35 @@ def merge_entity_tables(
     from), so capped incremental merges equal the capped from-scratch run
     and the list columns stay bounded across arbitrarily many batches.
 
-    Rounding caveat: ``confidence`` re-averages the already-6dp-rounded
-    per-batch means, so an incremental result can differ from the
-    from-scratch run in the last decimal (~1 ulp at 6dp) when batch means
-    round differently; counts, ids, and list columns are exact.
+    Confidence exactness: when both sides carry the ``conf_sum``
+    associative partial (linking.py canonical_entities emits it, same
+    pattern as the edge table), the merged confidence is re-derived as
+    round(sum(conf_sum) / sum(n), 6) — identical to the from-scratch
+    aggregate up to float-summation noise (~1e-12), never the 1-ulp-at-6dp
+    drift of re-averaging rounded means. Tables stored WITHOUT conf_sum
+    (pre-round-3 snapshots) fall back to the rounded-mean recombination,
+    with that documented caveat.
     """
     from ..config import DEFAULT_CONFIG
 
     cfg = config or DEFAULT_CONFIG
+    has_partials = "conf_sum" in existing.columns and "conf_sum" in new.columns
+    if not has_partials:
+        # mixed old/new snapshots: drop the partial from whichever side
+        # has it so the union aligns (no-op when absent)
+        existing, new = existing.drop("conf_sum"), new.drop("conf_sum")
     both = existing.unionByName(new)
+    conf_partial = (
+        F.sum("conf_sum")
+        if has_partials
+        else F.sum(F.col("confidence") * F.col("occurrence_count"))
+    )
     agg = both.groupBy("entity_id").agg(
         F.max_by(
             F.struct("entity_text", "entity_type", "canonical_norm"),
             F.struct(F.col("occurrence_count"), F.col("entity_text")),
         ).alias("rep"),
-        (
-            F.sum(F.col("confidence") * F.col("occurrence_count"))
-            / F.sum("occurrence_count")
-        ).alias("confidence"),
+        conf_partial.alias("_conf_sum"),
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("variants")))),
             1, cfg.max_entity_variants,
@@ -164,15 +175,20 @@ def merge_entity_tables(
         ).alias("document_ids"),
         F.sum("occurrence_count").alias("occurrence_count"),
     )
-    return agg.select(
+    cols = [
         "entity_id",
         F.col("rep.entity_text").alias("entity_text"),
         F.col("rep.entity_type").alias("entity_type"),
         F.col("rep.canonical_norm").alias("canonical_norm"),
-        "variants",
-        F.round("confidence", 6).alias("confidence"),
-        "document_ids", "occurrence_count",
-    )
+        F.col("variants"),
+        F.round(F.col("_conf_sum") / F.col("occurrence_count"), 6).alias("confidence"),
+        F.col("document_ids"),
+        F.col("occurrence_count"),
+    ]
+    if has_partials:
+        # keep the partial so further incremental merges stay exact
+        cols.append(F.col("_conf_sum").alias("conf_sum"))
+    return agg.select(*cols)
 
 
 def merge_edge_tables(

@@ -75,10 +75,11 @@ TITLE_RE = re.compile(r"\b(?:[Mm]r|[Mm]s|[Mm]rs|[Dd]r|[Mm]x)\.?\s+([A-Z][a-z-]+)
 # ROLE_REFERENCE — bare role noun (:428-431; counsel/plaintiff/... becomes
 # the engineering-room vocabulary). "the <role>" is DEFINITE_ARTICLE — the
 # reference checks definite first (:411-413) — so a preceding article
-# suppresses this class.
-ROLE_RE = re.compile(
-    r"(?<![Tt]he )\b(engineer|oncall|reviewer|manager|author|admin)\b"
-)
+# suppresses this class (checked in the scan, not a lookbehind: a
+# fixed-width lookbehind misses "THE  engineer" and falsely suppresses
+# after words merely ending in "the").
+ROLE_RE = re.compile(r"\b(engineer|oncall|reviewer|manager|author|admin)\b")
+_ARTICLE_BEFORE_RE = re.compile(r"\b[Tt][Hh][Ee]\s+$")
 
 REF_SCHEMA = T.StructType(
     [
@@ -130,6 +131,8 @@ def classify_references(transcripts: DataFrame) -> DataFrame:
                          m.group(1).lower(), m.start(0), m.end(0))
                     )
                 for m in ROLE_RE.finditer(t):
+                    if _ARTICLE_BEFORE_RE.search(t, 0, m.start(1)):
+                        continue  # "the <role>" is DEFINITE_ARTICLE
                     rows.append(
                         (conv_id, int(turn_idx), "ROLE_REFERENCE", m.group(1),
                          m.group(1).lower(), m.start(1), m.end(1))

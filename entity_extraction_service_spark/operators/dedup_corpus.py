@@ -59,6 +59,7 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.0,
     max_block_size: int | None = None,
+    config=None,
 ) -> DataFrame:
     """Blocked all-pairs unigram Jaccard (block on a partition-friendly key).
 
@@ -69,7 +70,11 @@ def jaccard_pairs(
     minhash_lsh_near_dups for unbounded corpora and keep this as its
     verify stage / small-corpus oracle twin.
     """
-    cap = DEFAULT_CONFIG.jaccard_max_block_size if max_block_size is None else max_block_size
+    cap = (
+        max_block_size
+        if max_block_size is not None
+        else (config or DEFAULT_CONFIG).jaccard_max_block_size
+    )
     t = docs.select(
         F.col(block_col).alias("block"), F.col(id_col).alias("id"), _tokens(text_col).alias("toks")
     )

@@ -51,9 +51,10 @@ CAP_PHRASE_RE = re.compile(r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)+)\b")
 QUOTED_RE = re.compile(r'"([^"\n]{2,60})"')
 
 # context-driven generator (entity_candidates.py:~540-599 analog): a
-# naming cue introduces a candidate; single token, CONCEPT by default
+# naming cue introduces a candidate; single token, CONCEPT by default.
+# (?<!-) keeps hyphenated idioms ("so-called", "so-named") from firing.
 CONTEXT_CUE_RE = re.compile(
-    r"\b(?:called|named|aka|known as|dubbed)\s+([A-Za-z][\w.-]{1,40})"
+    r"(?<!-)\b(?:called|named|aka|known as|dubbed)\s+([A-Za-z][\w.-]{1,40})"
 )
 
 CONTEXT_CONFIDENCE = 0.55  # below the quoted/capitalized rules
@@ -112,9 +113,14 @@ def heuristic_mentions_py(
             out.append((etype, m.group(1), m.start(1), m.end(1), HEURISTIC_CONFIDENCE))
     if "quoted" in generators:
         for m in QUOTED_RE.finditer(t):
-            surface = m.group(1).strip()
+            raw = m.group(1)
+            surface = raw.strip()
             if not surface or len(surface.split()) > 6:
                 continue
+            # offsets track the STRIPPED surface so text[start:end] ==
+            # surface (the exact-char-offset invariant above)
+            s = m.start(1) + (len(raw) - len(raw.lstrip()))
+            e = s + len(surface)
             # the capitalized classification only applies to spans the
             # capitalized generator would recognize; other quoted spans
             # default to CONCEPT
@@ -123,9 +129,7 @@ def heuristic_mentions_py(
                 if CAP_PHRASE_RE.fullmatch(surface)
                 else None
             ) or "CONCEPT"
-            out.append(
-                (etype, surface, m.start(1), m.end(1), HEURISTIC_CONFIDENCE)
-            )
+            out.append((etype, surface, s, e, HEURISTIC_CONFIDENCE))
     if "context" in generators:
         for m in CONTEXT_CUE_RE.finditer(t):
             out.append(

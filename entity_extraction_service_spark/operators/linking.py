@@ -321,6 +321,11 @@ def canonical_entities(
     )
     stats = rollup.groupBy("entity_id").agg(
         (F.sum("_conf_sum") / F.sum("_n")).alias("confidence"),
+        # associative partial (same pattern as the edge table's conf_sum):
+        # incremental S5 merges re-derive confidence from summed partials
+        # instead of re-averaging rounded means — exact across any batch
+        # split (checkpoint.py merge_entity_tables)
+        F.sum("_conf_sum").alias("conf_sum"),
         F.sum("_n").alias("occurrence_count"),
     )
 
@@ -351,7 +356,7 @@ def canonical_entities(
         F.col("rep_entity_type").alias("entity_type"),
         "canonical_norm", "variants",
         F.round("confidence", 6).alias("confidence"),
-        "document_ids", "occurrence_count",
+        "document_ids", "occurrence_count", "conf_sum",
     )
     return entities, surface_to_canonical
 

@@ -69,12 +69,16 @@ def _read_pattern_files(pattern_dir: str) -> list[tuple[str, str]]:
     ]
 
 
-def _read_packaged_text(path: str, rel: str) -> str:
+def _read_packaged_text(path: str, rel: str, default_path: str) -> str:
     """Read a packaged data file, falling back to importlib.resources for
-    zip deployments."""
+    zip deployments. The fallback only applies to the PACKAGED default —
+    a caller-supplied override path that doesn't exist raises instead of
+    silently loading the built-in data."""
     if os.path.exists(path):
         with open(path) as f:
             return f.read()
+    if os.path.abspath(path) != os.path.abspath(default_path):
+        raise FileNotFoundError(f"data file not found: {path}")
     from importlib import resources
 
     return (
@@ -165,7 +169,11 @@ def load_type_mappings(
     map to themselves (the caller decides whether to keep or drop them).
     """
     raw = json.loads(
-        _read_packaged_text(path, "patterns/entity_type_mappings.json")
+        _read_packaged_text(
+            path,
+            "patterns/entity_type_mappings.json",
+            os.path.join(PATTERN_DIR, "entity_type_mappings.json"),
+        )
     )
     return {
         str(k).upper(): str(v) for k, v in raw.items() if not str(k).startswith("__")

@@ -240,6 +240,8 @@ WORKFLOW_FACTS = [
      "works_on"),
 ]
 
+TIER3_FACTS = SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS
+
 # mention-only counter turns (no triple — counters have no pair in the
 # type-pair predicate table): (template, type, surfaces)
 COUNTER_TURNS = [
@@ -424,9 +426,7 @@ def _conv_rows(
                     _record_triple(gt, conv_id, s_id, pred, o_id)
         elif roll < 0.76:
             # tier-3 security/finance turn (patterns/{security,finance}.yaml)
-            tmpl, s_type, s_surfaces, o_type, surfaces, pred = rng.choice(
-                SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS
-            )
+            tmpl, s_type, s_surfaces, o_type, surfaces, pred = rng.choice(TIER3_FACTS)
             if s_type == "PERSON":
                 subj = rng.choice(persons)
                 last_person = subj
