@@ -135,6 +135,16 @@ def main() -> None:
     t0 = time.perf_counter()
     _materialize(minhash_near_duplicates(rich, threshold=0.8, n_hashes=16, n_bands=4))
     timings["minhash_lsh_rich"] = round(time.perf_counter() - t0, 3)
+    # the same operator on the xxhash64 SCALE path (portable=False): JVM
+    # long minima instead of md5 strings — the hash family a 100 TB run
+    # would use (the md5 family exists for SQL-oracle replayability)
+    t0 = time.perf_counter()
+    _materialize(
+        minhash_near_duplicates(
+            rich, threshold=0.8, n_hashes=16, n_bands=4, portable=False
+        )
+    )
+    timings["minhash_lsh_rich_fast"] = round(time.perf_counter() - t0, 3)
     out = {
         "metric": "headline_suite_wall",
         "value": round(total, 3),

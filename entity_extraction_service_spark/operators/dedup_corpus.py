@@ -102,24 +102,40 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, n_hashes: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n_hashes: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = True,
 ) -> DataFrame:
-    """(id, sig: array<string>) — md5-based MinHash, engine-portable.
+    """(id, sig) — MinHash signatures from a token dictionary.
 
     The per-seed hash values are computed once per DISTINCT token (the
     token dictionary) and joined back to the (doc, token) pairs before
     the per-doc min — natural-language vocabularies are orders of
-    magnitude smaller than corpora, so this cuts the md5 work by the
-    corpus/vocab ratio (measured 50x on the bench corpus) while producing
-    byte-identical signatures; the dictionary join is AQE-broadcastable.
+    magnitude smaller than corpora, so this cuts the hash work by the
+    corpus/vocab ratio (measured 50x on the bench corpus); the dictionary
+    join is AQE-broadcastable.
+
+    Two hash families behind one signature contract:
+
+    - ``portable=True`` (default): md5 hex strings — reproducible by any
+      engine (the DuckDB oracle recomputes them byte-for-byte). sig is
+      array<string>; mins compare 32-char strings.
+    - ``portable=False``: the SCALE path — JVM xxhash64, sig is
+      array<bigint>; mins compare 8-byte longs and the dictionary payload
+      shrinks 4x. Banding/verify semantics are identical (any stable
+      hash family gives the same MinHash collision statistics); only the
+      cross-engine byte-reproducibility is given up, so keep the portable
+      family wherever a SQL oracle must replay signatures.
     """
     toks = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
+    if portable:
+        hash_of = lambda seed: F.md5(F.concat_ws("|", "tok", F.lit(str(seed))))  # noqa: E731
+    else:
+        hash_of = lambda seed: F.xxhash64("tok", F.lit(seed))  # noqa: E731
     vocab = toks.select("tok").distinct().select(
-        "tok",
-        *[
-            F.md5(F.concat_ws("|", "tok", F.lit(str(seed)))).alias(f"v{seed}")
-            for seed in range(n_hashes)
-        ],
+        "tok", *[hash_of(seed).alias(f"v{seed}") for seed in range(n_hashes)]
     )
     joined = toks.join(vocab, "tok")
     agg = joined.groupBy("id").agg(
@@ -179,8 +195,15 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 10_000,
+    portable: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates verified by true Jaccard.
+
+    ``portable`` selects the signature hash family (minhash_signatures):
+    md5 strings for oracle-replayable runs, xxhash64 longs for the scale
+    path. The verify stage is exact either way, so precision is 1 by
+    construction in both; only which near-miss candidates surface from
+    banding can differ between families.
 
     ``max_bucket`` bounds any one LSH bucket (viral duplicated content);
     it is plumbed here — not buried in the candidate stage — so callers
@@ -205,7 +228,7 @@ def minhash_near_duplicates(
     A 60-bit re-key collision would need two distinct tokens within one
     verified pair hashing equal (~|vocab|^2 / 2^61) — negligible, and the
     md5 base keeps even that failure mode engine-portable."""
-    sigs = minhash_signatures(docs, n_hashes, id_col, text_col)
+    sigs = minhash_signatures(docs, n_hashes, id_col, text_col, portable=portable)
     cands = minhash_lsh_candidates(sigs, n_bands, n_hashes // n_bands, max_bucket)
     rekey = F.transform(
         "toks", lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")

@@ -34,3 +34,17 @@ def test_planted_pairs_found_and_background_is_quiet(spark):
     # the bulk of planted pairs and nothing else above the 0.8 verify
     assert got <= planted
     assert len(got) >= 80
+
+
+def test_fast_hash_family_matches_portable_recall(spark):
+    """portable=False (xxhash64 longs — the scale path) finds the same
+    planted near-dups as the md5 family: banding statistics are
+    hash-family-independent and the exact verify keeps precision at 1."""
+    docs = synthesize_rich_documents(spark, n_docs=200)
+    fast = minhash_near_duplicates(
+        docs, threshold=0.8, n_hashes=16, n_bands=4, portable=False
+    )
+    got = {(r["id_a"], r["id_b"]) for r in fast.collect()}
+    planted = {(2 * k, 2 * k + 1) for k in range(100)}
+    assert got <= planted
+    assert len(got) >= 80
