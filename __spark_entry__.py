@@ -225,6 +225,26 @@ def q_l7_last_antecedent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l7_antecedents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both L7 resolution kernels in ONE driver entry (the registry is
+    capped at ~50 recorded rows — see the s5 comment in queries()): the
+    plain last-antecedent window and the token-keyed kernel with its
+    row-kind tiebreak, unioned with a family tag. key is -1 (sentinel,
+    not NULL — nullable-int pandas dtypes stringify differently across
+    engines) for the un-keyed family."""
+    last = q_l7_last_antecedent(spark, sf_dir).select(
+        F.lit("last").alias("family"),
+        "user_id",
+        "event_id",
+        F.lit(-1).cast("int").alias("key"),
+        "antecedent",
+    )
+    keyed = q_l7_keyed_antecedent(spark, sf_dir).select(
+        F.lit("keyed").alias("family"), "user_id", "event_id", "key", "antecedent"
+    )
+    return last.unionByName(keyed)
+
+
 def q_t3_lead_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 adjacency via lead(): next event id + gap seconds per user."""
     e = _t(spark, sf_dir, "events")
@@ -234,6 +254,24 @@ def q_t3_lead_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id", nxt_id.alias("next_event_id"), gap.alias("gap_sec")
     ).where(F.col("next_event_id").isNotNull())
+
+
+def q_t3_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both T3 adjacency kernels in ONE driver entry (registry cap — see
+    the s5 comment in queries()): the bounded-gap pair join and the
+    lead() next-event kernel, unioned with a family tag; (id_a, id_b) is
+    the pair for the join family and (event, next_event) for lead."""
+    pairs = q_t3_proximity_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("family"), "user_id", "id_a", "id_b", "gap_sec"
+    )
+    lead = q_t3_lead_adjacent(spark, sf_dir).select(
+        F.lit("lead").alias("family"),
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("next_event_id").alias("id_b"),
+        "gap_sec",
+    )
+    return pairs.unionByName(lead)
 
 
 def q_k1_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,6 +798,42 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(r.edges)
 
 
+def q_kg_edge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 temporal validity intervals per canonical edge: min/max
+    observation ts + observation/conversation counts, from per-observation
+    T1+T3 triples (operator path — the fused path's partition-local
+    partials collapse per-turn provenance, so intervals must run on the
+    raw observation stream) joined to the transcripts' (conv_id, turn_idx,
+    ts) projection. The oracle replays the derived corpus's 6 fact-turn
+    observations per conversation with ts = BASE_TS + 30s * turn_idx."""
+    from entity_extraction_service_spark.operators.triples import (
+        edge_intervals,
+        pattern_triples,
+        proximity_triples,
+        validate_triples,
+    )
+    from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
+
+    r = _kg_result(spark, sf_dir)
+    t = transcripts_from_documents(spark, sf_dir)
+    raw = pattern_triples(t, r.mentions).unionByName(proximity_triples(r.mentions))
+    validated = validate_triples(raw, r.surface_to_canonical)
+    return edge_intervals(validated, t.select("conv_id", "turn_idx", "ts"))
+
+
+def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source 2-hop BFS neighborhood (min-hop semantics) over the
+    canonical entity graph, seeded by every canonical entity whose id
+    starts with '0' (a deterministic ~1/16 sample); isolated seeds emit
+    hop 0. Oracle: unrolled h0/h1/h2 joins over the kg_edges derivation
+    with min(hop) dedup."""
+    from entity_extraction_service_spark.operators.graph import k_hop_neighborhood
+
+    r = _kg_result(spark, sf_dir)
+    seeds = r.entities.where(F.substring("entity_id", 1, 1) == "0").select("entity_id")
+    return k_hop_neighborhood(r.edges, seeds, k=2)
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation plan (plans/curation.py):
     exact dedup -> MinHash-LSH near-dup prune -> quality floor ->
@@ -824,11 +898,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions next (same budget hedge):
         "t2_dependency_triples": q_t2_dependency_triples,
         "entity_embedding_topk": q_entity_embedding_topk,
-        "l7_keyed_antecedent": q_l7_keyed_antecedent,
+        # l7_last_antecedent + l7_keyed_antecedent merged into one entry
+        # (and t3_* likewise below) to stay under the ~50-recorded-rows
+        # registry cap while adding kg_edge_intervals / kg_khop
+        "l7_antecedents": q_l7_antecedents,
+        "kg_edge_intervals": q_kg_edge_intervals,
+        "kg_khop": q_kg_khop,
         "d2_dedup_group_max": q_d2_dedup_group_max,
         "d3_keep_first": q_d3_keep_first,
         "e2_interval_conflicts": q_e2_interval_conflicts,
-        "t3_proximity_pairs": q_t3_proximity_pairs,
+        "t3_adjacency": q_t3_adjacency,
         "t6_validation_join": q_t6_validation_join,
         "t7_triple_dedup": q_t7_triple_dedup,
         "topk_by_degree": q_topk_by_degree,
@@ -840,8 +919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "embedding_topk": q_embedding_topk,
-        "l7_last_antecedent": q_l7_last_antecedent,
-        "t3_lead_adjacent": q_t3_lead_adjacent,
         "k1_resume_anti_join": q_k1_resume_anti_join,
         "set_ops_segments": q_set_ops_segments,
         "t8_conf_boost": q_t8_conf_boost,
@@ -1291,10 +1368,91 @@ UNION ALL SELECT conv_id, 0, 'ORG', org, length(p1) + 10,
 UNION ALL SELECT conv_id, 1, 'PERSON', p2, 0, length(p2) FROM picks
 UNION ALL SELECT conv_id, 2, 'ORG', org, 0, length(org) FROM picks
 """
+    # T11 edge intervals: the per-observation stream is the six fact-turn
+    # rows per conversation (T1 pattern + T3 proximity, one each per fact
+    # turn — counts pinned by kg_edges' hash-green confidence sums);
+    # ts = BASE_TS + 30s * turn_idx (transcripts_from_documents).
+    kg_edge_intervals = f"""
+WITH docs AS (
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id FROM documents
+), picks AS (
+    SELECT conv_id,
+           {pick(1, persons)} AS p1,
+           {pick(2, persons)} AS p2,
+           {pick(3, list(ORG_NAMES))} AS org,
+           {pick(4, list(TOOL_NAMES))} AS tool,
+           {pick(5, list(CONCEPT_NAMES))} AS concept
+    FROM docs
+), ids AS (
+    SELECT conv_id,
+           substr(md5('PERSON:' || lower(p1)), 1, 16) AS p1_id,
+           substr(md5('PERSON:' || lower(p2)), 1, 16) AS p2_id,
+           substr(md5('ORG:' || lower(org)), 1, 16) AS org_id,
+           substr(md5('TOOL:' || lower(tool)), 1, 16) AS tool_id,
+           substr(md5('CONCEPT:' || lower(concept)), 1, 16) AS concept_id
+    FROM picks
+), raw AS (
+    SELECT conv_id, 0 AS turn_idx, p1_id AS subj_id, 'works_for' AS pred,
+           org_id AS obj_id FROM ids
+    UNION ALL SELECT conv_id, 1, p2_id, 'uses_tool', tool_id FROM ids
+    UNION ALL SELECT conv_id, 2, org_id, 'discusses', concept_id FROM ids
+    UNION ALL SELECT conv_id, 0, p1_id, 'works_for', org_id FROM ids
+    UNION ALL SELECT conv_id, 1, p2_id, 'uses_tool', tool_id FROM ids
+    UNION ALL SELECT conv_id, 2, org_id, 'discusses', concept_id FROM ids
+), valid AS (SELECT * FROM raw WHERE subj_id != obj_id)
+SELECT subj_id, pred, obj_id,
+       min(TIMESTAMP '2025-01-01 00:00:00'
+           + to_seconds(CAST(turn_idx * 30 AS BIGINT))) AS first_seen,
+       max(TIMESTAMP '2025-01-01 00:00:00'
+           + to_seconds(CAST(turn_idx * 30 AS BIGINT))) AS last_seen,
+       count(*) AS n_observations,
+       count(DISTINCT conv_id) AS n_convs
+FROM valid
+GROUP BY subj_id, pred, obj_id
+"""
+
+    # k-hop BFS: seeds = canonical entities (surfaces) with id prefix '0';
+    # adjacency = the undirected kg_edges key set; unrolled h1/h2 with
+    # min(hop) dedup == the BFS anti-join's first-visit hop.
+    kg_khop = base + """
+, eids AS (
+    SELECT conv_id,
+           substr(md5('PERSON:' || lower(p1)), 1, 16) AS p1_id,
+           substr(md5('PERSON:' || lower(p2)), 1, 16) AS p2_id,
+           substr(md5('ORG:' || lower(org)), 1, 16) AS org_id,
+           substr(md5('TOOL:' || lower(tool)), 1, 16) AS tool_id,
+           substr(md5('CONCEPT:' || lower(concept)), 1, 16) AS concept_id
+    FROM picks
+), etriples AS (
+    SELECT p1_id AS subj_id, org_id AS obj_id FROM eids
+    UNION ALL SELECT p2_id, tool_id FROM eids
+    UNION ALL SELECT org_id, concept_id FROM eids
+), adj AS (
+    SELECT DISTINCT s, d FROM (
+        SELECT subj_id AS s, obj_id AS d FROM etriples
+        UNION ALL SELECT obj_id, subj_id FROM etriples
+    ) WHERE s != d
+), seeds AS (
+    SELECT DISTINCT surface_id AS node FROM mentions_id
+    WHERE substr(surface_id, 1, 1) = '0'
+), h1 AS (
+    SELECT DISTINCT adj.d AS node FROM seeds JOIN adj ON adj.s = seeds.node
+), h2 AS (
+    SELECT DISTINCT a2.d AS node FROM h1 JOIN adj a2 ON a2.s = h1.node
+)
+SELECT node AS entity_id, CAST(min(hop) AS INT) AS hop FROM (
+    SELECT node, 0 AS hop FROM seeds
+    UNION ALL SELECT node, 1 FROM h1
+    UNION ALL SELECT node, 2 FROM h2
+) GROUP BY node
+"""
+
     return {
         "kg_mentions": kg_mentions,
         "kg_entities": kg_entities,
         "kg_edges": kg_edges,
+        "kg_edge_intervals": kg_edge_intervals,
+        "kg_khop": kg_khop,
         "kg_waves": kg_waves,
         "d6_multipass_aggregate": d6_multipass,
         "e13_heuristic_mentions": e13_heuristic_mentions,
@@ -1639,12 +1797,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM gg
             ) WHERE rn = 1
         """,
-        "t3_proximity_pairs": """
-            SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+        "t3_adjacency": """
+            SELECT 'pair' AS family, a.user_id AS user_id,
+                   a.event_id AS id_a, b.event_id AS id_b,
                    date_diff('second', a.ts, b.ts) AS gap_sec
             FROM events a JOIN events b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
              AND date_diff('second', a.ts, b.ts) BETWEEN 0 AND 60
+            UNION ALL
+            SELECT 'lead', user_id, event_id, next_event_id,
+                   date_diff('second', ts, next_ts)
+            FROM (
+                SELECT user_id, event_id, ts,
+                       lead(event_id) OVER w AS next_event_id,
+                       lead(ts) OVER w AS next_ts
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE next_event_id IS NOT NULL
         """,
         "t6_validation_join": """
             SELECT o_orderkey, o_custkey, o_totalprice
@@ -1695,7 +1864,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN q ON q.doc_id = tok.doc_id
             JOIN l ON l.doc_id = tok.doc_id
         """,
-        "l7_keyed_antecedent": """
+        "l7_antecedents": """
             WITH b AS (
                 SELECT user_id, event_id,
                        CAST(floor(value) AS INT) % 5 AS key,
@@ -1711,7 +1880,18 @@ def oracle_sql() -> dict[str, str]:
                        ) AS antecedent
                 FROM b
             )
-            SELECT user_id, event_id, key, antecedent FROM r WHERE kind = 1
+            SELECT 'last' AS family, user_id, event_id,
+                   CAST(-1 AS INT) AS key,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS antecedent
+            FROM (SELECT user_id, event_id,
+                         CASE WHEN value >= 50 THEN value END AS v
+                  FROM events)
+            UNION ALL
+            SELECT 'keyed', user_id, event_id, key, antecedent
+            FROM r WHERE kind = 1
         """,
         "exact_dedup_docs": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
@@ -1743,27 +1923,6 @@ def oracle_sql() -> dict[str, str]:
                    min(md5(concat_ws('|', tok, '2'))) AS h2,
                    min(md5(concat_ws('|', tok, '3'))) AS h3
             FROM toks GROUP BY doc_id
-        """,
-        "l7_last_antecedent": """
-            SELECT user_id, event_id,
-                   last_value(v IGNORE NULLS) OVER (
-                       PARTITION BY user_id ORDER BY event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ) AS antecedent
-            FROM (SELECT user_id, event_id,
-                         CASE WHEN value >= 50 THEN value END AS v
-                  FROM events)
-        """,
-        "t3_lead_adjacent": """
-            SELECT user_id, event_id, next_event_id,
-                   date_diff('second', ts, next_ts) AS gap_sec
-            FROM (
-                SELECT user_id, event_id, ts,
-                       lead(event_id) OVER w AS next_event_id,
-                       lead(ts) OVER w AS next_ts
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ) WHERE next_event_id IS NOT NULL
         """,
         "k1_resume_anti_join": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 HEADLINE = [
     "d2_dedup_group_max",
     "e2_interval_conflicts",
-    "t3_proximity_pairs",
+    "t3_adjacency",
     "topk_by_degree",
     "exact_dedup_docs",
     "minhash_lsh_near_dups",

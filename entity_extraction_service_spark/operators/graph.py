@@ -186,3 +186,54 @@ def triangle_count(
     )
     tri = wedges.join(closing, ["a", "b"])
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def k_hop_neighborhood(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+) -> DataFrame:
+    """Multi-source BFS over the undirected canonical edge list
+    -> (entity_id, hop) with hop = min #edges from ANY seed (0 for the
+    seeds themselves), nodes further than k hops omitted.
+
+    The reference's EntityGraph exposes neighborhood expansion for
+    entity-context assembly (src/core/entity_registry.py graph queries);
+    at KG scale this is the "give me everything within k hops of these
+    entities" retrieval primitive.
+
+    Scale shape: ONE frontier-adjacency join + distinct + anti-join per
+    hop — all equi-joins on entity ids. The frontier is anti-joined
+    against the visited set each round, so re-expansion of already-seen
+    nodes (the BFS blow-up) never happens; each hop's work is bounded by
+    |new nodes| x avg degree. For small k (the useful range) the loop is
+    unrolled into one Catalyst plan; the visited set is localCheckpointed
+    per hop to keep the self-referential lineage flat, mirroring
+    connected_components. Seeds outside the graph still emit hop 0.
+    """
+    adj = (
+        edges.select(F.col(src).alias("a_src"), F.col(dst).alias("a_dst"))
+        .union(edges.select(F.col(dst).alias("a_src"), F.col(src).alias("a_dst")))
+        .where(F.col("a_src") != F.col("a_dst"))
+        .distinct()
+    )
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("entity_id"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+    )
+    frontier = visited.select("entity_id")
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(adj, frontier["entity_id"] == adj["a_src"])
+            .select(F.col("a_dst").alias("entity_id"))
+            .distinct()
+            .join(visited.select("entity_id"), "entity_id", "left_anti")
+        )
+        visited = visited.unionByName(
+            nxt.withColumn("hop", F.lit(i))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

@@ -467,3 +467,44 @@ def dedup_and_merge_triples(
 def filter_triples(triples: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """T9 — overall confidence floor."""
     return triples.where(F.col("confidence") >= config.triple_confidence_floor)
+
+
+def edge_intervals(validated: DataFrame, turn_ts: DataFrame) -> DataFrame:
+    """T11 — temporal validity intervals per canonical edge.
+
+    The reference stores created_at/updated_at audit timestamps per
+    relationship row (src/database/graph_storage.py:223-243 upsert
+    metadata); in a batch KG build over timestamped transcripts the
+    useful analog is the OBSERVATION interval: when was this edge first
+    and last attested in the corpus, and how often. Downstream uses:
+    edge decay / recency weighting, temporal slicing of the graph, and
+    incremental-MERGE freshness checks.
+
+    Inputs:
+    - ``validated``: the pre-dedup validated triple stream (T6 output) —
+      one row per observation, carrying (conv_id, turn_idx) provenance.
+    - ``turn_ts``: a (conv_id, turn_idx, ts) projection of the
+      transcripts table (column-pruned scan; at production scale the
+      Iceberg layout bucket(conv_id)/days(ts) makes it cheap).
+
+    Plan shape, scale notes:
+    1. Pre-aggregate observations per (edge key, conv_id, turn_idx)
+       BEFORE the ts join — map-side combined, so the join input is
+       bounded by distinct (key, turn) rather than raw observations.
+    2. Join to turn_ts on (conv_id, turn_idx). Both sides partition
+       naturally by conv_id; with bucketed Iceberg tables this is a
+       co-located sort-merge join, no extra shuffle of the turn table.
+    3. Final groupBy on the edge key: min/max are associative, partials
+       combine map-side; skew on a hot edge key is bounded because
+       step 1 already collapsed per-turn duplicates.
+    """
+    obs = validated.groupBy("subj_id", "pred", "obj_id", "conv_id", "turn_idx").agg(
+        F.count("*").alias("n_obs")
+    )
+    j = obs.join(turn_ts.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+    return j.groupBy("subj_id", "pred", "obj_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.sum("n_obs").alias("n_observations"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )

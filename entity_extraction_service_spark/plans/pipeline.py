@@ -47,6 +47,10 @@ class PipelineResult:
     entities: DataFrame
     surface_to_canonical: DataFrame
     edges: DataFrame
+    # T6 output (pre-dedup, one row per observation with conv_id/turn_idx
+    # provenance) — the input to temporal edge_intervals; lazy, costs
+    # nothing unless acted on
+    validated: DataFrame | None = None
 
 
 _CKPT_DIRS: list[str] = []
@@ -302,6 +306,7 @@ def run_pipeline(
         entities=entities,
         surface_to_canonical=surface_map,
         edges=edges,
+        validated=validated,
     )
 
 

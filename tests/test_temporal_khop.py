@@ -1,0 +1,111 @@
+"""Hand-sized semantics tests for the two round-3 additions:
+
+- T11 edge_intervals: temporal validity intervals per canonical edge
+  (min/max observation ts + counts) from the pre-dedup validated stream.
+- k_hop_neighborhood: multi-source BFS with min-hop semantics over the
+  undirected canonical edge list.
+
+The driver oracles check both on the derived corpus; these pin the math
+on inputs small enough to verify by eye.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.graph import k_hop_neighborhood
+from entity_extraction_service_spark.operators.triples import edge_intervals
+
+VALIDATED_DDL = (
+    "subj_id string, pred string, obj_id string, confidence double, "
+    "conv_id string, turn_idx int, evidence string, method string"
+)
+TS_DDL = "conv_id string, turn_idx int, ts timestamp"
+EDGE_DDL = "subj_id string, obj_id string"
+
+
+def _ts(h, m=0):
+    return datetime(2025, 1, 1, h, m, 0)
+
+
+def test_edge_intervals_min_max_counts(spark):
+    # edge (s, p, o) observed: conv c1 turns 0 and 2 (twice at turn 2),
+    # conv c2 turn 1. Another edge only in c2 turn 5.
+    validated = spark.createDataFrame(
+        [
+            ("s", "p", "o", 0.9, "c1", 0, "e", "pattern"),
+            ("s", "p", "o", 0.8, "c1", 2, "e", "proximity"),
+            ("s", "p", "o", 0.7, "c1", 2, "e", "model"),
+            ("s", "p", "o", 0.9, "c2", 1, "e", "pattern"),
+            ("x", "q", "y", 0.9, "c2", 5, "e", "pattern"),
+        ],
+        VALIDATED_DDL,
+    )
+    turn_ts = spark.createDataFrame(
+        [
+            ("c1", 0, _ts(0)),
+            ("c1", 1, _ts(1)),
+            ("c1", 2, _ts(2)),
+            ("c2", 0, _ts(10)),
+            ("c2", 1, _ts(11)),
+            ("c2", 5, _ts(15)),
+        ],
+        TS_DDL,
+    )
+    rows = {
+        (r["subj_id"], r["pred"], r["obj_id"]): r
+        for r in edge_intervals(validated, turn_ts).collect()
+    }
+    spo = rows[("s", "p", "o")]
+    assert spo["first_seen"] == _ts(0)
+    assert spo["last_seen"] == _ts(11)
+    assert spo["n_observations"] == 4
+    assert spo["n_convs"] == 2
+    xqy = rows[("x", "q", "y")]
+    assert (xqy["first_seen"], xqy["last_seen"]) == (_ts(15), _ts(15))
+    assert (xqy["n_observations"], xqy["n_convs"]) == (1, 1)
+
+
+def test_edge_intervals_preaggregates_before_join(spark):
+    # the per-(key, conv, turn) pre-aggregate must collapse duplicate
+    # observations BEFORE the ts join: a turn_ts table with exactly one
+    # row per turn still yields n_observations = raw row count
+    validated = spark.createDataFrame(
+        [("s", "p", "o", 0.9, "c1", 0, "e", "pattern")] * 3, VALIDATED_DDL
+    )
+    turn_ts = spark.createDataFrame([("c1", 0, _ts(0))], TS_DDL)
+    out = edge_intervals(validated, turn_ts).collect()
+    assert len(out) == 1
+    assert out[0]["n_observations"] == 3
+
+
+def test_khop_min_hop_semantics(spark):
+    # path graph a-b-c-d-e plus a branch c-f; seeds {a}
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("c", "f")], EDGE_DDL
+    )
+    seeds = spark.createDataFrame([("a",)], "entity_id string")
+    got = {r["entity_id"]: r["hop"] for r in k_hop_neighborhood(e, seeds, k=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "f": 3}  # e is 4 hops away
+
+
+def test_khop_multi_source_and_undirected(spark):
+    # seeds {a, e} on the same path: hops are min over sources, and
+    # traversal follows edges AGAINST their direction too
+    e = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("d", "c"), ("e", "d")], EDGE_DDL
+    )
+    seeds = spark.createDataFrame([("a",), ("e",)], "entity_id string")
+    got = {r["entity_id"]: r["hop"] for r in k_hop_neighborhood(e, seeds, k=2).collect()}
+    assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_khop_isolated_seed_and_dup_edges(spark):
+    # a seed absent from the graph still emits hop 0; parallel/reversed
+    # duplicate edges and self-loops don't change hops
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a")], EDGE_DDL
+    )
+    seeds = spark.createDataFrame([("a",), ("zzz",)], "entity_id string")
+    got = {r["entity_id"]: r["hop"] for r in k_hop_neighborhood(e, seeds, k=2).collect()}
+    assert got == {"a": 0, "zzz": 0, "b": 1}
