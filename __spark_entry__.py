@@ -718,14 +718,24 @@ def q_e13_heuristic_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 third mention stream (heuristic/unpatterned NER,
     operators/extract_heuristic.py): the capitalized-phrase rule over the
     derived corpus — reference unpatterned subsystem analog
-    (src/core/unpatterned/entity_candidates.py:381-430)."""
+    (src/core/unpatterned/entity_candidates.py:381-430). Pinned to the
+    three offset-arithmetic generators: the shallow noun-phrase stream's
+    offsets inside free doc text aren't SQL-expressible (regexp_extract_all
+    yields strings, not positions) — NP is driver-oracled via the
+    offset-free e12_candidates entry instead, plus unit tests."""
     from entity_extraction_service_spark.operators.assemble import chunk_turns
     from entity_extraction_service_spark.operators.extract_heuristic import (
         extract_mentions_heuristic,
+        heuristic_mentions_py,
     )
     from entity_extraction_service_spark.sources.transcripts import transcripts_from_documents
 
-    m = extract_mentions_heuristic(chunk_turns(transcripts_from_documents(spark, sf_dir)))
+    m = extract_mentions_heuristic(
+        chunk_turns(transcripts_from_documents(spark, sf_dir)),
+        ner_fn=lambda t: heuristic_mentions_py(
+            t, generators=("capitalized", "quoted", "context")
+        ),
+    )
     return m.select(
         "conv_id", "turn_idx", "entity_type", "text",
         F.col("start").alias("s"), F.col("end").alias("e"),
@@ -1270,8 +1280,15 @@ FROM m
         "       count(*) AS n_passes\n"
         'FROM u GROUP BY conv_id, entity_type, text, turn_idx, "start", "end"\n'
     )
-    # E12 candidate generation: re-derive the 4 turn texts, rerun the three
+    # E12 candidate generation: re-derive the 4 turn texts, rerun the four
     # generator regexes (RE2/Java-compatible subset), keep-best per surface
+    from entity_extraction_service_spark.operators.candidates import (
+        NP_HEAD_STOPLIST,
+        NP_REGEX,
+    )
+
+    np_rx = NP_REGEX  # interpolated as a VALUE — its {0,2} is not an f-string field
+    np_stop = ", ".join("'" + w + "'" for w in NP_HEAD_STOPLIST)
     e12_candidates = f"""
 WITH docs AS (
     SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
@@ -1303,6 +1320,13 @@ WITH docs AS (
            unnest(regexp_extract_all(text, '\\b([A-Z]{{2,6}})\\b', 1)),
            'acronym', CAST(0.4 AS DOUBLE)
     FROM turns
+    UNION ALL
+    SELECT conv_id, turn_idx, np_text, 'noun_phrase', CAST(0.35 AS DOUBLE)
+    FROM (
+        SELECT conv_id, turn_idx,
+               unnest(regexp_extract_all(text, '{np_rx}', 1)) AS np_text
+        FROM turns
+    ) WHERE string_split(np_text, ' ')[-1] NOT IN ({np_stop})
 )
 SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, text,
        arg_max(generator, confidence) AS generator,

@@ -11,17 +11,45 @@ the default triple path; unioned in only when recall mode is on.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 
 # generator -> (regex, confidence). Mirrors the reference's generator list
-# (capitalized sequences :349-428, quoted spans :430-500, acronyms).
+# (capitalized sequences :349-428, quoted spans :430-500, acronyms,
+# noun phrases :501-599).
+#
+# noun_phrase is the deterministic shallow stand-in for the reference's
+# spaCy noun_chunks generator: determiner + up to two lowercase modifier
+# tokens + lowercase head, every token >= 4 letters so short function
+# words ("is", "in", "was", "the") terminate the chunk and greedy
+# backtracking lands on the true content head ("the staging cluster is"
+# -> "staging cluster", not "staging cluster is"). Without POS tags the
+# head can still be any >=4-letter word class, so the stream carries the
+# LOWEST generator confidence and the head must clear NP_HEAD_STOPLIST
+# (pronoun-ish / quantifier / auxiliary heads a real chunker would attach
+# differently). The regex is shared verbatim with the DuckDB oracle —
+# Java and RE2 compatible (no lookaround).
+NP_REGEX = (
+    r"\b(?:the|a|an|this|that|these|those)\s+"
+    r"((?:[a-z][a-z-]{3,}\s+){0,2}[a-z][a-z-]{3,})\b"
+)
+NP_RE = re.compile(NP_REGEX)  # the Python-side twin (extract_heuristic)
+NP_HEAD_STOPLIST = [
+    "one", "ones", "other", "others", "same", "few", "lot", "bit",
+    "thing", "things", "way", "time", "and", "or", "but", "not",
+    "is", "are", "was", "were", "be", "been", "has", "have", "had",
+    "this", "that", "these", "those", "there", "then", "than",
+    "them", "they", "their", "some", "such", "what", "which",
+]
 CANDIDATE_GENERATORS = {
     "capitalized": (r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)+)\b", 0.5),
     "quoted": (r"\"([^\"]{2,60})\"|'([^']{2,60})'", 0.45),
     "acronym": (r"\b([A-Z]{2,6})\b", 0.4),
+    "noun_phrase": (NP_REGEX, 0.35),
 }
 
 
@@ -33,15 +61,17 @@ def candidate_mentions(
     streams = []
     for gen, (rx, conf) in CANDIDATE_GENERATORS.items():
         hits = F.regexp_extract_all(F.col("text"), F.lit(rx), 1)
-        streams.append(
-            transcripts.select(
-                "conv_id",
-                "turn_idx",
-                F.explode(hits).alias("text"),
-                F.lit(gen).alias("generator"),
-                F.lit(conf).alias("confidence"),
-            ).where(F.length("text") > 1)
-        )
+        s = transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(hits).alias("text"),
+            F.lit(gen).alias("generator"),
+            F.lit(conf).alias("confidence"),
+        ).where(F.length("text") > 1)
+        if gen == "noun_phrase":
+            head = F.element_at(F.split("text", " "), -1)
+            s = s.where(~head.isin(NP_HEAD_STOPLIST))
+        streams.append(s)
     out = streams[0]
     for s in streams[1:]:
         out = out.unionByName(s)

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..functions.normalize import group_norm_py, normalize_text_py
+from .candidates import NP_HEAD_STOPLIST, NP_RE
 
 # run of >= 2 Capitalized words (each letter-initial, lowercase tail)
 CAP_PHRASE_RE = re.compile(r"\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)+)\b")
@@ -58,6 +59,15 @@ CONTEXT_CUE_RE = re.compile(
 )
 
 CONTEXT_CONFIDENCE = 0.55  # below the quoted/capitalized rules
+
+# shallow noun-phrase generator (entity_candidates.py:501-599 analog): the
+# reference uses spaCy noun_chunks; the deterministic default is
+# determiner + up to two lowercase modifiers + lowercase head, head
+# filtered through the same stoplist as the Catalyst twin
+# (operators/candidates.py NP_REGEX / NP_HEAD_STOPLIST — one source of
+# truth). Weakest stream: CONCEPT-typed at the lowest confidence, so D5
+# overlap merge can only be ADDed to, never displaced, by an NP row.
+NP_CONFIDENCE = 0.5
 
 ORG_SUFFIXES = frozenset(
     {
@@ -87,20 +97,20 @@ def _classify_cap_phrase(surface: str) -> str | None:
 
 def heuristic_mentions_py(
     text: str,
-    generators: tuple[str, ...] = ("capitalized", "quoted", "context"),
+    generators: tuple[str, ...] = ("capitalized", "quoted", "context", "noun_phrase"),
 ) -> list[tuple]:
     """Unpatterned candidate generators for one turn:
     [(etype, surface, s, e, conf)].
 
-    Pure function of the text (no state). Three of the reference's four
-    generators (entity_candidates.py:349-599) run deterministically:
-    capitalization (:381-430), quoted-span (:~470-520), and
-    context-driven cues (:~540-599). The fourth — noun-phrase chunks —
-    genuinely needs a POS model (the reference uses spaCy noun_chunks);
-    inject it via ``extract_mentions_heuristic``'s ``ner_fn`` seam, the
-    same pattern as T2's parser loader. Overlapping candidates from
-    different generators are emitted as-is; D2/D5 dedup downstream keeps
-    the best row per span, exactly as the reference funnels all
+    Pure function of the text (no state). All four of the reference's
+    generators (entity_candidates.py:349-599) have deterministic
+    defaults: capitalization (:381-430), quoted-span (:~470-520),
+    context-driven cues (:~540-599), and a shallow noun-phrase chunker
+    (:501-599 — the reference uses spaCy noun_chunks; a real POS model
+    can still be injected via ``extract_mentions_heuristic``'s ``ner_fn``
+    seam, the same pattern as T2's parser loader). Overlapping candidates
+    from different generators are emitted as-is; D2/D5 dedup downstream
+    keeps the best row per span, exactly as the reference funnels all
     generators into one candidate pool.
     """
     out: list[tuple] = []
@@ -135,6 +145,12 @@ def heuristic_mentions_py(
             out.append(
                 ("CONCEPT", m.group(1), m.start(1), m.end(1), CONTEXT_CONFIDENCE)
             )
+    if "noun_phrase" in generators:
+        for m in NP_RE.finditer(t):
+            surface = m.group(1)
+            if surface.split()[-1] in NP_HEAD_STOPLIST:
+                continue
+            out.append(("CONCEPT", surface, m.start(1), m.end(1), NP_CONFIDENCE))
     # a span two generators both propose (e.g. a quoted capitalized name)
     # is one candidate, as in the reference's shared candidate pool
     seen: set = set()

@@ -6,6 +6,8 @@ entity_candidates.py:381-430) fused with the pattern and AI streams."""
 
 import dataclasses
 
+from pyspark.sql import functions as F
+
 from entity_extraction_service_spark.config import DEFAULT_CONFIG
 from entity_extraction_service_spark.operators.assemble import chunk_turns
 from entity_extraction_service_spark.operators.extract_heuristic import (
@@ -21,8 +23,11 @@ def test_capitalized_phrase_rule():
     )
     assert ("ORG", "Massive Dynamic Holdings", 0, 24, 0.6) in got
     assert ("PERSON", "Jane Doe") in {(m[0], m[1]) for m in got}
-    # lowercase prose and single capitalized words never fire
-    assert heuristic_mentions_py("the build is green again.") == []
+    # lowercase prose and single capitalized words never fire the
+    # capitalized rule (the NP generator is separate — tested below)
+    assert heuristic_mentions_py(
+        "the build is green again.", generators=("capitalized",)
+    ) == []
     assert heuristic_mentions_py("Deployed at noon.") == []
     # plural corporate suffix classifies as ORG, not PERSON
     assert heuristic_mentions_py("Acme Corporations filed.")[0][0] == "ORG"
@@ -102,6 +107,64 @@ def test_context_cue_generator():
     assert ("CONCEPT", "blue-green.v2") in {(t, s) for t, s, *_ in got}
     got2 = heuristic_mentions_py("a service dubbed franken-proxy handles it")
     assert ("CONCEPT", "franken-proxy") in {(t, s) for t, s, *_ in got2}
+
+
+def test_noun_phrase_generator():
+    from entity_extraction_service_spark.operators.extract_heuristic import (
+        heuristic_mentions_py,
+    )
+
+    # determiner + modifiers + head, offsets track the captured phrase
+    got = heuristic_mentions_py(
+        "the staging cluster is failing", generators=("noun_phrase",)
+    )
+    assert got == [("CONCEPT", "staging cluster", 4, 19, 0.5)]
+    # stoplisted heads don't fire; capitalized words break the chunk
+    assert heuristic_mentions_py("that was the one", generators=("noun_phrase",)) == []
+    assert (
+        heuristic_mentions_py("the Redis instance", generators=("noun_phrase",)) == []
+    )
+    # at most 3 tokens are captured (two modifiers + head)
+    got3 = heuristic_mentions_py(
+        "a very large shared connection pool", generators=("noun_phrase",)
+    )
+    assert [s for _, s, *_ in got3] == ["very large shared"]
+
+
+def test_noun_phrase_catalyst_twin_matches_python(spark):
+    # the Catalyst generator (operators/candidates.py) and the Python rule
+    # must agree surface-for-surface on the same turns
+    from entity_extraction_service_spark.operators.candidates import (
+        candidate_mentions,
+    )
+    from entity_extraction_service_spark.operators.extract_heuristic import (
+        heuristic_mentions_py,
+    )
+
+    texts = [
+        "the staging cluster is failing",
+        "that was the one",
+        "a very large shared connection pool",
+        "an off-by-one error in the retry loop",
+        "this deploy touched those config files",
+    ]
+    rows = [(f"c{i}", 0, "user", t, None, None) for i, t in enumerate(texts)]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got_sql = {
+        (r["conv_id"], r["text"])
+        for r in candidate_mentions(t).where(F.col("generator") == "noun_phrase").collect()
+    }
+    got_py = {
+        (f"c{i}", s)
+        for i, txt in enumerate(texts)
+        for _, s, *_ in heuristic_mentions_py(txt, generators=("noun_phrase",))
+    }
+    assert got_sql == got_py
+    assert got_py  # non-vacuous
 
 
 def test_generators_are_selectable():
