@@ -527,6 +527,22 @@ def q_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram shingle MinHash-LSH near-dups — the textbook
+    shingle→minhash→band→bucket-join pipeline. Shingle Jaccard is
+    phrasing-level similarity, so the verify threshold sits at 0.5
+    (unigram sets on this corpus saturate near 0.5 on shared vocabulary
+    alone; 3-gram sets only clear 0.5 for genuinely duplicated passages)
+    and the banding is tuned to that target: 8 bands x 2 rows gives
+    recall 1-(1-J^2)^8 ~= 0.94 at J=0.55 where the unigram entry's 4x4
+    point (built for J>=0.8) would recall ~0.31."""
+    from entity_extraction_service_spark.operators.dedup_corpus import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n_hashes=16, n_bands=8, ngram=3
+    )
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit md5-derived SimHash — engine-portable, so (since r2) the
     DuckDB oracle recomputes the fingerprints bit-for-bit."""
@@ -940,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_entities": q_kg_entities,
         "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
+        "ngram_lsh_near_dups": q_ngram_lsh_near_dups,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_dot_pairs": q_embedding_dot_pairs,
@@ -2061,6 +2078,69 @@ def oracle_sql() -> dict[str, str]:
                 JOIN t ta ON ta.doc_id = id_a
                 JOIN t tb ON tb.doc_id = id_b
             ) WHERE jaccard >= 0.8
+        """,
+        "ngram_lsh_near_dups": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS wt
+                FROM documents
+            ), sh AS (
+                -- word 3-gram shingles; docs shorter than 3 tokens yield
+                -- one whole-doc shingle (mirrors the Spark _shingles op)
+                SELECT doc_id, list_distinct(list_transform(
+                           generate_series(1, greatest(len(wt) - 2, 1)),
+                           i -> array_to_string(list_slice(wt, i, i + 2), ' '))) AS toks
+                FROM w
+            ), toks AS (
+                SELECT doc_id, unnest(toks) AS tok FROM sh
+            ), sig AS (
+                SELECT doc_id,
+                       min(md5(concat_ws('|', tok, '0'))) AS h0,
+                       min(md5(concat_ws('|', tok, '1'))) AS h1,
+                       min(md5(concat_ws('|', tok, '2'))) AS h2,
+                       min(md5(concat_ws('|', tok, '3'))) AS h3,
+                       min(md5(concat_ws('|', tok, '4'))) AS h4,
+                       min(md5(concat_ws('|', tok, '5'))) AS h5,
+                       min(md5(concat_ws('|', tok, '6'))) AS h6,
+                       min(md5(concat_ws('|', tok, '7'))) AS h7,
+                       min(md5(concat_ws('|', tok, '8'))) AS h8,
+                       min(md5(concat_ws('|', tok, '9'))) AS h9,
+                       min(md5(concat_ws('|', tok, '10'))) AS h10,
+                       min(md5(concat_ws('|', tok, '11'))) AS h11,
+                       min(md5(concat_ws('|', tok, '12'))) AS h12,
+                       min(md5(concat_ws('|', tok, '13'))) AS h13,
+                       min(md5(concat_ws('|', tok, '14'))) AS h14,
+                       min(md5(concat_ws('|', tok, '15'))) AS h15
+                FROM toks GROUP BY doc_id
+            ), bands AS (
+                -- 8 bands x 2 rows: tuned for the 0.5 shingle-J target
+                SELECT doc_id, 0 AS band_idx, md5(concat_ws('|', h0, h1)) AS band_hash FROM sig
+                UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM sig
+                UNION ALL SELECT doc_id, 4, md5(concat_ws('|', h8, h9)) FROM sig
+                UNION ALL SELECT doc_id, 5, md5(concat_ws('|', h10, h11)) FROM sig
+                UNION ALL SELECT doc_id, 6, md5(concat_ws('|', h12, h13)) FROM sig
+                UNION ALL SELECT doc_id, 7, md5(concat_ws('|', h14, h15)) FROM sig
+            ), bsz AS (
+                SELECT band_idx, band_hash FROM bands
+                GROUP BY band_idx, band_hash HAVING count(*) <= 10000
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a
+                JOIN bsz s ON a.band_idx = s.band_idx AND a.band_hash = s.band_hash
+                JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                             / len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jaccard
+                FROM cand
+                JOIN sh ta ON ta.doc_id = id_a
+                JOIN sh tb ON tb.doc_id = id_b
+            ) WHERE jaccard >= 0.5
         """,
         "embedding_topk": """
             WITH q AS (

@@ -7,9 +7,12 @@ pipeline needs, built Spark-first:
 - exact dedup: md5 fingerprint of whitespace-normalized text; groupBy is
   the whole operator (hash shuffle on the fingerprint; map-side partial
   agg makes repeated content cheap).
-- unigram-Jaccard near-dup: token-set Jaccard via array_intersect /
-  array_union — pure Catalyst, used both standalone and as the verify
-  step after LSH candidate generation.
+- Jaccard near-dup: token-set (unigram) or word n-gram shingle Jaccard
+  via array_intersect / array_union — pure Catalyst, used both standalone
+  and as the verify step after LSH candidate generation. ``ngram>1``
+  switches every stage (signatures, banding, verify) to shingle space:
+  unigram sets saturate on shared vocabulary, shingles require shared
+  phrasing — the standard training-corpus near-dup definition.
 - MinHash: per-seed signature value = min(md5(token || '|' || seed)) over
   the token set. Using md5 keeps the signature engine-portable (the DuckDB
   oracle computes the identical value) — no dependence on Spark's
@@ -43,6 +46,27 @@ def _tokens(text_col: str = "text") -> F.Column:
     return F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT))
 
 
+def _shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles in document order (the classic
+    near-dup term set: unigram sets saturate on shared vocabulary, n-gram
+    shingles require shared PHRASING). Documents with fewer than ``n``
+    tokens yield ONE shingle covering the whole document — never an empty
+    set for non-empty text, and mirrored exactly by the DuckDB oracle
+    (sequence/slice truncate identically in both engines)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def _termset(text_col: str, ngram: int) -> F.Column:
+    """The dedup term set: unigram token set (``ngram<=1``) or word
+    n-gram shingle set. One switch shared by Jaccard, MinHash signatures,
+    and the LSH verify stage so a pipeline never mixes term spaces."""
+    return _tokens(text_col) if ngram <= 1 else _shingles(text_col, ngram)
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per distinct content fingerprint: keeper id + dup count."""
     return (
@@ -60,8 +84,11 @@ def jaccard_pairs(
     threshold: float = 0.0,
     max_block_size: int | None = None,
     config=None,
+    ngram: int = 1,
 ) -> DataFrame:
-    """Blocked all-pairs unigram Jaccard (block on a partition-friendly key).
+    """Blocked all-pairs Jaccard (block on a partition-friendly key) over
+    unigram token sets (default) or word n-gram shingles (``ngram>1`` —
+    phrasing-level similarity, the standard near-dup definition).
 
     EXACT twin, not the scale path: one hot block (a dominant ``source``)
     makes the self-join quadratic in that block's size, so the call
@@ -76,7 +103,9 @@ def jaccard_pairs(
         else (config or DEFAULT_CONFIG).jaccard_max_block_size
     )
     t = docs.select(
-        F.col(block_col).alias("block"), F.col(id_col).alias("id"), _tokens(text_col).alias("toks")
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        _termset(text_col, ngram).alias("toks"),
     )
     hot = (
         t.groupBy("block").agg(F.count("*").alias("n"))
@@ -107,8 +136,16 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = True,
+    ngram: int = 1,
 ) -> DataFrame:
-    """(id, sig) — MinHash signatures from a token dictionary.
+    """(id, sig) — MinHash signatures from a term dictionary.
+
+    ``ngram>1`` switches the term set from unigram tokens to word n-gram
+    shingles (shingle→minhash→band→bucket-join, the textbook pipeline).
+    The dictionary trick below still applies — shingle vocabularies are
+    larger than token vocabularies but repeated content (the very thing
+    near-dup detection hunts) keeps them well below the corpus token
+    count, and the distinct+join shape is unchanged.
 
     The per-seed hash values are computed once per DISTINCT token (the
     token dictionary) and joined back to the (doc, token) pairs before
@@ -129,7 +166,9 @@ def minhash_signatures(
       cross-engine byte-reproducibility is given up, so keep the portable
       family wherever a SQL oracle must replay signatures.
     """
-    toks = docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(_termset(text_col, ngram)).alias("tok")
+    )
     if portable:
         hash_of = lambda seed: F.md5(F.concat_ws("|", "tok", F.lit(str(seed))))  # noqa: E731
     else:
@@ -196,8 +235,14 @@ def minhash_near_duplicates(
     text_col: str = "text",
     max_bucket: int = 10_000,
     portable: bool = True,
+    ngram: int = 1,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates verified by true Jaccard.
+
+    ``ngram>1`` runs the whole pipeline — signatures, banding, AND the
+    exact verify — over word n-gram shingles instead of unigram token
+    sets, so the Jaccard reported is shingle Jaccard (phrasing-level
+    similarity; unigram sets saturate on shared vocabulary).
 
     ``portable`` selects the signature hash family (minhash_signatures):
     md5 strings for oracle-replayable runs, xxhash64 longs for the scale
@@ -228,12 +273,12 @@ def minhash_near_duplicates(
     A 60-bit re-key collision would need two distinct tokens within one
     verified pair hashing equal (~|vocab|^2 / 2^61) — negligible, and the
     md5 base keeps even that failure mode engine-portable."""
-    sigs = minhash_signatures(docs, n_hashes, id_col, text_col, portable=portable)
+    sigs = minhash_signatures(docs, n_hashes, id_col, text_col, portable=portable, ngram=ngram)
     cands = minhash_lsh_candidates(sigs, n_bands, n_hashes // n_bands, max_bucket)
     rekey = F.transform(
         "toks", lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
     )
-    t = docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks")).select(
+    t = docs.select(F.col(id_col).alias("id"), _termset(text_col, ngram).alias("toks")).select(
         "id", F.size("toks").alias("n"), rekey.alias("htoks")
     )
     ta = t.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("htoks").alias("h_a"))

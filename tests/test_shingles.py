@@ -1,0 +1,71 @@
+"""Word n-gram shingle dedup: shingle construction, the shingle-vs-unigram
+discrimination property, and the full shingle MinHash-LSH pipeline."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.dedup_corpus import (
+    _shingles,
+    jaccard_pairs,
+    minhash_near_duplicates,
+)
+from entity_extraction_service_spark.sources.bench_corpus import (
+    synthesize_rich_documents,
+)
+
+
+def test_shingle_construction(spark):
+    t = spark.createDataFrame(
+        [(1, "A b C d"), (2, "a b"), (3, "x"), (4, "a a a a")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in t.select("doc_id", _shingles("text", 3).alias("sh")).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]  # lowercased, sliding window
+    assert got[2] == ["a b"]  # < n tokens -> one whole-doc shingle
+    assert got[3] == ["x"]
+    assert got[4] == ["a a a"]  # distinct shingles
+
+
+def test_shingles_discriminate_phrasing_from_vocabulary(spark):
+    # same token SET, different order: unigram Jaccard is 1.0, shingle
+    # Jaccard collapses — the property that makes shingles the near-dup
+    # term set for training corpora
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "the quick brown fox jumps over the lazy dog"),
+            (2, "a", "dog lazy the over jumps fox brown quick the"),
+            (3, "a", "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id int, source string, text string",
+    )
+    uni = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    tri = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.0, ngram=3).collect()
+    }
+    assert uni[(1, 2)] == 1.0
+    assert tri[(1, 2)] < 0.2  # scrambled phrasing is no longer a near-dup
+    assert tri[(1, 3)] > 0.7  # a one-word suffix edit still is
+
+
+def test_shingle_minhash_pipeline_finds_planted_pairs(spark):
+    # the full shingle->minhash->band->bucket-join pipeline at ngram=3:
+    # planted near-dups (suffix-edited copies, shingle-J ~= 0.55) survive,
+    # the rich-vocab background stays silent; verify is exact so precision
+    # is 1. Banding is TUNED TO THE TARGET J: 8 bands x 2 rows gives
+    # recall 1-(1-J^2)^8 ~= 0.94 at J=0.55, where the unigram entry's
+    # 4x4 point (built for J>=0.8) would recall only ~0.31 — choosing
+    # (bands, rows) from the threshold is how a real shingle pass is set.
+    docs = synthesize_rich_documents(spark, n_docs=200)
+    pairs = minhash_near_duplicates(
+        docs, threshold=0.5, n_hashes=16, n_bands=8, ngram=3
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(2 * k, 2 * k + 1) for k in range(100)}
+    assert got <= planted
+    assert len(got) >= 80
