@@ -145,6 +145,17 @@ def main() -> None:
         )
     )
     timings["minhash_lsh_rich_fast"] = round(time.perf_counter() - t0, 3)
+    # 3-gram shingle variant (phrasing-level near-dup, the training-corpus
+    # definition) on the scale-path hash family; banding tuned to the 0.5
+    # shingle-J target (8 bands x 2 rows). Shingle universes are ~3x the
+    # token count pre-dictionary, so this prices the shingle overhead.
+    t0 = time.perf_counter()
+    _materialize(
+        minhash_near_duplicates(
+            rich, threshold=0.5, n_hashes=16, n_bands=8, portable=False, ngram=3
+        )
+    )
+    timings["ngram_lsh_rich_fast"] = round(time.perf_counter() - t0, 3)
     out = {
         "metric": "headline_suite_wall",
         "value": round(total, 3),

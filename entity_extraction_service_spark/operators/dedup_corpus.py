@@ -236,6 +236,7 @@ def minhash_near_duplicates(
     max_bucket: int = 10_000,
     portable: bool = True,
     ngram: int = 1,
+    config=None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates verified by true Jaccard.
 
@@ -272,14 +273,37 @@ def minhash_near_duplicates(
 
     A 60-bit re-key collision would need two distinct tokens within one
     verified pair hashing equal (~|vocab|^2 / 2^61) — negligible, and the
-    md5 base keeps even that failure mode engine-portable."""
-    sigs = minhash_signatures(docs, n_hashes, id_col, text_col, portable=portable, ngram=ngram)
+    md5 base keeps even that failure mode engine-portable.
+
+    The signature table and the rekeyed doc-term table are materialized
+    through the shared parquet-checkpoint seam (checkpoint.materialize_df,
+    ``config.materialize`` / ``checkpoint_dir``): the plan reads sigs
+    three times (the bucket-size scan and both sides of the candidate
+    self-join) and the term table twice (both verify broadcasts), and
+    Catalyst does not deduplicate repeated subtrees — for unigrams the
+    recompute is cheap, but shingle term sets (~n_tokens shingles per
+    doc, mostly corpus-unique) make the unmaterialized plan pay the
+    explode+hash ~3-4x. Both tables are O(corpus doc count), not
+    O(pairs)."""
+    from ..config import DEFAULT_CONFIG as _DC
+    from .checkpoint import materialize_df
+
+    cfg = config or _DC
+    sigs = materialize_df(
+        minhash_signatures(docs, n_hashes, id_col, text_col, portable=portable, ngram=ngram),
+        cfg,
+        tag="minhash-sigs",
+    )
     cands = minhash_lsh_candidates(sigs, n_bands, n_hashes // n_bands, max_bucket)
     rekey = F.transform(
         "toks", lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
     )
-    t = docs.select(F.col(id_col).alias("id"), _termset(text_col, ngram).alias("toks")).select(
-        "id", F.size("toks").alias("n"), rekey.alias("htoks")
+    t = materialize_df(
+        docs.select(F.col(id_col).alias("id"), _termset(text_col, ngram).alias("toks")).select(
+            "id", F.size("toks").alias("n"), rekey.alias("htoks")
+        ),
+        cfg,
+        tag="minhash-verify-terms",
     )
     ta = t.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("htoks").alias("h_a"))
     tb = t.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("htoks").alias("h_b"))

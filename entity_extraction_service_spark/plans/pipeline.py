@@ -53,74 +53,10 @@ class PipelineResult:
     validated: DataFrame | None = None
 
 
-_CKPT_DIRS: list[str] = []
-
-
-def _cleanup_ckpt_dirs() -> None:
-    import shutil
-
-    for p in _CKPT_DIRS:
-        shutil.rmtree(p, ignore_errors=True)
-
-
-def _materialize(
-    df: DataFrame,
-    config: PipelineConfig,
-    tag: str = "fused",
-    partition_cols: list[str] | None = None,
-    schema=None,
-) -> DataFrame:
-    """Cut the fused stream's lineage for its multiple consumers.
-
-    "parquet": write once to a columnar checkpoint and read back.
-    Downstream projections then column-prune and predicate-push into the
-    checkpoint scan — the cache formats can't do that, and at 32
-    concurrent writers the DISK_ONLY cache write was measured 2x the
-    parquet write on this box. The checkpoint dir is
-    ``config.checkpoint_dir`` when set (REQUIRED to be a shared filesystem
-    on a multi-node cluster); without one, local masters use
-    spark.local.dir (tmpfs here; executor-local NVMe on a one-node
-    deployment) and non-local masters fall back to disk_persist — a
-    node-local parquet path would silently lose executor-written files.
-
-    ``schema`` (when given) is applied to the read-back so an empty input
-    corpus — zero files written under partitionBy — still yields an empty
-    DataFrame of the right shape instead of a schema-inference error.
-    """
-    if config.materialize == "none":
-        return df
-    spark = df.sparkSession
-    is_local = spark.sparkContext.master.startswith("local")
-    if config.materialize == "disk_persist" or (
-        config.materialize == "parquet" and not is_local and not config.checkpoint_dir
-    ):
-        from pyspark import StorageLevel
-
-        return df.persist(StorageLevel.DISK_ONLY)
-    import atexit
-    import os
-    import uuid
-
-    if config.checkpoint_dir:
-        base = os.path.join(config.checkpoint_dir, spark.sparkContext.applicationId)
-    else:
-        local = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
-        base = os.path.join(local, "eess-materialize", spark.sparkContext.applicationId)
-        if not _CKPT_DIRS:
-            atexit.register(_cleanup_ckpt_dirs)
-        if base not in _CKPT_DIRS:
-            _CKPT_DIRS.append(base)
-    path = os.path.join(base, f"{tag}-{uuid.uuid4().hex[:8]}")
-    writer = df.write.mode("overwrite")
-    if partition_cols:
-        # hive-style partition dirs (e.g. kind=mention/) so each consumer's
-        # filter prunes whole files instead of decoding the mixed stream
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(path)
+# the materialization seam moved to operators/checkpoint.py (it now also
+# serves the dedup suite's signature tables); the pipeline call sites are
+# unchanged
+from ..operators.checkpoint import materialize_df as _materialize  # noqa: E402
 
 
 def extract_mentions(
