@@ -238,6 +238,7 @@ def embedding_near_duplicates(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    config=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH bucket joins.
 
@@ -247,11 +248,26 @@ def embedding_near_duplicates(
     probability ~0.9; every candidate is then verified with the exact
     cosine so precision is 1 by construction. Join keys stay short
     strings; candidates dedup per pair before the verify (each pair is
-    scored once regardless of how many tables agree)."""
+    scored once regardless of how many tables agree).
+
+    The signed-projection signature (n_planes x n_tables dim-``dim`` dot
+    products per vector) is materialized PRE-explode through the shared
+    checkpoint seam: the candidate self-join reads the bucketed table
+    twice and Catalyst does not deduplicate the subtree, so without the
+    seam every vector pays the projection twice. The explode itself is
+    cheap and happens after the read-back."""
+    from ..config import DEFAULT_CONFIG as _DC
+    from .checkpoint import materialize_df
+
     buckets = _multi_table_buckets(vec_col, dim, n_planes, n_tables, seed)
-    c = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias(vec_col)
-    ).withColumn("bucket", F.explode(buckets))
+    sig = materialize_df(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias(vec_col), buckets.alias("_bks")
+        ),
+        config or _DC,
+        tag="emb-lsh-sigs",
+    )
+    c = sig.withColumn("bucket", F.explode("_bks")).drop("_bks")
     a, b = c.alias("a"), c.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))

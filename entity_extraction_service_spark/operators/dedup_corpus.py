@@ -371,6 +371,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    config=None,
 ) -> DataFrame:
     """Near-dups by Hamming distance on SimHash via Hamming-LSH piece
     partitioning (the 100 TB shape — replaces the r1 source-column
@@ -380,8 +381,19 @@ def simhash_near_duplicates(
     fingerprints within the Hamming budget must agree exactly on >= 1
     piece (pigeonhole), so the candidate join is an equi-join on
     (piece_idx, piece_val) — shuffle-friendly, AQE-skew-splittable — and
-    the exact Hamming check verifies candidates. No block column needed."""
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    the exact Hamming check verifies candidates. No block column needed.
+
+    The fingerprint table (an explode + 60-column bit-vote aggregate) is
+    read FOUR times by this plan — both sides of the candidate self-join
+    and both verify joins — so it goes through the shared checkpoint seam
+    (checkpoint.materialize_df) like the MinHash signature table; it is
+    one int64 per doc."""
+    from ..config import DEFAULT_CONFIG as _DC
+    from .checkpoint import materialize_df
+
+    fps = materialize_df(
+        simhash_fingerprints(docs, id_col, text_col), config or _DC, tag="simhash-fps"
+    )
     pieces = simhash_pieces(fps, max_hamming + 1)
     cand = (
         pieces.alias("a")
