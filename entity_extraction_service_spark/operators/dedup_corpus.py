@@ -137,15 +137,27 @@ def minhash_signatures(
     text_col: str = "text",
     portable: bool = True,
     ngram: int = 1,
+    dictionary: bool | None = None,
 ) -> DataFrame:
-    """(id, sig) — MinHash signatures from a term dictionary.
+    """(id, sig) — MinHash signatures.
 
     ``ngram>1`` switches the term set from unigram tokens to word n-gram
     shingles (shingle→minhash→band→bucket-join, the textbook pipeline).
-    The dictionary trick below still applies — shingle vocabularies are
-    larger than token vocabularies but repeated content (the very thing
-    near-dup detection hunts) keeps them well below the corpus token
-    count, and the distinct+join shape is unchanged.
+
+    ``dictionary`` picks the physical plan — the signature VALUES are
+    identical either way (min over the same term multiset), only the
+    hash/shuffle trade changes:
+
+    - True: hash each DISTINCT term once and join back (two extra
+      shuffles on the term string). Wins when |vocab| << |corpus terms|
+      — natural-language unigrams (~50x measured on the bench corpus).
+    - False: hash every (doc, term) row inline — no distinct, no join,
+      one groupBy. Wins when terms are mostly corpus-unique, i.e.
+      shingles: the sf-bench shingle vocab is ~0.65x the term rows, and
+      the dictionary path's string shuffles cost 21 s vs 7 s inline at
+      5k docs / local[32].
+    - None (default): auto — dictionary for unigrams, inline for
+      shingles.
 
     The per-seed hash values are computed once per DISTINCT token (the
     token dictionary) and joined back to the (doc, token) pairs before
@@ -173,11 +185,17 @@ def minhash_signatures(
         hash_of = lambda seed: F.md5(F.concat_ws("|", "tok", F.lit(str(seed))))  # noqa: E731
     else:
         hash_of = lambda seed: F.xxhash64("tok", F.lit(seed))  # noqa: E731
-    vocab = toks.select("tok").distinct().select(
-        "tok", *[hash_of(seed).alias(f"v{seed}") for seed in range(n_hashes)]
-    )
-    joined = toks.join(vocab, "tok")
-    agg = joined.groupBy("id").agg(
+    use_dict = dictionary if dictionary is not None else (ngram <= 1)
+    if use_dict:
+        vocab = toks.select("tok").distinct().select(
+            "tok", *[hash_of(seed).alias(f"v{seed}") for seed in range(n_hashes)]
+        )
+        hashed = toks.join(vocab, "tok")
+    else:
+        hashed = toks.select(
+            "id", *[hash_of(seed).alias(f"v{seed}") for seed in range(n_hashes)]
+        )
+    agg = hashed.groupBy("id").agg(
         *[F.min(f"v{seed}").alias(f"h{seed}") for seed in range(n_hashes)]
     )
     return agg.select("id", F.array(*[f"h{s}" for s in range(n_hashes)]).alias("sig"))
