@@ -1,0 +1,112 @@
+"""Driver-style correctness dry run: every queries() entry vs its oracle_sql().
+
+Replicates the round driver's comparison at sf0.01 (the driver's gate scale):
+run each Spark query, run the matching DuckDB oracle over the same parquet
+tables, then compare row count, sorted-column schema, and a value hash over
+rows normalized as (sorted columns, floats rounded to 6 dp, everything else
+stringified, rows sorted). Writes one JSON line per query and a summary.
+
+Usage: python scripts/oracle_dryrun.py [sf_dir] [only_query ...]
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(df):
+    cols = sorted(df.columns)
+    rows = []
+    for _, row in df[cols].iterrows():
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(round(v, 6))
+            else:
+                vals.append(str(v))
+        rows.append(str(tuple(vals)))
+    rows.sort()
+    return cols, rows
+
+
+def _hash(rows):
+    h = hashlib.md5()
+    for r in rows:
+        h.update(r.encode("utf-8", "replace"))
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from entity_extraction_service_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results = {}
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(sdf)
+            if name in oracles:
+                odf = con.execute(oracles[name]).fetchdf()
+                rec["oracle_rows"] = len(odf)
+                scols, srows = _normalize(sdf)
+                ocols, orows = _normalize(odf)
+                rec["rows_match"] = len(sdf) == len(odf)
+                rec["schema_match"] = scols == ocols
+                rec["hash_match"] = (rec["rows_match"] and rec["schema_match"]
+                                     and _hash(srows) == _hash(orows))
+                if rec["schema_match"] is False:
+                    rec["err"] = f"schema spark={scols} oracle={ocols}"
+            else:
+                rec["err"] = "rows-only (no oracle registered)"
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+        rec["sec"] = round(time.time() - t0, 2)
+        results[name] = rec
+        status = ("HASH-GREEN" if rec["hash_match"]
+                  else ("rows-only" if rec["err"] and "rows-only" in rec["err"]
+                        else "MISMATCH/ERR"))
+        print(f"{name}: {status} spark={rec['spark_rows']} "
+              f"oracle={rec['oracle_rows']} {rec['sec']}s "
+              f"{rec['err'] or ''}", flush=True)
+
+    green = sum(1 for r in results.values() if r["hash_match"])
+    print(json.dumps({"total": len(results), "hash_green": green,
+                      "errors": [k for k, v in results.items()
+                                 if v["err"] and "rows-only" not in (v["err"] or "")]}))
+    out = os.environ.get("DRYRUN_OUT", "/tmp/oracle_dryrun.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
