@@ -543,20 +543,35 @@ def q_ngram_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit md5-derived SimHash — engine-portable, so (since r2) the
-    DuckDB oracle recomputes the fingerprints bit-for-bit."""
-    from entity_extraction_service_spark.operators.dedup_corpus import simhash_fingerprints
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash subsystem in ONE driver row (the correctness harness caps
+    recorded rows at ~50, so the r2 ``simhash_fingerprints`` and
+    ``simhash_near_dups`` entries are unioned — zero checking lost):
 
-    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    - per-doc rows (id_b = '', hamming = -1): every document's 60-bit
+      md5-derived fingerprint, bit-for-bit vs the DuckDB re-derivation;
+    - pair rows (simhash = -1): near-dups via Hamming-LSH piece
+      partitioning (pigeonhole equi-join on 15-bit pieces, exact
+      Hamming verify)."""
+    from entity_extraction_service_spark.operators.dedup_corpus import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
 
-
-def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups via Hamming-LSH piece partitioning (pigeonhole
-    equi-join on 15-bit pieces, exact Hamming verify)."""
-    from entity_extraction_service_spark.operators.dedup_corpus import simhash_near_duplicates
-
-    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_duplicates(docs, max_hamming=3).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("int"),
+        F.lit(-1).cast("long").alias("simhash"),
+    )
+    fps = simhash_fingerprints(docs).select(
+        F.col("id").cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.lit(-1).cast("int").alias("hamming"),
+        F.col("simhash").cast("long"),
+    )
+    return pairs.unionByName(fps)
 
 
 def q_embedding_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,8 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": q_kg_entities,
         "minhash_lsh_near_dups": q_minhash_lsh_near_dups,
         "ngram_lsh_near_dups": q_ngram_lsh_near_dups,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_near_dups": q_simhash_near_dups,
+        "simhash": q_simhash,
         "embedding_dot_pairs": q_embedding_dot_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1528,8 +1542,7 @@ WITH toks AS (
 ), fp AS (
     SELECT id, CAST({recon} AS BIGINT) AS simhash FROM v
 )"""
-    simhash_fingerprints = fp_base + "\nSELECT id, simhash FROM fp\n"
-    simhash_near_dups = fp_base + """
+    simhash = fp_base + """
 , pieces AS (
     SELECT id, p AS piece_idx, (simhash >> (p * 15)) & 32767 AS piece_val
     FROM fp, unnest([0, 1, 2, 3]) AS t(p)
@@ -1538,11 +1551,15 @@ WITH toks AS (
     FROM pieces a JOIN pieces b
       ON a.piece_idx = b.piece_idx AND a.piece_val = b.piece_val AND a.id < b.id
 )
-SELECT id_a, id_b, CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+SELECT id_a, id_b, CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming,
+       CAST(-1 AS BIGINT) AS simhash
 FROM cand
 JOIN fp fa ON fa.id = id_a
 JOIN fp fb ON fb.id = id_b
 WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+UNION ALL
+SELECT id AS id_a, CAST(-1 AS BIGINT) AS id_b, CAST(-1 AS INT) AS hamming, simhash
+FROM fp
 """
     embedding_dot_pairs = """
 WITH q AS (
@@ -1631,8 +1648,7 @@ SELECT conv_id, strategy, method,
 FROM b
 """
     return {
-        "simhash_fingerprints": simhash_fingerprints,
-        "simhash_near_dups": simhash_near_dups,
+        "simhash": simhash,
         "embedding_dot_pairs": embedding_dot_pairs,
         "citation_components": citation_components,
         "v1_strategy_confidence": v1_strategy_confidence,

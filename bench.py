@@ -115,8 +115,21 @@ def main() -> None:
     _materialize(result.edges.select("subj_id", "pred", "obj_id", "confidence", "conv_id"))
     timings["kg_edges"] = round(time.perf_counter() - t0, 3)
 
+    # simhash_fingerprints was merged into the single `simhash` driver row
+    # (registry cap), but the BENCH entry keeps timing the fingerprint
+    # operator alone so cross-round walls stay apples-to-apples.
+    from entity_extraction_service_spark.operators.dedup_corpus import (
+        simhash_fingerprints as _simhash_fp,
+    )
+
+    local_queries = {
+        "simhash_fingerprints": lambda s, d: _simhash_fp(
+            s.read.parquet(os.path.join(d, "documents.parquet"))
+        ),
+    }
+
     for name in HEADLINE:
-        fn = qmap[name]
+        fn = qmap.get(name) or local_queries[name]
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -53,9 +53,10 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
-    from entity_extraction_service_spark.session import get_spark
+    from entity_extraction_service_spark.session import build_session
 
-    spark = get_spark()
+    spark = build_session(app_name="oracle-dryrun", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
