@@ -1357,7 +1357,7 @@ WITH docs AS (
         SELECT conv_id, turn_idx,
                unnest(regexp_extract_all(text, '{np_rx}', 1)) AS np_text
         FROM turns
-    ) WHERE string_split(np_text, ' ')[-1] NOT IN ({np_stop})
+    ) WHERE string_split_regex(np_text, '\\s+')[-1] NOT IN ({np_stop})
 )
 SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, text,
        arg_max(generator, confidence) AS generator,

@@ -69,7 +69,10 @@ def candidate_mentions(
             F.lit(conf).alias("confidence"),
         ).where(F.length("text") > 1)
         if gen == "noun_phrase":
-            head = F.element_at(F.split("text", " "), -1)
+            # \s+ so the head split agrees with the Python twin's
+            # str.split() when the NP interior whitespace is a tab or a
+            # run of spaces (NP_REGEX matches \s+ between tokens)
+            head = F.element_at(F.split("text", r"\s+"), -1)
             s = s.where(~head.isin(NP_HEAD_STOPLIST))
         streams.append(s)
     out = streams[0]

@@ -340,8 +340,6 @@ def merge_into(
     cur = None if cur_version is None else os.path.join(table_dir, cur_version)
     merged = new_df if cur is None else merge_fn(spark.read.parquet(cur), new_df)
     version = f"v{(int(cur_version[1:]) + 1) if cur_version else 1:013d}"
-    if version == cur_version:
-        raise RuntimeError(f"snapshot version collision for {name}: {version}")
     out = os.path.join(table_dir, version)
     merged.write.mode("overwrite").parquet(out)
     tmp = os.path.join(table_dir, "_LATEST.tmp")

@@ -78,7 +78,11 @@ TITLE_RE = re.compile(r"\b(?:[Mm]r|[Mm]s|[Mm]rs|[Dd]r|[Mm]x)\.?\s+([A-Z][a-z-]+)
 # suppresses this class (checked in the scan, not a lookbehind: a
 # fixed-width lookbehind misses "THE  engineer" and falsely suppresses
 # after words merely ending in "the").
-ROLE_RE = re.compile(r"\b(engineer|oncall|reviewer|manager|author|admin)\b")
+# IGNORECASE so a sentence-initial "Oncall paged..." classifies like the
+# mid-sentence form (the reference lowercases occurrences before checks)
+ROLE_RE = re.compile(
+    r"\b(engineer|oncall|reviewer|manager|author|admin)\b", re.IGNORECASE
+)
 _ARTICLE_BEFORE_RE = re.compile(r"\b[Tt][Hh][Ee]\s+$")
 
 REF_SCHEMA = T.StructType(

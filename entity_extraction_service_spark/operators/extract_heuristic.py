@@ -54,8 +54,13 @@ QUOTED_RE = re.compile(r'"([^"\n]{2,60})"')
 # context-driven generator (entity_candidates.py:~540-599 analog): a
 # naming cue introduces a candidate; single token, CONCEPT by default.
 # (?<!-) keeps hyphenated idioms ("so-called", "so-named") from firing.
+# The capture must END on a word char so sentence-final punctuation is
+# never baked into the surface ("dubbed franken-proxy." -> "franken-proxy",
+# not "franken-proxy." — a trailing dot would split the same entity into
+# two canonical ids depending on sentence position); interior dots and
+# dashes (hostnames, versioned names) still match.
 CONTEXT_CUE_RE = re.compile(
-    r"(?<!-)\b(?:called|named|aka|known as|dubbed)\s+([A-Za-z][\w.-]{1,40})"
+    r"(?<!-)\b(?:called|named|aka|known as|dubbed)\s+([A-Za-z][\w.-]{0,38}\w)"
 )
 
 CONTEXT_CONFIDENCE = 0.55  # below the quoted/capitalized rules

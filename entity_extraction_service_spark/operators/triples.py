@@ -481,8 +481,13 @@ def edge_intervals(validated: DataFrame, turn_ts: DataFrame) -> DataFrame:
     incremental-MERGE freshness checks.
 
     Inputs:
-    - ``validated``: the pre-dedup validated triple stream (T6 output) —
-      one row per observation, carrying (conv_id, turn_idx) provenance.
+    - ``validated``: the pre-dedup validated triple stream (T6 output),
+      carrying (conv_id, turn_idx) provenance. Rows may be raw (one per
+      observation) OR partition-local T7/T8 partials (the fused-scan path
+      collapses repeated same-turn observations into one row with a
+      ``support`` count) — observation counting below sums
+      coalesce(support, 1), so both stream shapes give identical
+      n_observations.
     - ``turn_ts``: a (conv_id, turn_idx, ts) projection of the
       transcripts table (column-pruned scan; at production scale the
       Iceberg layout bucket(conv_id)/days(ts) makes it cheap).
@@ -498,8 +503,13 @@ def edge_intervals(validated: DataFrame, turn_ts: DataFrame) -> DataFrame:
        combine map-side; skew on a hot edge key is bounded because
        step 1 already collapsed per-turn duplicates.
     """
+    sup = (
+        F.coalesce(F.col("support"), F.lit(1))
+        if "support" in validated.columns
+        else F.lit(1)
+    )
     obs = validated.groupBy("subj_id", "pred", "obj_id", "conv_id", "turn_idx").agg(
-        F.count("*").alias("n_obs")
+        F.sum(sup).cast("long").alias("n_obs")
     )
     j = obs.join(turn_ts.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
     return j.groupBy("subj_id", "pred", "obj_id").agg(

@@ -47,9 +47,13 @@ class PipelineResult:
     entities: DataFrame
     surface_to_canonical: DataFrame
     edges: DataFrame
-    # T6 output (pre-dedup, one row per observation with conv_id/turn_idx
-    # provenance) — the input to temporal edge_intervals; lazy, costs
-    # nothing unless acted on
+    # T6 output with conv_id/turn_idx provenance — the input to temporal
+    # edge_intervals; lazy, costs nothing unless acted on. Shape differs
+    # by path: the operator path emits one row per observation, the fused
+    # path (use_coref=False flagship) emits partition-local T7/T8 partials
+    # where repeated same-turn observations collapse into one row with a
+    # `support` count — edge_intervals sums coalesce(support, 1) so both
+    # shapes count observations identically
     validated: DataFrame | None = None
 
 
@@ -246,7 +250,11 @@ def run_pipeline(
     )
 
 
-def pipeline_tables(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> dict[str, DataFrame]:
+def pipeline_tables(
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    **run_pipeline_kwargs,
+) -> dict[str, DataFrame]:
     """Checkpoint-friendly wrapper: subset of transcripts -> output tables.
 
     The durable contract mirrors graph_storage.py: entities carry the
@@ -254,11 +262,14 @@ def pipeline_tables(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CON
     :223-243) and a chunks table carries ``content_embedding``
     (graph.chunks.content_embedding, :124-142) plus the token_count
     heuristic (len//4, :157) — both from the featurizer seam
-    (functions/embeddings.py)."""
+    (functions/embeddings.py). Extra keyword args (use_coref,
+    use_model_triples, ...) pass through to run_pipeline — this is the
+    ONE definition of the durable table assembly; scripts/run_job.py
+    calls it rather than re-deriving the chunks contract."""
     from ..functions.embeddings import with_content_embeddings, with_entity_embeddings
     from ..operators.assemble import chunk_turns
 
-    r = run_pipeline(transcripts, config)
+    r = run_pipeline(transcripts, config, **run_pipeline_kwargs)
     chunks = chunk_turns(transcripts, config).select(
         "conv_id",
         "chunk_idx",

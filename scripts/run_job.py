@@ -43,44 +43,22 @@ def main() -> None:
         run_with_checkpoint,
         stage_metrics,
     )
-    from entity_extraction_service_spark.plans.pipeline import run_pipeline
     from entity_extraction_service_spark.sources.transcripts import read_transcripts
 
     spark = SparkSession.builder.appName("kg-construct").getOrCreate()
     transcripts = read_transcripts(spark, args.input)
 
+    from entity_extraction_service_spark.plans.pipeline import pipeline_tables
+
     def stage_fn(subset):
-        r = run_pipeline(
+        # the durable graph.chunks/entities/edges contract lives in ONE
+        # place (plans/pipeline.py pipeline_tables); only the CLI toggles
+        # pass through
+        return pipeline_tables(
             subset,
             use_coref=not args.no_coref,
             use_model_triples=args.model_triples,
         )
-        from pyspark.sql import functions as F
-
-        from entity_extraction_service_spark.functions.embeddings import (
-            with_content_embeddings,
-            with_entity_embeddings,
-        )
-        from entity_extraction_service_spark.operators.assemble import chunk_turns
-
-        # S4 chunks table (graph.chunks analog: content + token_count +
-        # content_embedding) alongside the entity/edge tables; entities
-        # carry the embedding column (graph.entities.embedding analog)
-        chunks = chunk_turns(subset).select(
-            "conv_id", "chunk_idx",
-            F.concat_ws("\n", F.col("turns.text")).alias("content"),
-        )
-        chunks = with_content_embeddings(chunks, text_col="content").withColumn(
-            "token_count", F.floor(F.length("content") / 4).cast("int")
-        )
-        return {
-            "mentions": r.mentions,
-            "entities": with_entity_embeddings(
-                r.entities.withColumn("conv_id", F.explode("document_ids"))
-            ),
-            "edges": r.edges,
-            "chunks": chunks,
-        }
 
     paths = run_with_checkpoint(spark, transcripts, args.output, stage_fn, args.buckets)
 

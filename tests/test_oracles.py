@@ -71,3 +71,31 @@ def test_rows_only_queries_run(spark, name):
     q = entry_mod.queries()[name]
     df = q(spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_rollup_revenue_parity(spark):
+    """Grouping-sets/ROLLUP + decimal-accumulation parity. This WAS the
+    rollup_revenue driver entry; it lost its registry slot to the KG-path
+    rows when the recorded-row cap bound (the driver records ~50 rows),
+    so the check lives on here with the identical query and oracle."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    spark_df = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(price).cast("double").alias("revenue"), F.count("*").alias("n"))
+        .toPandas()
+    )
+    duck_df = _duck(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """
+    )
+    s_cols, s_rows = _normalize(spark_df)
+    d_cols, d_rows = _normalize(duck_df)
+    assert s_cols == d_cols
+    assert s_rows == d_rows
