@@ -135,6 +135,7 @@ class PipelineConfig:
         "granted_to", "billed_to", "posts_in", "reports",
         "resolves_to", "resolved_by", "logs_at", "costs", "known_as",
         "checkpointed_at", "contains",
+        "cites", "filed", "governed_by", "licensed_under", "heard_in",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -198,6 +199,13 @@ class PipelineConfig:
         ("SERVICE", "MONEY", "costs"),
         ("PERSON", "USER_HANDLE", "known_as"),
         ("RUN_ID", "CHECKPOINT_STEP", "checkpointed_at"),
+        # tier-4 legal/citation pairs (patterns/legal.yaml — the
+        # reference's home domain: CitationType, entities.py:219-366)
+        ("ORG", "CASE_CITATION", "cites"),
+        ("PERSON", "DOCKET_NUMBER", "filed"),
+        ("ORG", "STATUTE_CITATION", "governed_by"),
+        ("SERVICE", "LICENSE_ID", "licensed_under"),
+        ("DOCKET_NUMBER", "COURT", "heard_in"),
         ("DATASET_NAME", "ROW_COUNT", "contains"),
     )
 
@@ -215,6 +223,8 @@ class PipelineConfig:
         "PHONE", "SSN", "CREDIT_CARD", "SEVERITY",
         "API_KEY", "JWT_TOKEN", "IAM_ROLE", "SECURITY_GROUP", "OAUTH_SCOPE",
         "INVOICE_ID", "PO_NUMBER", "EIN", "IBAN", "COST_CENTER",
+        "CASE_CITATION", "STATUTE_CITATION", "DOCKET_NUMBER", "COURT",
+        "LICENSE_ID",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

@@ -43,6 +43,11 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
     "artifacts": (
         "VERSION", "SHA", "PATH", "URL", "OBJECT_URI", "GIT_BRANCH",
         "PR_NUMBER", "TICKET", "ENV_VAR", "FEATURE_FLAG", "OAUTH_SCOPE",
+        # tier-4 legal/citation types (the reference runs these in its
+        # CITATIONS/STATUTES/COURTS passes; document-artifact citations
+        # sit with the other identifier artifacts here)
+        "CASE_CITATION", "STATUTE_CITATION", "DOCKET_NUMBER", "COURT",
+        "LICENSE_ID",
     ),
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",

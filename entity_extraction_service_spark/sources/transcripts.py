@@ -265,7 +265,34 @@ BREADTH_FACTS = [
      ["12,345", "1,048,576", "987,654"], "contains"),
 ]
 
-TIER3_FACTS = SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
+# tier-4 legal/citation facts (patterns/legal.yaml — the reference's home
+# domain): same (template, subj_type, subj_surfaces | None, obj_type,
+# obj_surfaces, predicate) shape. Court names are Bluebook abbreviations
+# and dockets are the colon-free form so no other pack's pattern can fire
+# inside the object span (see the pack's metadata note).
+LEGAL_FACTS = [
+    ("{s} cited {o} in the brief.", "ORG",
+     ["Acme Corporation", "Initech Labs", "Globex Systems"], "CASE_CITATION",
+     ["Smith v. Jones, 410 U.S. 113 (1973)",
+      "Doe v. Roe, 42 F.3d 1021 (1994)",
+      "Marbury v. Madison, 5 U.S. 137 (1803)"], "cites"),
+    ("{s} filed {o} on friday.", "PERSON", None, "DOCKET_NUMBER",
+     ["26-cv-01234", "24-md-03321", "25-cr-00987"], "filed"),
+    ("{s} must comply with {o} today.", "ORG",
+     ["Acme Corporation", "Stark Technologies"], "STATUTE_CITATION",
+     ["17 U.S.C. § 107", "42 U.S.C. § 1983", "15 U.S.C. § 78j(b)"],
+     "governed_by"),
+    ("{s} is licensed under {o} now.", "SERVICE", None, "LICENSE_ID",
+     ["Apache-2.0", "Artistic-2.0", "Ms-PL", "Zend-2.0"], "licensed_under"),
+    ("{s} was heard in {o} yesterday.", "DOCKET_NUMBER",
+     ["26-cv-01234", "24-md-03321"], "COURT",
+     ["N.D. Cal.", "S.D.N.Y.", "9th Cir."], "heard_in"),
+]
+
+TIER3_FACTS = (
+    SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
+    + LEGAL_FACTS
+)
 
 # mention-only counter turns (no triple — counters have no pair in the
 # type-pair predicate table): (template, type, surfaces)

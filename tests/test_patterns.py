@@ -144,6 +144,26 @@ NEW_TYPE_FIXTURES = {
     "payout IBAN DE89370400440532013000 is on file": {
         ("IBAN", "DE89370400440532013000"),
     },
+    # legal pack (patterns/legal.yaml): Bluebook court abbreviations keep
+    # the two-token PERSON rule out; colon-free dockets keep TIME_HHMM
+    # out; mixed-case SPDX ids keep TICKET out
+    "the court relied on Smith v. Jones, 410 U.S. 113 (1973) throughout": {
+        ("CASE_CITATION", "Smith v. Jones, 410 U.S. 113 (1973)"),
+    },
+    "opposing counsel filed 26-cv-01234 on friday": {
+        ("DOCKET_NUMBER", "26-cv-01234"),
+    },
+    "fair use under 17 U.S.C. § 107 was raised": {
+        ("STATUTE_CITATION", "17 U.S.C. § 107"),
+    },
+    "the case moved from N.D. Cal. to the 9th Cir. on appeal": {
+        ("COURT", "N.D. Cal."),
+        ("COURT", "9th Cir."),
+    },
+    "legal cleared Ms-PL for the plugin and kept the sdk on Apache-2.0": {
+        ("LICENSE_ID", "Ms-PL"),
+        ("LICENSE_ID", "Apache-2.0"),
+    },
 }
 
 
@@ -175,6 +195,18 @@ def test_components_parse():
         "local": "a.b+c", "domain": "ex.io",
     }
     assert parse_components_py("PERSON", "Dana Rivera") == {}
+    # the reference's citation component parsing analog
+    # (src/models/entities.py:533-569): a reported case splits into the
+    # full component set
+    assert parse_components_py(
+        "CASE_CITATION", "Smith v. Jones, 410 U.S. 113 (1973)"
+    ) == {
+        "plaintiff": "Smith", "defendant": "Jones", "volume": "410",
+        "reporter": "U.S.", "page": "113", "year": "1973",
+    }
+    assert parse_components_py("STATUTE_CITATION", "42 U.S.C. § 1983") == {
+        "title": "42", "section": "1983",
+    }
 
 
 def test_e3_type_mapping_canonicalizes_model_types(spark):
