@@ -96,6 +96,12 @@ class PipelineConfig:
     # — same gating as the reference, whose dep extractor only runs when a
     # parser model is loaded (relationship_extractor.py:448-449).
     use_dep_triples: bool = False
+    # short-form citation resolution ("Id. at 495" / "Smith, supra, at
+    # 123" -> the nearest preceding full citation; operators/citations.py
+    # resolve_short_cites, the reference's short_forms patterns at
+    # patterns/client/case_citations.yaml:211-237). Off by default — the
+    # legal tier is opt-in like the other domain packs' extras.
+    use_short_cites: bool = False
     # caps on the per-entity list columns (variants, document_ids): a hot
     # entity present in 30% of 10^12 turns' conversations would otherwise
     # buffer an unbounded set on one reducer (operators/linking.py

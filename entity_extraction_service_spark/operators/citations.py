@@ -13,10 +13,27 @@ Spark-first: component extraction is pure Catalyst — one
 ``map_filter``; no Python in the loop. The pattern corpus's component
 regexes are Java-compatible by construction (no lookbehind in component
 grammars; validated by tests).
+
+Three further layers of the reference's citation subsystem, over the
+tier-4 legal pack's parsed components:
+
+- sub-classification (CitationType tiers, regex_engine.py:1400-1566) —
+  a data-table-driven CASE WHEN chain (reporter -> court level), pure
+  Catalyst, with a 1:1 DuckDB SQL twin for parity testing;
+- validation scoring (regex_engine.py:578-621) — year/volume/page range
+  checks as confidence multipliers, pure Catalyst;
+- short-form resolution ("Id. at 495", "Smith, supra, at 123" —
+  patterns/client/case_citations.yaml:211-237) — reuses the linear
+  last(ignorenulls) coref kernel to bind each short form to the nearest
+  preceding full citation, emitting virtual mentions.
 """
 
 from __future__ import annotations
 
+import re
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,4 +71,181 @@ def component_rows(
         "entity_type",
         "text",
         F.explode("components").alias("comp_key", "comp_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Citation sub-classification (reference CitationType tiers)
+# ---------------------------------------------------------------------------
+# The reference classifies citations into ~120 CitationType values with a
+# keyword/reporter ladder (regex_engine.py:1400-1566; enum
+# entities.py:219-366): U.S. reporter -> Supreme Court, F./F.2d/F.3d ->
+# federal appellate, circuit courts vs district courts, U.S.C. -> USC tier.
+# Here that ladder is DATA — (entity_type, component, value regex, subtype)
+# rows, first match wins — applied as one pure-Catalyst CASE WHEN chain, so
+# the same table transcribes 1:1 into a DuckDB SQL twin for parity tests.
+# A `None` component marks the entity-type-level fallback.
+CITATION_SUBTYPE_RULES: tuple[tuple[str, str | None, str | None, str], ...] = (
+    ("CASE_CITATION", "reporter", r"^U\.S\.$", "SUPREME_COURT_CITATION"),
+    ("CASE_CITATION", "reporter", r"^F\.(2d|3d|4th)?$", "APPELLATE_COURT_CITATION"),
+    ("CASE_CITATION", "reporter", r"^B\.R\.$", "BANKRUPTCY_COURT_CITATION"),
+    ("CASE_CITATION", None, None, "STATE_CASE_CITATION"),
+    ("STATUTE_CITATION", None, None, "USC_CITATION"),
+    ("COURT", "abbrev", r"Cir$", "APPELLATE_COURT_CITATION"),
+    ("COURT", None, None, "DISTRICT_COURT_CITATION"),
+)
+
+# Validation rules (reference regex_engine.py:578-621): out-of-range year
+# halves the score (x0.5), a volume outside the reporter's published range
+# multiplies by 0.7, an impossible page by 0.8. Reporter volume ceilings
+# follow the reference's per-reporter validation_rules idea.
+YEAR_RANGE = (1754, 2030)
+PAGE_RANGE = (1, 9999)
+VOLUME_RANGES: tuple[tuple[str, int, int], ...] = (
+    ("U.S.", 1, 606),
+    ("F.", 1, 300),
+    ("F.2d", 1, 999),
+    ("F.3d", 1, 999),
+    ("F.4th", 1, 200),
+)
+YEAR_PENALTY, VOLUME_PENALTY, PAGE_PENALTY = 0.5, 0.7, 0.8
+
+
+def classify_citations(withc: DataFrame) -> DataFrame:
+    """Add ``citation_subtype`` from the rule table (null for types with
+    no rules). Input needs ``entity_type`` + ``components`` (from
+    :func:`with_components`); the chain is pure Catalyst."""
+    expr = F.lit(None).cast("string")
+    # build the WHEN chain in reverse so the FIRST table row wins
+    for etype, comp, rx, subtype in reversed(CITATION_SUBTYPE_RULES):
+        cond = F.col("entity_type") == etype
+        if comp is not None:
+            cond = cond & F.coalesce(F.col("components")[comp], F.lit("")).rlike(rx)
+        expr = F.when(cond, F.lit(subtype)).otherwise(expr)
+    return withc.withColumn("citation_subtype", expr)
+
+
+def validate_citations(withc: DataFrame) -> DataFrame:
+    """Add ``validated_confidence`` = confidence x the reference's penalty
+    ladder. A missing component never penalizes (the reference only
+    validates captured groups, regex_engine.py:582-597)."""
+    year = F.col("components")["year"].cast("int")
+    vol = F.col("components")["volume"].cast("int")
+    page = F.col("components")["page"].cast("int")
+    rep = F.col("components")["reporter"]
+
+    score = F.col("confidence")
+    score = F.when(
+        year.isNotNull() & ~year.between(*YEAR_RANGE), score * YEAR_PENALTY
+    ).otherwise(score)
+    vol_bad = F.lit(False)
+    for reporter, lo, hi in VOLUME_RANGES:
+        vol_bad = vol_bad | ((rep == reporter) & ~vol.between(lo, hi))
+    score = F.when(vol.isNotNull() & vol_bad, score * VOLUME_PENALTY).otherwise(score)
+    score = F.when(
+        page.isNotNull() & ~page.between(*PAGE_RANGE), score * PAGE_PENALTY
+    ).otherwise(score)
+    return withc.withColumn("validated_confidence", score)
+
+
+# ---------------------------------------------------------------------------
+# Short-form citation resolution (Id. / supra / case short cites)
+# ---------------------------------------------------------------------------
+# The reference's short_forms patterns (patterns/client/case_citations.yaml
+# :211-237 — "Id. at 495", "Smith, supra, at 123", "Brown, 347 U.S. at 495")
+# classify as ID_CITATION / SUPRA_CITATION / SHORT_FORM_CITATION
+# (regex_engine.py:1531-1534). A short form is a *reference* to the nearest
+# preceding full citation — exactly the coref shape — so resolution reuses
+# the linear last(ignorenulls) kernel from operators/coref.py: one window
+# over the union of (short-form rows, full-citation mentions), never a join
+# against the full mention set.
+ID_CITE_RE = re.compile(r"\b(?:See\s+)?Id\.(?:\s+at\s+\d+(?:-\d+)?)?")
+SUPRA_RE = re.compile(r"\b([A-Z][A-Za-z]+), supra(?:, at \d+(?:-\d+)?)?")
+SHORT_CASE_RE = re.compile(
+    r"\b([A-Z][A-Za-z]+), \d{1,4} [A-Z][A-Za-z0-9.]{0,10} at \d{1,5}(?:-\d+)?"
+)
+
+_FULL_CITATION_TYPES = ("CASE_CITATION", "STATUTE_CITATION")
+_VIRTUAL_METHODS = ("coref", "citation_ref")
+
+
+def classify_short_cites(transcripts: DataFrame) -> DataFrame:
+    """All short-form citation occurrences per turn (REF_SCHEMA rows).
+
+    ID_CITATION rows key to nothing (nearest full citation of any kind);
+    SUPRA / SHORT_FORM rows key to the cited party's lowercased name.
+    Capital-letter + period gating keeps every pattern inert on lowercase
+    prose (same discipline as the legal pattern pack)."""
+    from .coref import REF_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                t = text or ""
+                taken: list[tuple[int, int]] = []
+                # longest-shape-first so "Smith, supra, at 123" never also
+                # emits an overlapping bare-supra row
+                for ref_type, rx in (
+                    ("SHORT_FORM_CITATION", SHORT_CASE_RE),
+                    ("SUPRA_CITATION", SUPRA_RE),
+                    ("ID_CITATION", ID_CITE_RE),
+                ):
+                    for m in rx.finditer(t):
+                        span = (m.start(0), m.end(0))
+                        if any(s < span[1] and span[0] < e for s, e in taken):
+                            continue
+                        taken.append(span)
+                        token = (
+                            m.group(1).lower() if rx.groups else ""
+                        )
+                        rows.append(
+                            (conv_id, int(turn_idx), ref_type, m.group(0),
+                             token, span[0], span[1])
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in REF_SCHEMA.fields])
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=REF_SCHEMA
+    )
+
+
+def resolve_short_cites(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Virtual mention rows (method='citation_ref') for every resolvable
+    short-form citation, carrying the full citation's identity at the
+    short form's position — so "Id. at 120" counts as another occurrence
+    of "Smith v. Jones, 410 U.S. 113 (1973)" in linking and triples, the
+    way the reference folds short forms into the cited case's entity."""
+    from .coref import _resolve_keyed, _virtual_mentions
+
+    refs = classify_short_cites(transcripts)
+    full = mentions.where(
+        F.col("entity_type").isin(*_FULL_CITATION_TYPES)
+        & ~F.col("method").isin(*_VIRTUAL_METHODS)
+    )
+
+    # Id. -> nearest preceding full citation of ANY kind in the conversation
+    id_refs = refs.where(F.col("ref_type") == "ID_CITATION")
+    out = _virtual_mentions(
+        _resolve_keyed(id_refs, full, ["conv_id"]),
+        config, method="citation_ref", confidence=0.9,
+    )
+
+    # supra / short case cite -> nearest preceding CASE_CITATION whose
+    # first party (plaintiff) matches the short form's case name
+    keyed_refs = refs.where(
+        F.col("ref_type").isin("SUPRA_CITATION", "SHORT_FORM_CITATION")
+    )
+    cases = full.where(F.col("entity_type") == "CASE_CITATION").withColumn(
+        "token", F.lower(F.regexp_extract("text", r"^([A-Za-z]+)", 1))
+    )
+    keyed = _resolve_keyed(keyed_refs, cases, ["conv_id", "token"])
+    return out.unionByName(
+        _virtual_mentions(keyed, config, method="citation_ref", confidence=0.9)
     )

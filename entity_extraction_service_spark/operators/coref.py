@@ -203,10 +203,17 @@ def _resolve_keyed(
     )
 
 
-def _virtual_mentions(resolved: DataFrame, config: PipelineConfig) -> DataFrame:
+def _virtual_mentions(
+    resolved: DataFrame,
+    config: PipelineConfig,
+    method: str = "coref",
+    confidence: float = 0.7,
+) -> DataFrame:
     """Project resolved references into MENTION_SCHEMA(+surface_id) rows
     carrying the antecedent's identity (including its type) at the
-    reference's position."""
+    reference's position. Shared by coref and the short-form citation
+    resolver (operators/citations.py), which tags its rows with its own
+    method so downstream filters can tell the streams apart."""
     return resolved.select(
         F.col("conv_id"),
         F.col("turn_idx"),
@@ -218,8 +225,8 @@ def _virtual_mentions(resolved: DataFrame, config: PipelineConfig) -> DataFrame:
         F.col("ref_start").alias("start"),
         F.col("ref_end").alias("end"),
         F.col("_res.global_start").alias("global_start"),
-        F.lit(0.7).alias("confidence"),
-        F.lit("coref").alias("method"),
+        F.lit(confidence).alias("confidence"),
+        F.lit(method).alias("method"),
         F.col("_res.surface_id").alias("surface_id"),
     )
 

@@ -167,8 +167,9 @@ def run_pipeline(
     apply_overall_filter: bool = True,
 ) -> PipelineResult:
     # triples are generated turn-locally inside the fused scan unless
-    # coref is on (virtual mentions must join in -> operator path)
-    local_triples_ok = use_model and not use_coref
+    # coref or short-cite resolution is on (virtual mentions must join
+    # in -> operator path)
+    local_triples_ok = use_model and not use_coref and not config.use_short_cites
     mentions, spans, local_triples = _extract_fused(
         transcripts, config, use_model, client_factory,
         gen_triples=local_triples_ok,
@@ -210,6 +211,14 @@ def run_pipeline(
     if use_coref:
         virtual = resolve_pronouns(transcripts, mentions)
         triple_mentions = mentions.unionByName(virtual)
+    if config.use_short_cites:
+        # short-form citations resolve to the cited full citation and join
+        # triple extraction as virtual mentions, same as coref references
+        from ..operators.citations import resolve_short_cites
+
+        triple_mentions = triple_mentions.unionByName(
+            resolve_short_cites(transcripts, mentions, config)
+        )
 
     if local_triples is not None:
         raw_triples = local_triples

@@ -1,0 +1,265 @@
+"""Citation subsystem depth (reference CitationType tiers + validation +
+short forms): sub-classification (regex_engine.py:1400-1566), validation
+scoring (:578-621), and short-form resolution (Id./supra/case short cites,
+patterns/client/case_citations.yaml:211-237) over the tier-4 legal pack.
+
+The classify/validate DuckDB parity SQL is GENERATED from the same rule
+tables the Spark operator compiles (CITATION_SUBTYPE_RULES / VOLUME_RANGES
+/ penalty constants), so the two engines cannot drift apart silently.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.config import DEFAULT_CONFIG, PipelineConfig
+from entity_extraction_service_spark.operators.citations import (
+    CITATION_SUBTYPE_RULES,
+    PAGE_PENALTY,
+    PAGE_RANGE,
+    VOLUME_PENALTY,
+    VOLUME_RANGES,
+    YEAR_PENALTY,
+    YEAR_RANGE,
+    classify_citations,
+    classify_short_cites,
+    resolve_short_cites,
+    validate_citations,
+    with_components,
+)
+from entity_extraction_service_spark.plans.pipeline import run_pipeline
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        [(c, t, "user", x) for c, t, x in rows],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+
+
+LEGAL_TURNS = [
+    ("c1", 0, "Acme Corporation cited Smith v. Jones, 410 U.S. 113 (1973) in the brief."),
+    ("c1", 1, "Id. at 120 controls here."),
+    ("c1", 2, "Smith, supra, at 14 was distinguished."),
+    ("c1", 3, "Acme Corporation must comply with 17 U.S.C. § 107 today."),
+    ("c1", 4, "Id. bars the counterclaim."),
+    # short case cite with NO matching antecedent -> must stay unresolved
+    ("c1", 5, "Brown, 347 U.S. at 495 is the other anchor."),
+    # appellate reporter + a state reporter fallback
+    ("c2", 0, "the panel relied on Doe v. Roe, 42 F.3d 1021 (1994) heavily."),
+    ("c2", 1, "compare Lee v. Park, 12 Cal.4th 55 (1996) on damages."),
+    ("c2", 2, "the case was heard in N.D. Cal. last term."),
+    ("c2", 3, "on appeal the 9th Cir. reversed."),
+]
+
+
+@pytest.fixture(scope="module")
+def legal_mentions(spark):
+    from entity_extraction_service_spark.plans.pipeline import _extract_fused
+
+    turns = _turns(spark, LEGAL_TURNS)
+    mentions, _, _ = _extract_fused(
+        turns, DEFAULT_CONFIG, True, None, gen_triples=False, emit_verbs=False
+    )
+    return turns, mentions.persist()
+
+
+# ---------------------------------------------------------------------------
+# sub-classification
+# ---------------------------------------------------------------------------
+
+
+def test_citation_subtypes(spark, legal_mentions):
+    _, mentions = legal_mentions
+    cited = classify_citations(with_components(mentions))
+    got = {
+        (r["text"], r["citation_subtype"])
+        for r in cited.where(F.col("citation_subtype").isNotNull()).collect()
+    }
+    assert got == {
+        ("Smith v. Jones, 410 U.S. 113 (1973)", "SUPREME_COURT_CITATION"),
+        ("Doe v. Roe, 42 F.3d 1021 (1994)", "APPELLATE_COURT_CITATION"),
+        ("Lee v. Park, 12 Cal.4th 55 (1996)", "STATE_CASE_CITATION"),
+        ("17 U.S.C. § 107", "USC_CITATION"),
+        ("N.D. Cal.", "DISTRICT_COURT_CITATION"),
+        ("9th Cir.", "APPELLATE_COURT_CITATION"),
+    }
+
+
+def test_non_citation_types_get_null_subtype(spark, legal_mentions):
+    _, mentions = legal_mentions
+    cited = classify_citations(with_components(mentions))
+    others = cited.where(
+        ~F.col("entity_type").isin("CASE_CITATION", "STATUTE_CITATION", "COURT")
+    )
+    assert others.where(F.col("citation_subtype").isNotNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# validation scoring
+# ---------------------------------------------------------------------------
+
+# (text-ish surface pieces, expected multiplier): exercised through real
+# pattern extraction so component parsing stays in the loop
+VALIDATION_TURNS = [
+    ("v1", 0, "see Smith v. Jones, 410 U.S. 113 (1973) again."),      # clean
+    ("v1", 1, "the fake Smith v. Jones, 410 U.S. 113 (1492) cite."),  # bad year
+    ("v1", 2, "the fake Smith v. Jones, 900 U.S. 113 (1973) cite."),  # bad volume
+    ("v1", 3, "both wrong in Smith v. Jones, 900 U.S. 113 (1492) here."),
+]
+
+
+def test_validation_penalties(spark):
+    from entity_extraction_service_spark.plans.pipeline import _extract_fused
+
+    turns = _turns(spark, VALIDATION_TURNS)
+    mentions, _, _ = _extract_fused(
+        turns, DEFAULT_CONFIG, True, None, gen_triples=False, emit_verbs=False
+    )
+    v = validate_citations(with_components(
+        mentions.where(F.col("entity_type") == "CASE_CITATION")
+    ))
+    got = {
+        r["turn_idx"]: round(r["validated_confidence"] / r["confidence"], 6)
+        for r in v.collect()
+    }
+    assert got == {
+        0: 1.0,
+        1: round(YEAR_PENALTY, 6),
+        2: round(VOLUME_PENALTY, 6),
+        3: round(YEAR_PENALTY * VOLUME_PENALTY, 6),
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB parity — SQL generated from the SAME rule tables
+# ---------------------------------------------------------------------------
+
+
+def _parity_sql() -> str:
+    whens = []
+    for etype, comp, rx, subtype in CITATION_SUBTYPE_RULES:
+        cond = f"entity_type = '{etype}'"
+        if comp is not None:
+            cond += f" AND regexp_matches(coalesce({comp}, ''), '{rx}')"
+        whens.append(f"WHEN {cond} THEN '{subtype}'")
+    subtype_sql = "CASE " + " ".join(whens) + " ELSE NULL END"
+
+    vol_bad = " OR ".join(
+        f"(reporter = '{rep}' AND (volume < {lo} OR volume > {hi}))"
+        for rep, lo, hi in VOLUME_RANGES
+    )
+    vconf_sql = (
+        "confidence"
+        f" * CASE WHEN year IS NOT NULL AND (year < {YEAR_RANGE[0]} OR year > {YEAR_RANGE[1]}) THEN {YEAR_PENALTY} ELSE 1 END"
+        f" * CASE WHEN volume IS NOT NULL AND ({vol_bad}) THEN {VOLUME_PENALTY} ELSE 1 END"
+        f" * CASE WHEN page IS NOT NULL AND (page < {PAGE_RANGE[0]} OR page > {PAGE_RANGE[1]}) THEN {PAGE_PENALTY} ELSE 1 END"
+    )
+    return (
+        "SELECT conv_id, turn_idx, entity_type, text, "
+        f"{subtype_sql} AS citation_subtype, "
+        f"round({vconf_sql}, 9) AS validated_confidence "
+        "FROM flat ORDER BY conv_id, turn_idx, text"
+    )
+
+
+def test_classify_validate_duckdb_parity(spark, legal_mentions, tmp_path):
+    _, mentions = legal_mentions
+    legal = mentions.where(
+        F.col("entity_type").isin("CASE_CITATION", "STATUTE_CITATION", "COURT")
+    )
+    withc = with_components(legal)
+    flat = withc.select(
+        "conv_id", "turn_idx", "entity_type", "text", "confidence",
+        F.col("components")["reporter"].alias("reporter"),
+        F.col("components")["abbrev"].alias("abbrev"),
+        F.col("components")["year"].cast("int").alias("year"),
+        F.col("components")["volume"].cast("int").alias("volume"),
+        F.col("components")["page"].cast("int").alias("page"),
+    )
+    path = str(tmp_path / "flat.parquet")
+    flat.write.mode("overwrite").parquet(path)
+
+    spark_rows = [
+        (r["conv_id"], r["turn_idx"], r["entity_type"], r["text"],
+         r["citation_subtype"], round(r["validated_confidence"], 9))
+        for r in validate_citations(classify_citations(withc))
+        .orderBy("conv_id", "turn_idx", "text")
+        .collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW flat AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    duck_rows = [
+        (c, int(t), e, x, s, round(v, 9))
+        for c, t, e, x, s, v in con.execute(_parity_sql()).fetchall()
+    ]
+    assert spark_rows == duck_rows and len(spark_rows) >= 6
+
+
+# ---------------------------------------------------------------------------
+# short-form classification + resolution
+# ---------------------------------------------------------------------------
+
+
+def test_short_cite_classification_and_inertness(spark):
+    turns = _turns(spark, LEGAL_TURNS + [
+        ("c3", 0, "plain lowercase prose with id and supra words, no citations."),
+        ("c3", 1, "See Id. at 495 for the combined signal form."),
+    ])
+    refs = {
+        (r["conv_id"], r["turn_idx"], r["ref_type"], r["surface"])
+        for r in classify_short_cites(turns).collect()
+    }
+    assert refs == {
+        ("c1", 1, "ID_CITATION", "Id. at 120"),
+        ("c1", 2, "SUPRA_CITATION", "Smith, supra, at 14"),
+        ("c1", 4, "ID_CITATION", "Id."),
+        ("c1", 5, "SHORT_FORM_CITATION", "Brown, 347 U.S. at 495"),
+        # "See Id. at 495" is ONE occurrence (overlap suppression)
+        ("c3", 1, "ID_CITATION", "See Id. at 495"),
+    }
+    # lowercase prose row emitted nothing (capital/period gating)
+    assert not any(c == "c3" and t == 0 for c, t, _, _ in refs)
+
+
+def test_short_cite_resolution(spark, legal_mentions):
+    turns, mentions = legal_mentions
+    got = {
+        (r["conv_id"], r["turn_idx"], r["start"], r["text"], r["entity_type"])
+        for r in resolve_short_cites(turns, mentions).collect()
+    }
+    # Id. at turn 1 and supra at turn 2 -> the turn-0 case; Id. at turn 4 ->
+    # the nearest full cite, the turn-3 STATUTE; Brown (turn 5) unresolved
+    assert got == {
+        ("c1", 1, 0, "Smith v. Jones, 410 U.S. 113 (1973)", "CASE_CITATION"),
+        ("c1", 2, 0, "Smith v. Jones, 410 U.S. 113 (1973)", "CASE_CITATION"),
+        ("c1", 4, 0, "17 U.S.C. § 107", "STATUTE_CITATION"),
+    }
+    methods = {r["method"] for r in resolve_short_cites(turns, mentions).collect()}
+    assert methods == {"citation_ref"}
+
+
+def test_short_cites_feed_triples_via_pipeline(spark):
+    # with use_short_cites on, "X cited Id. ..." yields the triple against
+    # the FULL citation the Id. resolves to (virtual-mention T1 path)
+    turns = _turns(spark, [
+        ("p1", 0, "Acme Corporation cited Smith v. Jones, 410 U.S. 113 (1973) in the brief."),
+        ("p1", 1, "Initech Labs cited Id. at 120 in the reply."),
+    ])
+    cfg = PipelineConfig(use_short_cites=True)
+    res = run_pipeline(turns, cfg, use_model=False, use_coref=False)
+    names = {r["entity_id"]: r["entity_text"] for r in res.entities.collect()}
+    triples = {
+        (names[r["subj_id"]], r["pred"], names[r["obj_id"]])
+        for r in res.edges.collect()
+    }
+    assert (
+        "Initech Labs", "cites", "Smith v. Jones, 410 U.S. 113 (1973)"
+    ) in triples
+    # and the virtual mention did NOT create a second canonical entity
+    # for the case (it maps to the same surface)
+    ents = res.entities.where(
+        F.col("entity_type") == "CASE_CITATION"
+    ).collect()
+    assert len(ents) == 1 and ents[0]["occurrence_count"] == 1
