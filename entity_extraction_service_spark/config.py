@@ -102,6 +102,12 @@ class PipelineConfig:
     # patterns/client/case_citations.yaml:211-237). Off by default — the
     # legal tier is opt-in like the other domain packs' extras.
     use_short_cites: bool = False
+    # context-aware confidence boosting (operators/context.py — the
+    # reference's context resolution pipeline, src/core/context/): attach
+    # ±window context snippets and boost confidence when the entity
+    # type's expected indicators appear nearby. Off by default (the
+    # reference loads its context resolver on demand too).
+    use_context_boost: bool = False
     # caps on the per-entity list columns (variants, document_ids): a hot
     # entity present in 30% of 10^12 turns' conversations would otherwise
     # buffer an unbounded set on one reducer (operators/linking.py

@@ -1,0 +1,102 @@
+"""Context windows + context-aware confidence boosting (reference
+`src/core/context/` analog, ~2.6 kLoC: context_mappings.py:82-1128,
+context_window_extractor.py:146-320; plus E1's per-match context capture,
+regex_engine.py:862-881).
+
+The reference attaches a whitespace-normalized ±window context snippet to
+every extracted entity, then boosts confidence when the snippet contains
+the entity type's expected context indicators (case-insensitive substring
+containment, get_confidence_boost at context_mappings.py:1124-1128).
+
+Spark-first shape: BOTH layers are pure Catalyst —
+
+- the snippet is one co-partitioned join of the mention stream back to its
+  turn text (conv_id, turn_idx) plus ``Column.substr`` arithmetic and one
+  ``regexp_replace``; no Python. (The zero-join alternative is capturing
+  the snippet inside the fused extraction scan where the turn text is
+  already in hand — kept out of FUSED_SCHEMA because the snippet is ~2x
+  the rest of the row and most pipelines never read it; the join runs
+  only when a consumer asks for context.)
+- the boost is a data-table-driven chain of ``contains`` ORs per entity
+  type over the lowered snippet — the same rule-table-to-CASE-WHEN
+  technique as operators/citations.py, with a DuckDB SQL twin generated
+  from the same table in tests/test_context.py.
+
+The indicator table transposes the reference's legal-domain mappings
+(COURT near "appeal"/"reversed", CASE_CITATION near "cited"/"relied on")
+into this corpus's transcript domain, keeping the legal tier verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# entity_type -> (context indicator substrings, confidence boost when any
+# indicator appears in the mention's context window). Indicators are
+# matched lowercase, substring-containment, exactly like the reference
+# (context_mappings.py: `indicator.lower() in text.lower()`).
+CONTEXT_BOOSTS: tuple[tuple[str, tuple[str, ...], float], ...] = (
+    ("SERVICE", ("deploy", "rollback", "restart", "crash", "scale", "drained"), 0.10),
+    ("TICKET", ("filed", "tracking", "assigned", "closed", "per "), 0.10),
+    ("PERSON", ("paged", "reviewed", "approved", "wrote", "works at"), 0.10),
+    ("ORG", ("works at", "joined", "acquired", "partnered"), 0.10),
+    ("VERSION", ("upgrade", "rollback", "pinned", "released", "bumped"), 0.10),
+    ("IP_ADDR", ("ping", "node", "host", "unreachable"), 0.10),
+    ("MONEY", ("bill", "invoice", "cost", "budget", "spend"), 0.10),
+    ("PATH", ("logs", "config", "mounted", "written to"), 0.10),
+    # legal tier — kept close to the reference's own mappings
+    ("CASE_CITATION", ("cited", "relied on", "controls", "distinguished"), 0.15),
+    ("STATUTE_CITATION", ("comply", "under", "pursuant", "bars"), 0.15),
+    ("COURT", ("heard in", "appeal", "reversed", "remanded"), 0.15),
+    ("DOCKET_NUMBER", ("filed", "consolidation", "docket"), 0.15),
+)
+
+
+def with_context_snippet(
+    mentions: DataFrame,
+    transcripts: DataFrame,
+    window: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Add ``context_snippet``: the whitespace-normalized turn text within
+    ``window`` chars of the mention span (regex_engine.py:862-881 —
+    ``' '.join(text[max(0,start-w):end+w].split())``).
+
+    One equi-join on (conv_id, turn_idx): mention positions are turn-local
+    by construction, so the snippet needs only the mention's own turn.
+    """
+    turns = transcripts.select(
+        "conv_id", "turn_idx", F.col(text_col).alias("_turn_text")
+    )
+    j = mentions.join(turns, ["conv_id", "turn_idx"], "left")
+    cs = F.greatest(F.lit(0), F.col("start") - F.lit(window))
+    raw = F.col("_turn_text").substr(
+        cs + F.lit(1), F.col("end") + F.lit(window) - cs
+    )
+    snippet = F.regexp_replace(F.trim(raw), r"\s+", " ")
+    return j.withColumn(
+        "context_snippet", F.coalesce(snippet, F.lit(""))
+    ).drop("_turn_text")
+
+
+def context_confidence_boost(mentions_with_context: DataFrame) -> DataFrame:
+    """Boost ``confidence`` by the type's table boost when any of its
+    context indicators appears in ``context_snippet`` (capped at 1.0,
+    same cap convention as T8). Types without a table row pass through
+    unchanged. Adds ``context_matched`` for observability."""
+    low = F.lower(F.col("context_snippet"))
+    matched = F.lit(False)
+    boost = F.lit(0.0)
+    for etype, indicators, b in CONTEXT_BOOSTS:
+        hit = F.lit(False)
+        for ind in indicators:
+            hit = hit | low.contains(ind.lower())
+        is_type_hit = (F.col("entity_type") == etype) & hit
+        matched = matched | is_type_hit
+        boost = F.when(is_type_hit, F.lit(b)).otherwise(boost)
+    return mentions_with_context.withColumn(
+        "context_matched", matched
+    ).withColumn(
+        "confidence", F.least(F.lit(1.0), F.col("confidence") + boost)
+    )

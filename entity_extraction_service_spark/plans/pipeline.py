@@ -185,6 +185,17 @@ def run_pipeline(
 
         mentions = mentions.persist(StorageLevel.DISK_ONLY)
 
+    if config.use_context_boost:
+        # context resolution (reference src/core/context/): ±window
+        # snippet join + indicator-table boost, both pure Catalyst; the
+        # context columns are dropped so downstream unions (coref /
+        # short-cite virtual mentions) keep the mention schema
+        from ..operators.context import context_confidence_boost, with_context_snippet
+
+        mentions = context_confidence_boost(
+            with_context_snippet(mentions, transcripts)
+        ).drop("context_snippet", "context_matched")
+
     if config.strategy_scoring:
         # V1: router strategy -> scoring strategy, joined per-conv then
         # recalculated as pure column algebra (functions/confidence.py)

@@ -1,0 +1,152 @@
+"""Context windows + context-aware confidence boost (reference
+src/core/context/ analog: context_mappings.py:82-1128 boost semantics,
+regex_engine.py:862-881 snippet capture). The DuckDB parity SQL is
+GENERATED from the same CONTEXT_BOOSTS table the operator compiles."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.config import DEFAULT_CONFIG, PipelineConfig
+from entity_extraction_service_spark.operators.context import (
+    CONTEXT_BOOSTS,
+    context_confidence_boost,
+    with_context_snippet,
+)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        [(c, t, "user", x) for c, t, x in rows],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+
+
+def _mentions(spark, turns):
+    from entity_extraction_service_spark.plans.pipeline import _extract_fused
+
+    m, _, _ = _extract_fused(
+        turns, DEFAULT_CONFIG, True, None, gen_triples=False, emit_verbs=False
+    )
+    return m
+
+
+CTX_TURNS = [
+    # indicator ("deploy") inside the ±50 window
+    ("c1", 0, "please deploy billing-service before the launch window"),
+    # indicator present in the turn but OUTSIDE the ±8 window used below
+    ("c2", 0, "billing-service is fine xxxxxxxxxxxxxxxxxxxx but we must rollback later"),
+    # no indicator anywhere
+    ("c3", 0, "billing-service looked healthy all week"),
+    # boundary: mention at position 0, window reaches past both ends
+    ("c4", 0, "v2.14.3 pinned everywhere"),
+    # multi-space collapse in the snippet
+    ("c5", 0, "deploy   billing-service   now"),
+]
+
+
+def test_snippet_window_and_normalization(spark):
+    turns = _turns(spark, CTX_TURNS)
+    m = _mentions(spark, turns).where(F.col("entity_type") == "SERVICE")
+    got = {
+        r["conv_id"]: r["context_snippet"]
+        for r in with_context_snippet(m, turns, window=8).collect()
+    }
+    # c1: text[max(0,14-8):29+8] = " deploy billing-service before ",
+    # whitespace-normalized (regex_engine.py:862-881 arithmetic)
+    assert got["c1"] == "deploy billing-service before"
+    # c5: space runs collapse to one; the window clips mid-word exactly
+    # like the reference (no boundary expansion in regex_engine capture)
+    assert got["c5"] == "eploy billing-service now"
+    # window is clamped at both ends without error
+    assert "billing-service" in got["c2"] and "rollback" not in got["c2"]
+
+
+def test_boost_applies_only_inside_window(spark):
+    turns = _turns(spark, CTX_TURNS)
+    m = _mentions(spark, turns)
+    boosted = context_confidence_boost(with_context_snippet(m, turns, window=8))
+    base = {
+        r["conv_id"]: r["confidence"]
+        for r in m.where(F.col("entity_type") == "SERVICE").collect()
+    }
+    svc = {
+        r["conv_id"]: (r["context_matched"], round(r["confidence"] - base[r["conv_id"]], 4))
+        for r in boosted.where(F.col("entity_type") == "SERVICE").collect()
+    }
+    assert svc["c1"] == (True, 0.10)    # indicator in window
+    assert svc["c2"] == (False, 0.0)    # indicator out of window
+    assert svc["c3"] == (False, 0.0)    # no indicator at all
+    # VERSION at position 0 with "pinned" inside the 8-char window -> boosted
+    ver = {
+        r["conv_id"]: r["context_matched"]
+        for r in boosted.where(F.col("entity_type") == "VERSION").collect()
+    }
+    assert ver["c4"] is True
+
+
+def test_boost_caps_at_one(spark):
+    df = spark.createDataFrame(
+        [("c", 0, "CASE_CITATION", 0.95, "the court cited it")],
+        ["conv_id", "turn_idx", "entity_type", "confidence", "context_snippet"],
+    )
+    out = context_confidence_boost(df).collect()[0]
+    assert out["confidence"] == 1.0  # 0.95 + 0.15 capped
+
+
+def _parity_sql() -> str:
+    whens = []
+    for etype, indicators, b in CONTEXT_BOOSTS:
+        hit = " OR ".join(
+            f"contains(lower(context_snippet), '{ind.lower()}')" for ind in indicators
+        )
+        whens.append(f"WHEN entity_type = '{etype}' AND ({hit}) THEN {b}")
+    boost = "CASE " + " ".join(whens) + " ELSE 0.0 END"
+    return (
+        "SELECT conv_id, turn_idx, entity_type, text, "
+        f"round(least(1.0, confidence + {boost}), 9) AS confidence, "
+        f"({boost}) > 0.0 AS context_matched "
+        "FROM flat ORDER BY conv_id, turn_idx, text, entity_type"
+    )
+
+
+def test_boost_duckdb_parity(spark, tmp_path):
+    turns = _turns(spark, CTX_TURNS + [
+        ("c6", 0, "Acme Corporation cited Smith v. Jones, 410 U.S. 113 (1973) in the brief."),
+        ("c6", 1, "the case was heard in N.D. Cal. on appeal."),
+    ])
+    m = _mentions(spark, turns)
+    flat = with_context_snippet(m, turns, window=50).select(
+        "conv_id", "turn_idx", "entity_type", "text", "confidence", "context_snippet"
+    )
+    path = str(tmp_path / "flat.parquet")
+    flat.write.mode("overwrite").parquet(path)
+
+    spark_rows = [
+        (r["conv_id"], r["turn_idx"], r["entity_type"], r["text"],
+         round(r["confidence"], 9), r["context_matched"])
+        for r in context_confidence_boost(spark.read.parquet(path))
+        .orderBy("conv_id", "turn_idx", "text", "entity_type")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW flat AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    duck_rows = [
+        (c, int(t), e, x, round(v, 9), bool(mt))
+        for c, t, e, x, v, mt in con.execute(_parity_sql()).fetchall()
+    ]
+    assert spark_rows == duck_rows and len(spark_rows) >= 8
+
+
+def test_pipeline_flag_boosts_entity_confidence(spark):
+    from entity_extraction_service_spark.plans.pipeline import run_pipeline
+
+    turns = _turns(spark, [("p1", 0, "please deploy billing-service before launch")])
+    plain = run_pipeline(turns, use_model=False, use_coref=False)
+    boosted = run_pipeline(
+        turns, PipelineConfig(use_context_boost=True), use_model=False, use_coref=False
+    )
+    c0 = plain.entities.where(F.col("entity_type") == "SERVICE").collect()[0]["confidence"]
+    c1 = boosted.entities.where(F.col("entity_type") == "SERVICE").collect()[0]["confidence"]
+    assert round(c1 - c0, 4) == 0.10
+    # schema unchanged: context columns never leak into the mention stream
+    assert "context_snippet" not in boosted.mentions.columns
