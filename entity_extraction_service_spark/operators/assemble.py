@@ -232,3 +232,79 @@ def assemble_documents(transcripts: DataFrame) -> DataFrame:
             F.count("*").alias("n_turns"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking-engine extras (reference src/core/chunking/chunking_engine.py):
+# a size-budget chunker strategy, chunk quality scoring (:525-544), and
+# exact chunk dedup (:546-560). All pure Catalyst.
+# ---------------------------------------------------------------------------
+
+
+def chunk_turns_budget(
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    budget_chars: int = 2048,
+) -> DataFrame:
+    """Size-budget chunker (hybrid_chunker strategy analog): consecutive
+    turns pack into a chunk until its cumulative text length crosses
+    ``budget_chars``; turns are never split, so turn-local extraction
+    semantics are chunk-invariant (same guarantee as chunk_turns, tested).
+
+    Streaming-friendly relaxation of the reference's greedy per-document
+    packing: the boundary falls where the conversation-global offset
+    crosses a budget multiple (one window + one shuffle, no per-document
+    sequential scan), so each chunk's content is <= budget + one turn.
+    """
+    with_off = with_global_offsets(transcripts)
+    return (
+        with_off.withColumn(
+            "chunk_idx", (F.col("turn_offset") / budget_chars).cast("int")
+        )
+        .groupBy("conv_id", "chunk_idx")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("turn_idx", "role", "text", "turn_offset"))
+            ).alias("turns")
+        )
+    )
+
+
+def _chunk_content() -> F.Column:
+    return F.array_join(
+        F.transform(F.col("turns"), lambda t: F.coalesce(t["text"], F.lit(""))), "\n"
+    )
+
+
+def chunk_quality(chunks: DataFrame, min_chunk_size: int = 64) -> DataFrame:
+    """Add ``chunk_quality`` per the reference's scoring
+    (chunking_engine.py:525-544): x0.5 when shorter than min_chunk_size,
+    x0.8 when the (right-trimmed) content doesn't end in sentence
+    punctuation, x1.1 when it holds at least one >10-char sentence,
+    capped at 1.0. Pure column algebra over the assembled chunk text."""
+    content = _chunk_content()
+    score = F.lit(1.0)
+    score = F.when(F.length(content) < min_chunk_size, score * 0.5).otherwise(score)
+    ends_ok = F.regexp_replace(content, r"\s+$", "").rlike(r"[.!?:]$")
+    score = F.when(~ends_ok, score * 0.8).otherwise(score)
+    has_sentence = F.exists(
+        F.split(content, r"[.!?]+"),
+        lambda s: F.length(F.regexp_replace(s, r"^\s+|\s+$", "")) > 10,
+    )
+    score = F.when(has_sentence, score * 1.1).otherwise(score)
+    return chunks.withColumn("chunk_quality", F.least(F.lit(1.0), score))
+
+
+def dedup_chunks(chunks: DataFrame) -> DataFrame:
+    """Drop exact-duplicate chunks within a conversation, keeping the
+    earliest (chunking_engine.py:546-560 — hash of strip().lower()):
+    key = lowercased whitespace-trimmed content, keep-first by chunk_idx.
+    One window over the (conv_id, key) partition; no driver state."""
+    key = F.lower(F.regexp_replace(_chunk_content(), r"^\s+|\s+$", ""))
+    w = Window.partitionBy("conv_id", "_content_key").orderBy("chunk_idx")
+    return (
+        chunks.withColumn("_content_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_content_key", "_rn")
+    )

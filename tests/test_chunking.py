@@ -1,0 +1,140 @@
+"""Chunking-engine extras (reference chunking_engine.py): size-budget
+chunker strategy, chunk quality scoring (:525-544), exact chunk dedup
+(:546-560). The quality DuckDB parity SQL mirrors the same formula."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.config import DEFAULT_CONFIG
+from entity_extraction_service_spark.operators.assemble import (
+    chunk_quality,
+    chunk_turns,
+    chunk_turns_budget,
+    dedup_chunks,
+)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        [(c, t, "user", x) for c, t, x in rows],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+
+
+def test_budget_chunker_bounds_and_coverage(spark, corpus):
+    transcripts, _ = corpus
+    budget = 256
+    chunks = chunk_turns_budget(transcripts, DEFAULT_CONFIG, budget_chars=budget)
+    stats = chunks.select(
+        "conv_id",
+        "chunk_idx",
+        F.size("turns").alias("n"),
+        F.length(
+            F.array_join(F.transform("turns", lambda t: t["text"]), "\n")
+        ).alias("content_len"),
+        F.expr("aggregate(transform(turns, t -> length(coalesce(t.text,''))), 0, (a, x) -> greatest(a, x))").alias("max_turn"),
+    ).collect()
+    # every chunk holds at least one turn and is bounded by budget + one turn
+    assert all(r["n"] >= 1 for r in stats)
+    assert all(r["content_len"] <= budget + r["max_turn"] + 1 for r in stats)
+    # coverage: no turn lost or duplicated
+    n_in = transcripts.count()
+    n_out = chunks.select(F.explode("turns")).count()
+    assert n_in == n_out
+
+
+def test_budget_chunking_is_extraction_invariant(spark, corpus):
+    """Turn-local extraction must not depend on the chunking strategy —
+    the same invariant route_chunk_turns is tested for."""
+    from entity_extraction_service_spark.operators.extract_model import (
+        extract_all_fused,
+    )
+
+    transcripts, _ = corpus
+    sample = transcripts.where(F.crc32("conv_id") % 10 == 0)
+    proj = ["conv_id", "turn_idx", "entity_type", "text", "start", "end"]
+
+    def mentions_of(chunks):
+        rows = extract_all_fused(
+            chunks, None, DEFAULT_CONFIG, gen_triples=False, emit_verbs=False
+        )
+        return {
+            tuple(r[c] for c in proj)
+            for r in rows.where(F.col("kind") == "mention").select(*proj).collect()
+        }
+
+    a = mentions_of(chunk_turns(sample, DEFAULT_CONFIG))
+    b = mentions_of(chunk_turns_budget(sample, DEFAULT_CONFIG, budget_chars=200))
+    assert a == b and len(a) > 0
+
+
+QUALITY_CASES = [
+    # (turn texts, min_size, expected score)
+    (["this chunk carries a complete sentence about the rollout."], 10, 1.0),
+    # short -> x0.5, ends ok, has sentence -> x1.1 => 0.55
+    (["a full sentence here ok."], 64, 0.55),
+    # long enough, no terminal punctuation -> x0.8, has sentence -> min(0.88,1)
+    (["this chunk is long enough to pass the minimum and keeps going", "but it just trails off without an ending"], 10, 0.88),
+    # tiny fragment: short x0.5, no punct x0.8, no >10-char sentence
+    (["tiny bit"], 64, 0.4),
+]
+
+
+def test_chunk_quality_formula(spark):
+    for i, (texts, min_size, expected) in enumerate(QUALITY_CASES):
+        turns = _turns(spark, [(f"q{i}", j, t) for j, t in enumerate(texts)])
+        chunks = chunk_turns(turns, DEFAULT_CONFIG)
+        got = chunk_quality(chunks, min_chunk_size=min_size).collect()[0]["chunk_quality"]
+        assert round(got, 6) == expected, (i, got, expected)
+
+
+def test_chunk_quality_duckdb_parity(spark, corpus, tmp_path):
+    transcripts, _ = corpus
+    chunks = chunk_turns(transcripts, DEFAULT_CONFIG)
+    flat = chunks.select(
+        "conv_id",
+        "chunk_idx",
+        F.array_join(
+            F.transform("turns", lambda t: F.coalesce(t["text"], F.lit(""))), "\n"
+        ).alias("content"),
+    )
+    path = str(tmp_path / "chunks.parquet")
+    flat.write.mode("overwrite").parquet(path)
+
+    spark_rows = [
+        (r["conv_id"], r["chunk_idx"], round(r["chunk_quality"], 9))
+        for r in chunk_quality(chunks, min_chunk_size=64)
+        .select("conv_id", "chunk_idx", "chunk_quality")
+        .orderBy("conv_id", "chunk_idx")
+        .collect()
+    ]
+    sql = """
+    SELECT conv_id, chunk_idx, round(least(1.0,
+        1.0
+        * CASE WHEN length(content) < 64 THEN 0.5 ELSE 1.0 END
+        * CASE WHEN NOT regexp_matches(regexp_replace(content, '\\s+$', ''), '[.!?:]$') THEN 0.8 ELSE 1.0 END
+        * CASE WHEN EXISTS (
+              SELECT 1 FROM unnest(string_split_regex(content, '[.!?]+')) AS u(s)
+              WHERE length(regexp_replace(s, '^\\s+|\\s+$', '')) > 10
+          ) THEN 1.1 ELSE 1.0 END
+    ), 9) AS q
+    FROM chunks ORDER BY conv_id, chunk_idx
+    """
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW chunks AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    duck_rows = [(c, int(i), round(q, 9)) for c, i, q in con.execute(sql).fetchall()]
+    assert spark_rows == duck_rows and len(spark_rows) >= 60
+
+
+def test_dedup_chunks_keeps_first_exact_copy(spark):
+    turns = _turns(spark, [
+        ("d1", 0, "the exact same chunk text."),
+        ("d1", 16, "  The Exact Same Chunk Text.  "),  # next K-chunk, same key
+        ("d1", 32, "a different chunk entirely."),
+        ("d2", 0, "the exact same chunk text."),       # other conv untouched
+    ])
+    chunks = chunk_turns(turns, DEFAULT_CONFIG)
+    assert chunks.count() == 4
+    kept = dedup_chunks(chunks)
+    got = {(r["conv_id"], r["chunk_idx"]) for r in kept.collect()}
+    assert got == {("d1", 0), ("d1", 2), ("d2", 0)}
