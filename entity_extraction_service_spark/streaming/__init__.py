@@ -9,16 +9,20 @@ entity statistics maintain themselves with watermarked state.
 
 from .incremental import (
     stream_transcripts,
+    streaming_edge_registry,
     streaming_entity_counts,
     streaming_entity_registry,
     streaming_mentions,
+    streaming_triples,
     write_stream,
 )
 
 __all__ = [
     "stream_transcripts",
     "streaming_mentions",
+    "streaming_triples",
     "streaming_entity_counts",
     "streaming_entity_registry",
+    "streaming_edge_registry",
     "write_stream",
 ]

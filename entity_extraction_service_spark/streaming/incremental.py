@@ -212,6 +212,223 @@ def streaming_entity_registry(mentions: DataFrame) -> DataFrame:
     )
 
 
+STREAM_TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("subj_id", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj_id", T.StringType(), False),
+        T.StructField("confidence", T.DoubleType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("evidence", T.StringType(), False),
+        T.StructField("method", T.StringType(), False),
+    ]
+)
+
+
+def streaming_triples(
+    transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Stateless per-turn raw triple extraction (streaming-legal).
+
+    T1 pattern triples and T3 proximity triples are keyed WITHIN one turn
+    (the same property the batch fused scan exploits —
+    operators/local_resolve.py), so the whole extract→resolve→triple
+    chain runs inside one Arrow-batched ``mapInPandas`` with no shuffle
+    and no state: regex mentions (E2/D5-resolved via the shared
+    ``resolve_and_merge`` kernel), verb-cue spans, then the identical
+    ``pattern_triples_local`` / ``proximity_triples_local`` kernels the
+    batch path uses. Columns match ``operators.triples.TRIPLE_COLS`` so
+    the stream feeds ``dedup_and_merge_triples`` (batch) or
+    ``streaming_edge_registry`` (stateful streaming) unchanged.
+
+    The same function applied to a BATCH DataFrame is the parity oracle
+    (mapInPandas is legal on both): tests assert stream == batch rows.
+    """
+    from ..operators.local_resolve import (
+        pattern_triples_local,
+        proximity_triples_local,
+        resolve_and_merge,
+        surface_id_py,
+    )
+    from ..operators.triples import PATTERN_TRIPLE_CONFIDENCE, _compiled_verbs
+
+    patterns = build_pattern_table(config)
+    rules = {(a, b): p for a, b, p in config.type_pair_predicates}
+    prox_w = config.proximity_window
+    max_d = config.max_entity_distance
+    conf_floor = config.proximity_confidence_floor
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        verbs = _compiled_verbs()
+        cols = [f.name for f in STREAM_TRIPLE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                text = text or ""
+                matches = [
+                    (etype, surface, s, e, conf, "regex")
+                    for etype, surface, s, e, conf in _match_turn(patterns, text)
+                ]
+                with_ids = []
+                for etype, surface, s, e, conf, method in resolve_and_merge(matches):
+                    gnorm = group_norm_py(normalize_text_py(surface))
+                    with_ids.append(
+                        (etype, surface, s, e, conf, method, surface_id_py(etype, gnorm))
+                    )
+                vspans = [
+                    (pred, vm.start(), vm.end())
+                    for rx, pred in verbs
+                    for vm in rx.finditer(text)
+                ]
+                for sid, pred, oid, conf, ev in pattern_triples_local(
+                    with_ids, vspans, confidence=PATTERN_TRIPLE_CONFIDENCE
+                ):
+                    rows.append((sid, pred, oid, conf, conv_id, int(turn_idx), ev, "pattern"))
+                for sid, pred, oid, conf, ev in proximity_triples_local(
+                    with_ids, rules, prox_w, max_d, conf_floor
+                ):
+                    rows.append((sid, pred, oid, conf, conv_id, int(turn_idx), ev, "proximity"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=STREAM_TRIPLE_SCHEMA
+    )
+
+
+EDGE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("subj_id", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj_id", T.StringType(), False),
+        T.StructField("confidence", T.DoubleType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("evidence", T.StringType(), False),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("methods", T.ArrayType(T.StringType(), False), False),
+        T.StructField("support", T.LongType(), False),
+        T.StructField("conf_sum", T.DoubleType(), False),
+        T.StructField("best_confidence", T.DoubleType(), False),
+    ]
+)
+
+EDGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("conf_sum", T.DoubleType(), False),
+        T.StructField("support", T.LongType(), False),
+        T.StructField("methods", T.StringType(), False),  # \x1f-joined sorted set
+        T.StructField("best_prio", T.IntegerType(), False),
+        T.StructField("best_confidence", T.DoubleType(), False),
+        T.StructField("best_conv", T.StringType(), False),
+        T.StructField("best_turn", T.IntegerType(), False),
+        T.StructField("best_evidence", T.StringType(), False),
+        T.StructField("best_method", T.StringType(), False),
+    ]
+)
+
+
+def streaming_edge_registry(
+    triples: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Custom STATEFUL operator: a running T7/T8 edge registry via
+    ``applyInPandasWithState`` — the streaming twin of
+    ``operators.triples.dedup_and_merge_triples``.
+
+    The T7/T8 aggregate is associative by construction (sum of
+    confidences, support count, method-set union, and the representative
+    row as a max under the (method priority, confidence, conv_id,
+    turn_idx, evidence) total order — the same property the batch path's
+    partition-local ``_TripleAccumulator`` partials rely on), so folding
+    each micro-batch into per-(subj, pred, obj) state is EXACT: after any
+    prefix of the stream, the latest emitted row per key equals
+    ``dedup_and_merge_triples`` over that prefix, column for column,
+    regardless of how the stream was split into micro-batches (tested;
+    ``conf_sum`` accumulates in stream order vs the batch shuffle's
+    arbitrary order — associativity holds exactly, float addition order
+    can differ by ~1 ulp, hence the oracle compares at 1e-9).
+
+    State is per-key constant-size: total state ~ |distinct surface-level
+    edges|, independent of turn count — at 10^12 turns edges plateau
+    while observations don't. The boosted confidence
+    min(1, best + factor*(conf_sum - best)) is recomputed per emit, so
+    downstream sees exactly the batch T8 semantics."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..operators.triples import TRIPLE_METHOD_PRIORITY
+
+    factor = config.confidence_boost_factor
+    _q6 = Decimal("0.000001")
+
+    def _round6(x: float) -> float:
+        # Spark's F.round is HALF_UP on the double's exact binary value;
+        # Python round() is half-even — they differ on exact 6-dp
+        # midpoints (any double j/128), so match Spark explicitly.
+        return float(Decimal(x).quantize(_q6, rounding=ROUND_HALF_UP))
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state):
+        subj_id, pred, obj_id = key
+        if state.exists:
+            conf_sum, support, methods_s, b_prio, b_conf, b_conv, b_turn, b_ev, b_m = (
+                state.get
+            )
+            methods = set(methods_s.split("\x1f")) if methods_s else set()
+            best = (b_prio, b_conf, b_conv, b_turn, b_ev)
+            best_method = b_m
+        else:
+            conf_sum, support, methods = 0.0, 0, set()
+            best, best_method = None, ""
+        for pdf in pdfs:
+            for conf, conv, turn, ev, method in zip(
+                pdf["confidence"], pdf["conv_id"], pdf["turn_idx"],
+                pdf["evidence"], pdf["method"],
+            ):
+                conf = float(conf)
+                conf_sum += conf
+                support += 1
+                methods.add(method)
+                cand = (TRIPLE_METHOD_PRIORITY.get(method, 0), conf, conv, int(turn), ev)
+                if best is None or cand > best:
+                    best, best_method = cand, method
+        if best is None:  # defensive: a key invoked with no rows (timeouts off)
+            return
+        state.update(
+            (conf_sum, support, "\x1f".join(sorted(methods)),
+             best[0], best[1], best[2], best[3], best[4], best_method)
+        )
+        boosted = min(1.0, best[1] + factor * (conf_sum - best[1]))
+        yield pd.DataFrame(
+            [
+                {
+                    "subj_id": subj_id,
+                    "pred": pred,
+                    "obj_id": obj_id,
+                    "confidence": _round6(boosted),
+                    "conv_id": best[2],
+                    "turn_idx": best[3],
+                    "evidence": best[4],
+                    "method": best_method,
+                    "methods": sorted(methods),
+                    "support": support,
+                    "conf_sum": conf_sum,
+                    "best_confidence": best[1],
+                }
+            ]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return triples.groupBy("subj_id", "pred", "obj_id").applyInPandasWithState(
+        update,
+        EDGE_OUTPUT_SCHEMA,
+        EDGE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_stream(
     df: DataFrame,
     path: str,

@@ -1,0 +1,92 @@
+"""Streaming triple extraction + stateful T7/T8 edge registry.
+
+The raw-triple stream must equal the identical mapInPandas applied to the
+batch table (stateless ⇒ trivially streaming-legal), and the custom
+stateful edge registry (applyInPandasWithState) must, after consuming the
+whole stream across MULTIPLE micro-batches, hold exactly the batch
+``dedup_and_merge_triples`` (T7+T8) aggregate — the associativity claim
+that also underwrites the batch path's partition-local partials."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.triples import (
+    dedup_and_merge_triples,
+)
+from entity_extraction_service_spark.streaming import (
+    stream_transcripts,
+    streaming_edge_registry,
+    streaming_triples,
+    write_stream,
+)
+
+
+def _write_batch(df, path):
+    df.coalesce(2).write.mode("append").parquet(path)
+
+
+def test_streaming_triples_match_batch(spark, corpus, tmp_path):
+    transcripts, _ = corpus
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_batch(transcripts, src)
+
+    q = write_stream(
+        streaming_triples(stream_transcripts(spark, src)), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    expected = streaming_triples(transcripts)
+
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
+
+
+def test_stateful_edge_registry_matches_batch_t7t8(spark, corpus, tmp_path):
+    transcripts, _ = corpus
+    src = str(tmp_path / "src")
+    # two file groups + maxFilesPerTrigger=1 -> several micro-batches, so
+    # the state genuinely folds across batch boundaries
+    _write_batch(transcripts.where(F.col("conv_id") < "conv_000030"), src)
+    _write_batch(transcripts.where(F.col("conv_id") >= "conv_000030"), src)
+
+    reg = streaming_edge_registry(
+        streaming_triples(stream_transcripts(spark, src, max_files=1))
+    )
+    q = (
+        reg.writeStream.format("memory")
+        .queryName("edge_registry")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cols = [
+        "subj_id", "pred", "obj_id", "confidence", "conv_id", "turn_idx",
+        "evidence", "method", "methods", "support", "conf_sum", "best_confidence",
+    ]
+    # update mode emits one row per (key, micro-batch it changed in);
+    # support is strictly increasing per key, so the final state is the
+    # max-support row
+    got = (
+        spark.table("edge_registry")
+        .groupBy("subj_id", "pred", "obj_id")
+        .agg(F.max_by(F.struct(*cols), "support").alias("r"))
+        .select("r.*")
+    )
+    expected = dedup_and_merge_triples(streaming_triples(transcripts))
+
+    assert got.count() == expected.count() > 0
+    # conf_sum accumulates in stream order vs the batch shuffle's
+    # arbitrary order — associativity is exact, float addition order can
+    # differ by ~1 ulp, so sums compare rounded (1e-6 << any boundary)
+    def normed(df):
+        return df.select(
+            *[c for c in cols if c != "conf_sum"],
+            F.round("conf_sum", 6).alias("conf_sum"),
+        )
+
+    assert normed(got).exceptAll(normed(expected)).isEmpty()
+    assert normed(expected).exceptAll(normed(got)).isEmpty()
