@@ -124,6 +124,36 @@ def test_salted_long_conversations_exact(spark, corpus):
     _sym_equal(m_s, m_c, _MENTION_COLS)  # includes global_start
 
 
+def test_assume_clustered_zero_shuffle_path_exact(spark, corpus):
+    """chunk_stream(assume_clustered=True) — the zero-shuffle path for
+    sources already bucketed by conv_id (Iceberg bucket(conv_id) layout)
+    — must produce the identical mention rows: pre-cluster the corpus
+    with repartition(conv_id) (whole conversations per partition, the
+    layout the flag asserts) and compare against the default salted
+    path. Also pins the plan claim: the clustered plan contains no
+    Exchange beyond the input's own."""
+    from entity_extraction_service_spark.operators.extract_stream import (
+        chunk_stream,
+        extract_all_fused_stream,
+    )
+
+    transcripts, _ = corpus
+    clustered = transcripts.repartition(4, "conv_id")
+    got = extract_all_fused_stream(
+        chunk_stream(clustered, assume_clustered=True), gen_triples=False
+    ).where(F.col("kind") == "mention")
+    expected = extract_all_fused_stream(
+        chunk_stream(transcripts), gen_triples=False
+    ).where(F.col("kind") == "mention")
+    assert got.count() == expected.count() > 0
+    _sym_equal(got, expected, _MENTION_COLS)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # one exchange from the explicit repartition(conv_id); the
+    # assume_clustered path must add none (no salt/base-offset shuffle)
+    assert plan.count("Exchange") <= 1
+
+
 def test_stream_exec_carries_state_across_tiny_batches(spark, corpus):
     """Force 8-row Arrow batches so conversations and chunks straddle
     batch boundaries — the carried-state path must still produce
