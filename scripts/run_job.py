@@ -17,6 +17,16 @@ the base dir for the mentions/entities/edges tables plus the
 resumes: committed conversation buckets are skipped via the checkpoint
 anti-join (operators/checkpoint.py). Per-stage confidence metrics are
 appended per run for lineage.
+
+``--incremental`` switches to the Structured Streaming ingest (parquet
+path inputs): an availableNow pass appends per-turn mentions and raw
+T1/T3 triples for files the stream checkpoint has not seen — the right
+resume granularity when transcripts land CONTINUOUSLY (the batch
+bucket-watermark skips a committed bucket even when new conversations
+hash into it; the stream checkpoint is file-granular). Canonicalization
+(linking/CC) stays a periodic batch run of this same entrypoint over the
+full table — the raw stream tables feed dedup_and_merge_triples /
+the batch pipeline unchanged.
 """
 
 from __future__ import annotations
@@ -35,6 +45,12 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64, help="checkpoint buckets")
     ap.add_argument("--no-coref", action="store_true")
     ap.add_argument("--model-triples", action="store_true")
+    ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="streaming availableNow ingest of input files the stream "
+        "checkpoint has not seen (parquet path inputs)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,6 +62,31 @@ def main() -> None:
     from entity_extraction_service_spark.sources.transcripts import read_transcripts
 
     spark = SparkSession.builder.appName("kg-construct").getOrCreate()
+
+    if args.incremental:
+        from entity_extraction_service_spark.streaming import (
+            stream_transcripts,
+            streaming_mentions,
+            streaming_triples,
+            write_stream,
+        )
+
+        ckpt = os.path.join(args.output, "_stream_checkpoints")
+        for name, build in (
+            ("stream_mentions", streaming_mentions),
+            ("stream_triples", streaming_triples),
+        ):
+            out = os.path.join(args.output, name)
+            q = write_stream(
+                build(stream_transcripts(spark, args.input)),
+                out,
+                os.path.join(ckpt, name),
+            )
+            q.awaitTermination()
+            print(f"{name}: {out} rows={spark.read.parquet(out).count()}")
+        spark.stop()
+        return
+
     transcripts = read_transcripts(spark, args.input)
 
     from entity_extraction_service_spark.plans.pipeline import pipeline_tables
