@@ -231,7 +231,9 @@ def streaming_triples(
 ) -> DataFrame:
     """Stateless per-turn raw triple extraction (streaming-legal).
 
-    T1 pattern triples and T3 proximity triples are keyed WITHIN one turn
+    T1 pattern triples (reference
+    /root/reference/src/core/relationships/relationship_extractor.py:299-439)
+    and T3 proximity triples (:632-727) are keyed WITHIN one turn
     (the same property the batch fused scan exploits —
     operators/local_resolve.py), so the whole extract→resolve→triple
     chain runs inside one Arrow-batched ``mapInPandas`` with no shuffle
@@ -335,7 +337,11 @@ def streaming_edge_registry(
 ) -> DataFrame:
     """Custom STATEFUL operator: a running T7/T8 edge registry via
     ``applyInPandasWithState`` — the streaming twin of
-    ``operators.triples.dedup_and_merge_triples``.
+    ``operators.triples.dedup_and_merge_triples`` (reference semantics:
+    T7 exact-key keep-best dedup
+    /root/reference/src/core/extraction_orchestrator.py:1107-1141, T8
+    cross-method confidence boost
+    /root/reference/src/core/relationships/relationship_extractor.py:787-819).
 
     The T7/T8 aggregate is associative by construction (sum of
     confidences, support count, method-set union, and the representative
