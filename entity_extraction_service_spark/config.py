@@ -148,6 +148,8 @@ class PipelineConfig:
         "resolves_to", "resolved_by", "logs_at", "costs", "known_as",
         "checkpointed_at", "contains",
         "cites", "filed", "governed_by", "licensed_under", "heard_in",
+        "tuned_with", "quantized_to", "seeded_with", "evaluates",
+        "converged_at",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -219,6 +221,12 @@ class PipelineConfig:
         ("SERVICE", "LICENSE_ID", "licensed_under"),
         ("DOCKET_NUMBER", "COURT", "heard_in"),
         ("DATASET_NAME", "ROW_COUNT", "contains"),
+        # tier-5 ML-ops/training-run pairs (patterns/mlops.yaml)
+        ("EXPERIMENT_ID", "HYPERPARAM", "tuned_with"),
+        ("MODEL_NAME", "QUANT_FORMAT", "quantized_to"),
+        ("RUN_ID", "SEED", "seeded_with"),
+        ("EXPERIMENT_ID", "MODEL_NAME", "evaluates"),
+        ("MODEL_NAME", "LOSS_VALUE", "converged_at"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -237,6 +245,8 @@ class PipelineConfig:
         "INVOICE_ID", "PO_NUMBER", "EIN", "IBAN", "COST_CENTER",
         "CASE_CITATION", "STATUTE_CITATION", "DOCKET_NUMBER", "COURT",
         "LICENSE_ID",
+        "EXPERIMENT_ID", "HYPERPARAM", "EPOCH", "LOSS_VALUE", "SEED",
+        "QUANT_FORMAT",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, PipelineConfig
 
 # 8 category passes mirroring the reference's 8-pass structure, spanning
-# the full 54-type vocabulary (tests assert the partition property)
+# the full canonical-type vocabulary (tests assert the partition property)
 DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
     "identity": ("PERSON", "ORG", "USER_HANDLE"),
     "infrastructure": (
@@ -56,11 +56,15 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
     "data_platform": (
         "TABLE_NAME", "DATABASE", "KAFKA_TOPIC", "QUEUE_NAME", "DAG_ID",
         "MODEL_NAME", "DATASET_NAME", "GPU_MODEL",
+        # tier-5 ML-ops run/configuration identifiers
+        "EXPERIMENT_ID", "HYPERPARAM", "QUANT_FORMAT",
     ),
     "quantities": (
         "MONEY", "DATE_ISO", "TIME_HHMM", "DATA_SIZE", "ROW_COUNT",
         "TOKEN_COUNT", "CHECKPOINT_STEP", "RUN_ID", "CRON_EXPR",
         "INVOICE_ID", "PO_NUMBER", "COST_CENTER",
+        # tier-5 ML-ops numeric values
+        "EPOCH", "LOSS_VALUE", "SEED",
     ),
     # credentials and account/tax ids are sensitive-value types — same
     # category as the reference's PII handling

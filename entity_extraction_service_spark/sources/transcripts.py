@@ -289,9 +289,30 @@ LEGAL_FACTS = [
      ["N.D. Cal.", "S.D.N.Y.", "9th Cir."], "heard_in"),
 ]
 
+# tier-5 ML-ops facts (patterns/mlops.yaml): same 6-tuple shape.
+# Subject precedes object, gap well under the proximity window; every
+# surface is matched by exactly one pattern (cue/digit/uppercase-gated).
+MLOPS_FACTS = [
+    ("experiment {s} tuned {o} overnight.", "EXPERIMENT_ID",
+     ["rerank-ab-07", "churn-retrain-12", "price-elastic-03"], "HYPERPARAM",
+     ["lr=3e-4", "dropout=0.1", "batch_size=2048"], "tuned_with"),
+    ("model {s} was quantized to {o} for serving.", "MODEL_NAME",
+     ["llama-3-70b", "bert-large-v2", "rerank-xl-2024"], "QUANT_FORMAT",
+     ["FP8", "INT4", "BF16"], "quantized_to"),
+    ("run {s} used seed {o} throughout.", "RUN_ID",
+     ["credit-risk-0142", "churn-weekly-0093"], "SEED",
+     ["1337", "31337", "8675309"], "seeded_with"),
+    ("experiment {s} evaluates model {o} nightly.", "EXPERIMENT_ID",
+     ["rerank-ab-07", "churn-retrain-12"], "MODEL_NAME",
+     ["bert-large-v2", "rerank-xl-2024"], "evaluates"),
+    ("model {s} converged at loss {o} overnight.", "MODEL_NAME",
+     ["llama-3-70b", "rerank-xl-2024"], "LOSS_VALUE",
+     ["0.0342", "0.1278", "0.0091"], "converged_at"),
+]
+
 TIER3_FACTS = (
     SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
-    + LEGAL_FACTS
+    + LEGAL_FACTS + MLOPS_FACTS
 )
 
 # mention-only counter turns (no triple — counters have no pair in the
@@ -325,6 +346,10 @@ COUNTER_TURNS = [
      ["DE89370400440532013000", "GB29NWBK60161331926819"]),
     ("vendor EIN {o} cleared compliance.", "EIN",
      ["12-3456789", "98-7654321"]),
+    # tier-5 mention-only type (patterns/mlops.yaml): EPOCH has no pair in
+    # the predicate table, so epoch markers stay mention-only
+    ("finished epoch {o} before the restart.", "EPOCH",
+     ["17/50", "3/12", "99/100"]),
 ]
 
 

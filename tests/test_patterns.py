@@ -164,6 +164,28 @@ NEW_TYPE_FIXTURES = {
         ("LICENSE_ID", "Ms-PL"),
         ("LICENSE_ID", "Apache-2.0"),
     },
+    # mlops pack (patterns/mlops.yaml): the "experiment" cue is disjoint
+    # from RUN_ID's "run" cue; hyperparam values must start with a digit
+    "experiment rerank-ab-07 tuned lr=3e-4 overnight": {
+        ("EXPERIMENT_ID", "rerank-ab-07"),
+        ("HYPERPARAM", "lr=3e-4"),
+    },
+    "finished epoch 17/50 at loss 0.0342 with seed 1337": {
+        ("EPOCH", "17/50"),
+        ("LOSS_VALUE", "0.0342"),
+        ("SEED", "1337"),
+    },
+    "model llama-3-70b was quantized to FP8 for serving": {
+        ("MODEL_NAME", "llama-3-70b"),
+        ("QUANT_FORMAT", "FP8"),
+    },
+    # overlap guards: "mode=fast" (no digit value) and URL query params
+    # must not fire HYPERPARAM; "run experiment" orders the cues so
+    # neither id pattern double-fires; bare "17/50" without the epoch cue
+    # is not a PATH (needs a leading slash)
+    "set mode=fast then check https://ex.io/p?page=2&limit=50 for 17/50 done": {
+        ("URL", "https://ex.io/p?page=2&limit=50"),
+    },
 }
 
 
@@ -339,6 +361,15 @@ def test_config_vocab_invariants():
     # loses to whichever entry builds the rules dict last
     pairs = [(a, b) for a, b, _ in DEFAULT_CONFIG.type_pair_predicates]
     assert len(pairs) == len(set(pairs)), "duplicate ordered type pair"
+    # E3 must be the identity on the canonical vocabulary: a raw-type row
+    # whose KEY later becomes a canonical type silently re-types every
+    # model-stream mention of that type (bit us twice: EXPERIMENT_ID ->
+    # RUN_ID after the tier-5 pack, SEVERITY -> LOG_LEVEL after the
+    # redaction pack)
+    from entity_extraction_service_spark.sources.patterns import canonical_type
+
+    remapped = [t for t in types if canonical_type(t) != t]
+    assert not remapped, f"canonical types remapped away by E3: {remapped}"
 
 
 def test_pattern_corpus_loads_from_zip_deployment(tmp_path):
