@@ -150,6 +150,8 @@ class PipelineConfig:
         "cites", "filed", "governed_by", "licensed_under", "heard_in",
         "tuned_with", "quantized_to", "seeded_with", "evaluates",
         "converged_at",
+        "serves", "returns", "traced_through", "scheduled_in",
+        "localized_to",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -227,6 +229,12 @@ class PipelineConfig:
         ("RUN_ID", "SEED", "seeded_with"),
         ("EXPERIMENT_ID", "MODEL_NAME", "evaluates"),
         ("MODEL_NAME", "LOSS_VALUE", "converged_at"),
+        # tier-6 tracing/API/i18n pairs (patterns/tracing.yaml)
+        ("SERVICE", "HTTP_ENDPOINT", "serves"),
+        ("HTTP_ENDPOINT", "MIME_TYPE", "returns"),
+        ("TRACE_ID", "SERVICE", "traced_through"),
+        ("SERVICE", "TIMEZONE", "scheduled_in"),
+        ("USER_HANDLE", "LOCALE", "localized_to"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -247,6 +255,8 @@ class PipelineConfig:
         "LICENSE_ID",
         "EXPERIMENT_ID", "HYPERPARAM", "EPOCH", "LOSS_VALUE", "SEED",
         "QUANT_FORMAT",
+        "TRACE_ID", "HTTP_ENDPOINT", "MIME_TYPE", "HTTP_HEADER",
+        "TIMEZONE", "LOCALE",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

@@ -34,11 +34,15 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 # 8 category passes mirroring the reference's 8-pass structure, spanning
 # the full canonical-type vocabulary (tests assert the partition property)
 DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
-    "identity": ("PERSON", "ORG", "USER_HANDLE"),
+    # tier-6 i18n attributes travel with the identity pass (they describe
+    # who/where a user is)
+    "identity": ("PERSON", "ORG", "USER_HANDLE", "LOCALE", "TIMEZONE"),
     "infrastructure": (
         "SERVICE", "HOSTNAME", "IP_ADDR", "CIDR", "MAC_ADDR", "PORT",
         "CLOUD_REGION", "K8S_RESOURCE", "DOCKER_IMAGE",
         "SECURITY_GROUP", "IAM_ROLE",
+        # tier-6 API-surface types
+        "HTTP_ENDPOINT", "MIME_TYPE", "HTTP_HEADER",
     ),
     "artifacts": (
         "VERSION", "SHA", "PATH", "URL", "OBJECT_URI", "GIT_BRANCH",
@@ -52,6 +56,8 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",
         "LOG_LEVEL", "METRIC_NAME", "CHANNEL", "SEVERITY",
+        # tier-6 distributed-tracing ids
+        "TRACE_ID",
     ),
     "data_platform": (
         "TABLE_NAME", "DATABASE", "KAFKA_TOPIC", "QUEUE_NAME", "DAG_ID",

@@ -310,9 +310,32 @@ MLOPS_FACTS = [
      ["0.0342", "0.1278", "0.0091"], "converged_at"),
 ]
 
+# tier-6 tracing/API/i18n facts (patterns/tracing.yaml): same 6-tuple
+# shape. "trace" stays lowercase (LOG_LEVEL's TRACE vocab is
+# uppercase-only); endpoints are single-segment so PATH (two segments
+# required) never double-fires; every surface is matched by exactly one
+# pattern (verified by the overlap harness before these landed).
+TRACING_FACTS = [
+    ("{s} serves {o} today.", "SERVICE", None, "HTTP_ENDPOINT",
+     ["GET /login", "POST /charges", "DELETE /sessions"], "serves"),
+    ("{s} returns {o} now.", "HTTP_ENDPOINT",
+     ["GET /health", "POST /exports", "GET /invoices"], "MIME_TYPE",
+     ["application/json", "text/csv", "application/pdf"], "returns"),
+    ("trace {s} crossed {o} briefly.", "TRACE_ID",
+     ["00-4bf92f3577b34da6a3ce929d0e0e4736-00f067aa0ba902b7-01",
+      "00-af7651916cd43dd8448eb211c80319c7-b7ad6b7169203331-01"], "SERVICE",
+     ["auth-service", "checkout-service", "ingest-service"], "traced_through"),
+    ("{s} runs nightly in {o} now.", "SERVICE", None, "TIMEZONE",
+     ["Europe/Berlin", "America/Chicago", "Asia/Tokyo", "UTC+2"],
+     "scheduled_in"),
+    ("{s} switched locale {o} yesterday.", "USER_HANDLE",
+     ["@dana-r", "@jdoe", "@miguel.ops"], "LOCALE",
+     ["en-US", "de-DE", "pt-BR"], "localized_to"),
+]
+
 TIER3_FACTS = (
     SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
-    + LEGAL_FACTS + MLOPS_FACTS
+    + LEGAL_FACTS + MLOPS_FACTS + TRACING_FACTS
 )
 
 # mention-only counter turns (no triple — counters have no pair in the
@@ -350,6 +373,10 @@ COUNTER_TURNS = [
     # the predicate table, so epoch markers stay mention-only
     ("finished epoch {o} before the restart.", "EPOCH",
      ["17/50", "3/12", "99/100"]),
+    # tier-6 mention-only type (patterns/tracing.yaml): HTTP_HEADER has no
+    # pair in the predicate table, so header names stay mention-only
+    ("header {o} was missing again.", "HTTP_HEADER",
+     ["X-Request-Id", "Retry-After", "Content-Length"]),
 ]
 
 

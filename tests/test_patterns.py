@@ -186,6 +186,40 @@ NEW_TYPE_FIXTURES = {
     "set mode=fast then check https://ex.io/p?page=2&limit=50 for 17/50 done": {
         ("URL", "https://ex.io/p?page=2&limit=50"),
     },
+    # tracing pack (patterns/tracing.yaml): SHA's dash lookarounds fence
+    # it out of every traceparent hex segment; lowercase "trace" never
+    # fires LOG_LEVEL's uppercase-only TRACE vocab
+    "trace 00-4bf92f3577b34da6a3ce929d0e0e4736-00f067aa0ba902b7-01 crossed auth-service briefly": {
+        ("TRACE_ID", "00-4bf92f3577b34da6a3ce929d0e0e4736-00f067aa0ba902b7-01"),
+        ("SERVICE", "auth-service"),
+    },
+    # single-segment endpoint: PATH requires two segments so only
+    # HTTP_ENDPOINT fires; the MIME subtype keeps its sentence-final
+    # letters but not the period
+    "POST /charges returns application/json now.": {
+        ("HTTP_ENDPOINT", "POST /charges"),
+        ("MIME_TYPE", "application/json"),
+    },
+    "header X-Request-Id was missing again.": {
+        ("HTTP_HEADER", "X-Request-Id"),
+    },
+    "billing-service runs nightly in Europe/Berlin now.": {
+        ("SERVICE", "billing-service"),
+        ("TIMEZONE", "Europe/Berlin"),
+    },
+    "@dana-r switched locale en-US yesterday.": {
+        ("USER_HANDLE", "@dana-r"),
+        ("LOCALE", "en-US"),
+    },
+    # overlap guards: a multi-segment endpoint path legitimately ALSO
+    # fires PATH (different types coexist under E2); bare "en-US" without
+    # the locale cue and a dashed capitalized name without the header cue
+    # stay out; "image/png" inside a URL path does not fire MIME_TYPE
+    "GET /api/v2/users maps en-US and Retry-After via https://ex.io/image/png": {
+        ("HTTP_ENDPOINT", "GET /api/v2/users"),
+        ("PATH", "/api/v2/users"),
+        ("URL", "https://ex.io/image/png"),
+    },
 }
 
 
