@@ -152,6 +152,7 @@ class PipelineConfig:
         "converged_at",
         "serves", "returns", "traced_through", "scheduled_in",
         "localized_to",
+        "assigned_to", "moved_under", "reports_in",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -235,6 +236,14 @@ class PipelineConfig:
         ("TRACE_ID", "SERVICE", "traced_through"),
         ("SERVICE", "TIMEZONE", "scheduled_in"),
         ("USER_HANDLE", "LOCALE", "localized_to"),
+        # tier-7 deep-legal pairs (patterns/legal_deep.yaml); assigned_to
+        # mirrors the reference's RelationshipType.ASSIGNED_TO
+        # (relationship_models.py:45), governed_by is reused from the
+        # tier-4 statute pair
+        ("DOCKET_NUMBER", "JUDGE", "assigned_to"),
+        ("ORG", "CFR_CITATION", "governed_by"),
+        ("PERSON", "COURT_RULE", "moved_under"),
+        ("ORG", "FISCAL_PERIOD", "reports_in"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -257,6 +266,8 @@ class PipelineConfig:
         "QUANT_FORMAT",
         "TRACE_ID", "HTTP_ENDPOINT", "MIME_TYPE", "HTTP_HEADER",
         "TIMEZONE", "LOCALE",
+        "CFR_CITATION", "COURT_RULE", "JUDGE", "FISCAL_PERIOD",
+        "SECTION_REF",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

@@ -52,6 +52,9 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         # sit with the other identifier artifacts here)
         "CASE_CITATION", "STATUTE_CITATION", "DOCKET_NUMBER", "COURT",
         "LICENSE_ID",
+        # tier-7 deep-legal citation types (the reference's
+        # CFR/court-rule/section-marker passes)
+        "CFR_CITATION", "COURT_RULE", "JUDGE", "SECTION_REF",
     ),
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",
@@ -71,6 +74,8 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         "INVOICE_ID", "PO_NUMBER", "COST_CENTER",
         # tier-5 ML-ops numeric values
         "EPOCH", "LOSS_VALUE", "SEED",
+        # tier-7 fiscal calendar periods
+        "FISCAL_PERIOD",
     ),
     # credentials and account/tax ids are sensitive-value types — same
     # category as the reference's PII handling

@@ -333,9 +333,30 @@ TRACING_FACTS = [
      ["en-US", "de-DE", "pt-BR"], "localized_to"),
 ]
 
+# tier-7 deep-legal facts (patterns/legal_deep.yaml): same 6-tuple shape.
+# Judge surnames are invented and NOT in LAST_NAMES, so the LAST_NAME
+# coref class never claims them; "Hon." keeps PERSON (two space-separated
+# capitalized words) out of the judge span.
+LEGAL_DEEP_FACTS = [
+    ("docket {s} was assigned to {o} yesterday.", "DOCKET_NUMBER",
+     ["24-cv-001234", "25-cr-004456"], "JUDGE",
+     ["Hon. Arkwright", "Hon. Bellweather", "Hon. Castellanos"],
+     "assigned_to"),
+    ("{s} must follow {o} now.", "ORG",
+     ["Acme Corporation", "Stark Technologies"], "CFR_CITATION",
+     ["17 C.F.R. § 240.10b-5", "12 C.F.R. § 1026.19(e)",
+      "29 C.F.R. § 1910.132"], "governed_by"),
+    ("{s} moved under {o} today.", "PERSON", None, "COURT_RULE",
+     ["Fed. R. Civ. P. 12(b)(6)", "Fed. R. Evid. 702",
+      "Fed. R. Civ. P. 56(a)"], "moved_under"),
+    ("{s} reports in {o} as planned.", "ORG",
+     ["Acme Corporation", "Initech Labs", "Globex Systems"],
+     "FISCAL_PERIOD", ["FY2026", "Q3 FY26", "Q1 2025"], "reports_in"),
+]
+
 TIER3_FACTS = (
     SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
-    + LEGAL_FACTS + MLOPS_FACTS + TRACING_FACTS
+    + LEGAL_FACTS + MLOPS_FACTS + TRACING_FACTS + LEGAL_DEEP_FACTS
 )
 
 # mention-only counter turns (no triple — counters have no pair in the
@@ -377,6 +398,10 @@ COUNTER_TURNS = [
     # pair in the predicate table, so header names stay mention-only
     ("header {o} was missing again.", "HTTP_HEADER",
      ["X-Request-Id", "Retry-After", "Content-Length"]),
+    # tier-7 mention-only type (patterns/legal_deep.yaml): bare section
+    # references have no pair in the predicate table
+    ("see {o} for the carve-out.", "SECTION_REF",
+     ["§ 230(c)(1)", "§§ 12-14", "§ 1782"]),
 ]
 
 

@@ -220,6 +220,30 @@ NEW_TYPE_FIXTURES = {
         ("PATH", "/api/v2/users"),
         ("URL", "https://ex.io/image/png"),
     },
+    # legal_deep pack (patterns/legal_deep.yaml): "Hon." keeps PERSON out
+    # of the judge span; the statute pattern (not SECTION_REF) owns
+    # "U.S.C. §" spans and the CFR pattern owns "C.F.R. §" spans
+    "docket 24-cv-001234 was assigned to Hon. Arkwright yesterday.": {
+        ("DOCKET_NUMBER", "24-cv-001234"),
+        ("JUDGE", "Hon. Arkwright"),
+    },
+    "Acme Corporation must follow 17 C.F.R. § 240.10b-5 now.": {
+        ("ORG", "Acme Corporation"),
+        ("CFR_CITATION", "17 C.F.R. § 240.10b-5"),
+    },
+    "Dana Rivera moved under Fed. R. Civ. P. 12(b)(6) today.": {
+        ("PERSON", "Dana Rivera"),
+        ("COURT_RULE", "Fed. R. Civ. P. 12(b)(6)"),
+    },
+    "close Q3 FY26 books by friday, see § 230(c)(1) for the carve-out": {
+        ("FISCAL_PERIOD", "Q3 FY26"),
+        ("SECTION_REF", "§ 230(c)(1)"),
+    },
+    # the section symbol inside a full statute citation belongs to the
+    # statute (SECTION_REF's lookbehind fences it out)
+    "flagged under 18 U.S.C. § 1030(a)(2) last week": {
+        ("STATUTE_CITATION", "18 U.S.C. § 1030(a)(2)"),
+    },
 }
 
 
