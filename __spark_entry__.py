@@ -134,15 +134,6 @@ def q_topk_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-    )
-
-
 def q_entity_id_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 deterministic entity id: md5(type:lower(trim(text)))[:16]."""
     c = _t(spark, sf_dir, "customer")
@@ -173,6 +164,25 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extraction_service_spark.operators.dedup_corpus import exact_duplicates
 
     return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (13-gram-rule shape at n=8): the
+    'benchmark' is a deterministic slice of the corpus itself — words
+    10..30 of every doc whose md5(doc_id) starts with '0' — so flagged
+    docs and overlap counts are exactly re-derivable in DuckDB."""
+    from entity_extraction_service_spark.operators.dedup_corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    wt = F.split(F.lower(F.trim("text")), r"\s+")
+    bench = (
+        docs.where(
+            (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0")
+            & (F.size(wt) >= 30)
+        )
+        .select(F.concat_ws(" ", F.slice(wt, 10, 21)).alias("text"))
+    )
+    return decontaminate(docs, bench, n=8)
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,9 +391,14 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each text-stat function stays oracle-checked at a quarter of the
     scan cost and the registry stays within the harness budget.)"""
     from entity_extraction_service_spark.functions.text_stats import (
+        alpha_word_ratio,
+        dup_unigram_ratio,
         fingerprint,
+        gopher_pass,
         lang_id,
+        mean_word_length,
         quality_score,
+        symbol_word_ratio,
         token_count_heuristic,
         ws_token_count,
     )
@@ -396,6 +411,13 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"),
         quality_score(F.col("text")).alias("quality"),
         lang_id(F.col("text")).alias("lang_pred"),
+        # Gopher-style quality rules (text_stats.py; Rae et al. 2021
+        # §A1.1 shape) — rounded metrics + the boolean gate
+        mean_word_length(F.col("text")).alias("mean_word_len"),
+        alpha_word_ratio(F.col("text")).alias("alpha_word_ratio"),
+        symbol_word_ratio(F.col("text")).alias("symbol_word_ratio"),
+        dup_unigram_ratio(F.col("text")).alias("dup_unigram_ratio"),
+        gopher_pass(F.col("text")).alias("gopher_pass"),
     )
 
 
@@ -952,7 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_validation_join": q_t6_validation_join,
         "t7_triple_dedup": q_t7_triple_dedup,
         "topk_by_degree": q_topk_by_degree,
-        "distinct_counts": q_distinct_counts,
+        "decontaminate": q_decontaminate,
         "entity_id_hash": q_entity_id_hash,
         "confidence_buckets": q_confidence_buckets,
         "text_analysis": q_text_analysis,
@@ -1886,11 +1908,38 @@ def oracle_sql() -> dict[str, str]:
             ) d JOIN customer ON d.o_custkey = c_custkey
             ORDER BY degree DESC, c_custkey LIMIT 10
         """,
-        "distinct_counts": """
-            SELECT count(DISTINCT l_orderkey) AS n_orders,
-                   count(DISTINCT l_partkey) AS n_parts,
-                   count(DISTINCT l_suppkey) AS n_suppliers
-            FROM lineitem
+        "decontaminate": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS wt
+                FROM documents
+            ), bench AS (
+                -- benchmark = words 10..30 of every md5-selected doc
+                -- (list_slice end is inclusive == Spark slice(wt,10,21))
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(len(bw) - 7, 1)),
+                           i -> array_to_string(list_slice(bw, i, i + 7), ' ')))) AS gram
+                FROM (
+                    SELECT list_slice(wt, 10, 30) AS bw
+                    FROM w
+                    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                      AND len(wt) >= 30
+                )
+            ), grams AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(len(wt) - 7, 1)),
+                           i -> array_to_string(list_slice(wt, i, i + 7), ' ')))) AS gram
+                FROM w
+            ), hits AS (
+                SELECT doc_id, count(*) AS contaminated_ngrams
+                FROM grams JOIN bench USING (gram)
+                GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(coalesce(h.contaminated_ngrams, 0) AS BIGINT)
+                       AS contaminated_ngrams,
+                   coalesce(h.contaminated_ngrams, 0) > 0 AS contaminated
+            FROM w LEFT JOIN hits h ON w.doc_id = h.doc_id
         """,
         "entity_id_hash": """
             SELECT substr(md5(concat_ws(':', 'CUSTOMER', lower(trim(c_name)))), 1, 16)
@@ -1914,12 +1963,44 @@ def oracle_sql() -> dict[str, str]:
                             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
                        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
                 FROM documents
-            ), q AS ({_DOC_QUALITY_SQL}), l AS ({_DOC_LANG_SQL})
+            ), q AS ({_DOC_QUALITY_SQL}), l AS ({_DOC_LANG_SQL}), gw AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS wt
+                FROM documents
+            ), g AS (
+                -- Gopher-rule metrics: rounded identically to the Spark
+                -- expressions so the boolean gate can never diverge at a
+                -- threshold boundary
+                SELECT doc_id,
+                       round(list_sum(list_transform(wt, w -> length(w)))::DOUBLE
+                             / len(wt), 6) AS mean_word_len,
+                       round(len(list_filter(wt, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+                             / len(wt), 6) AS alpha_word_ratio,
+                       round(((length(text) - length(replace(text, '#', '')))
+                              + (length(text) - length(replace(text, '...', ''))) / 3)
+                             / len(wt), 6) AS symbol_word_ratio,
+                       round(1 - len(list_distinct(wt))::DOUBLE / len(wt), 6)
+                           AS dup_unigram_ratio,
+                       len(list_intersect(list_distinct(wt),
+                           ['the','of','and','to','in','a','is','that','it','for',
+                            'on','was','with','as','are','this','be','at','by','from']))
+                           AS stop_hits,
+                       len(wt) AS n_words
+                FROM gw
+            )
             SELECT tok.doc_id, tok.n_tokens_heuristic, tok.n_ws_tokens, tok.fp,
-                   q.quality, l.lang_pred
+                   q.quality, l.lang_pred,
+                   g.mean_word_len, g.alpha_word_ratio, g.symbol_word_ratio,
+                   g.dup_unigram_ratio,
+                   (g.n_words BETWEEN 50 AND 100000
+                    AND g.mean_word_len BETWEEN 3.0 AND 10.0
+                    AND g.alpha_word_ratio >= 0.8
+                    AND g.symbol_word_ratio <= 0.1
+                    AND g.stop_hits >= 2) AS gopher_pass
             FROM tok
             JOIN q ON q.doc_id = tok.doc_id
             JOIN l ON l.doc_id = tok.doc_id
+            JOIN g ON g.doc_id = tok.doc_id
         """,
         "l7_antecedents": """
             WITH b AS (

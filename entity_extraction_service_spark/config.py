@@ -150,6 +150,9 @@ class PipelineConfig:
         "cites", "filed", "governed_by", "licensed_under", "heard_in",
         "tuned_with", "quantized_to", "seeded_with", "evaluates",
         "converged_at",
+        "party_to", "acts_as",
+        "implements", "certified_to", "described_in",
+        "mitigated_by", "reviewed_in", "targets", "tiered_at",
         "serves", "returns", "traced_through", "scheduled_in",
         "localized_to",
         "assigned_to", "moved_under", "reports_in",
@@ -244,6 +247,31 @@ class PipelineConfig:
         ("ORG", "CFR_CITATION", "governed_by"),
         ("PERSON", "COURT_RULE", "moved_under"),
         ("ORG", "FISCAL_PERIOD", "reports_in"),
+        # tier-8 contract/commercial pairs (patterns/contracts.yaml);
+        # governed_by / contains are reused from the statute and
+        # dataset pairs, party_to / acts_as mirror the reference's
+        # PARTY_TO / ACTS_AS relationship members
+        # (relationship_models.py:32-114)
+        ("ORG", "AGREEMENT_TYPE", "party_to"),
+        ("AGREEMENT_TYPE", "GOVERNING_LAW", "governed_by"),
+        ("PERSON", "PARTY_ROLE", "acts_as"),
+        ("ORG", "UCC_CITATION", "governed_by"),
+        ("AGREEMENT_TYPE", "CONTRACT_CLAUSE", "contains"),
+        # tier-9 standards/publication pairs (patterns/standards.yaml);
+        # owns is reused from the ORG->SERVICE pair
+        ("SERVICE", "RFC_NUMBER", "implements"),
+        ("ORG", "STANDARD_ID", "certified_to"),
+        ("MODEL_NAME", "ARXIV_ID", "described_in"),
+        ("DATASET_NAME", "DOI", "described_in"),
+        ("ORG", "PATENT_NUMBER", "owns"),
+        # tier-10 incident/on-call pairs (patterns/incident.yaml);
+        # affects / assigned_to are reused from the CVE and docket pairs
+        ("INCIDENT_ID", "SERVICE", "affects"),
+        ("INCIDENT_ID", "RUNBOOK_ID", "mitigated_by"),
+        ("INCIDENT_ID", "POSTMORTEM_ID", "reviewed_in"),
+        ("PERSON", "ONCALL_ROTATION", "assigned_to"),
+        ("SERVICE", "SLO_TARGET", "targets"),
+        ("SERVICE", "SLA_TIER", "tiered_at"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -268,6 +296,12 @@ class PipelineConfig:
         "TIMEZONE", "LOCALE",
         "CFR_CITATION", "COURT_RULE", "JUDGE", "FISCAL_PERIOD",
         "SECTION_REF",
+        "UCC_CITATION", "GOVERNING_LAW", "AGREEMENT_TYPE", "PARTY_ROLE",
+        "CONTRACT_CLAUSE", "EXHIBIT_REF",
+        "DOI", "ARXIV_ID", "RFC_NUMBER", "ISBN", "PATENT_NUMBER",
+        "STANDARD_ID",
+        "INCIDENT_ID", "RUNBOOK_ID", "ONCALL_ROTATION", "SLO_TARGET",
+        "POSTMORTEM_ID", "SLA_TIER",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

@@ -96,3 +96,75 @@ def fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint over normalized text (exact-dup key)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+# --- Gopher-style document quality rules (Rae et al. 2021 §A1.1 shape) ---
+# Thresholds follow the published repetition/quality filter family; the
+# pass flag gates on the word-count, mean-word-length, alphabetic-word,
+# symbol-ratio and stopword rules. dup_unigram_ratio is exposed as a
+# repetition *metric* but does not gate (the paper's repetition rules are
+# line/paragraph-level, which needs line-structured text).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def _lower_words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean characters per whitespace word, rounded to 6 (the DuckDB
+    twin rounds identically so the value hash-matches)."""
+    words = _lower_words(text)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.round(total.cast("double") / F.size(words), 6)
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character."""
+    words = _lower_words(text)
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    return F.round(alpha.cast("double") / F.size(words), 6)
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# count + ellipsis count) / word count — the Gopher symbol rule."""
+    hashes = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    ellipses = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    words = _lower_words(text)
+    return F.round((hashes + ellipses).cast("double") / F.size(words), 6)
+
+
+def dup_unigram_ratio(text: Column) -> Column:
+    """1 - distinct/total words: a scale-cheap repetition signal."""
+    words = _lower_words(text)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
+    )
+
+
+def gopher_pass(text: Column) -> Column:
+    """Boolean Gopher-rule gate over the rounded metrics (computed from
+    the same rounded expressions in Spark and the DuckDB oracle so the
+    flag can never diverge at a threshold boundary)."""
+    n = ws_token_count(text)
+    mean_len = mean_word_length(text)
+    return (
+        n.between(F.lit(GOPHER_MIN_WORDS), F.lit(GOPHER_MAX_WORDS))
+        & mean_len.between(
+            F.lit(GOPHER_MIN_MEAN_WORD_LEN), F.lit(GOPHER_MAX_MEAN_WORD_LEN)
+        )
+        & (alpha_word_ratio(text) >= F.lit(GOPHER_MIN_ALPHA_WORD_RATIO))
+        & (symbol_word_ratio(text) <= F.lit(GOPHER_MAX_SYMBOL_WORD_RATIO))
+        & (
+            _stopword_hits(text, ENGLISH_STOPWORDS)
+            >= F.lit(GOPHER_MIN_STOPWORD_HITS)
+        )
+    )

@@ -433,3 +433,54 @@ def simhash_near_duplicates(
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word ``n``-gram with an evaluation/benchmark set (the classic
+    13-gram overlap rule used to scrub eval leakage from training
+    corpora; no reference analog — the service extracts entities, it
+    does not curate corpora).
+
+    Returns one row per input document:
+    ``(id_col, contaminated_ngrams BIGINT, contaminated BOOLEAN)``.
+
+    100 TB shape: benchmark suites are tiny relative to the corpus
+    (MBs vs TBs), so the benchmark n-gram set is broadcast and the
+    corpus side is ONE scan with an exploded-ngram broadcast hash join
+    — no corpus shuffle at all; the only exchange is the map-side
+    combinable groupBy(doc_id) on the (rare) hits, then a left join
+    back onto the id spine. Shingling reuses ``_shingles`` (documents
+    shorter than ``n`` words yield one whole-document shingle, so very
+    short docs still participate instead of silently passing).
+    """
+    bench = benchmark.select(
+        F.explode(_shingles(text_col, n)).alias("gram")
+    ).distinct()
+    grams = docs.select(
+        F.col(id_col), F.explode(_shingles(text_col, n)).alias("gram")
+    )
+    # per-doc grams are already distinct (_shingles dedups), so count(*)
+    # counts distinct contaminated n-grams
+    hits = (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contaminated_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("contaminated_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("contaminated_ngrams"),
+            (F.coalesce("contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

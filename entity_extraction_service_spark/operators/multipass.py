@@ -55,12 +55,21 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         # tier-7 deep-legal citation types (the reference's
         # CFR/court-rule/section-marker passes)
         "CFR_CITATION", "COURT_RULE", "JUDGE", "SECTION_REF",
+        # tier-8 contract citations and document references
+        "UCC_CITATION", "GOVERNING_LAW", "AGREEMENT_TYPE", "PARTY_ROLE",
+        "CONTRACT_CLAUSE", "EXHIBIT_REF",
+        # tier-9 standards / publication identifiers
+        "DOI", "ARXIV_ID", "RFC_NUMBER", "ISBN", "PATENT_NUMBER",
+        "STANDARD_ID",
     ),
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",
         "LOG_LEVEL", "METRIC_NAME", "CHANNEL", "SEVERITY",
         # tier-6 distributed-tracing ids
         "TRACE_ID",
+        # tier-10 incident/on-call types
+        "INCIDENT_ID", "RUNBOOK_ID", "ONCALL_ROTATION", "SLO_TARGET",
+        "POSTMORTEM_ID", "SLA_TIER",
     ),
     "data_platform": (
         "TABLE_NAME", "DATABASE", "KAFKA_TOPIC", "QUEUE_NAME", "DAG_ID",

@@ -354,9 +354,78 @@ LEGAL_DEEP_FACTS = [
      "FISCAL_PERIOD", ["FY2026", "Q3 FY26", "Q1 2025"], "reports_in"),
 ]
 
+# tier-8 contract/commercial facts (patterns/contracts.yaml): same
+# 6-tuple shape. Agreement acronyms and party roles are single tokens
+# followed by lowercase prose so PERSON (two capitalized words) never
+# spans them; "acts as Lessee" keeps the definite article away from the
+# role so the coref DEFINITE class never claims the span.
+CONTRACT_FACTS = [
+    ("{s} signed the {o} yesterday.", "ORG",
+     ["Acme Corporation", "Initech Labs", "Globex Systems"],
+     "AGREEMENT_TYPE", ["NDA", "MSA", "DPA", "SOW"], "party_to"),
+    ("the {s} is governed by {o} here.", "AGREEMENT_TYPE",
+     ["MSA", "NDA", "EULA"], "GOVERNING_LAW",
+     ["Delaware law", "California law", "Texas law"], "governed_by"),
+    ("{s} acts as {o} under the lease.", "PERSON", None, "PARTY_ROLE",
+     ["Lessee", "Guarantor", "Assignee"], "acts_as"),
+    ("{s} must satisfy {o} today.", "ORG",
+     ["Acme Corporation", "Stark Technologies"], "UCC_CITATION",
+     ["U.C.C. § 2-207", "U.C.C. § 9-102(a)", "U.C.C. § 2-615"],
+     "governed_by"),
+    ("the {s} contains {o} verbatim.", "AGREEMENT_TYPE", ["MSA", "SOW"],
+     "CONTRACT_CLAUSE", ["clause 14.2", "clause 3.1", "clause 7.4"],
+     "contains"),
+]
+
+# tier-9 standards/publication facts (patterns/standards.yaml): same
+# 6-tuple shape. Identifier prefixes (10., arXiv:, RFC, 978-, U.S. Pat.
+# No., ISO/IEEE/NIST) are self-delimiting; "model"/"dataset" cue words
+# mirror the dataplatform templates so the subject surfaces are matched
+# by exactly one pattern each.
+STANDARDS_FACTS = [
+    ("{s} implements {o} end to end.", "SERVICE", None, "RFC_NUMBER",
+     ["RFC 9110", "RFC 5321", "RFC 793"], "implements"),
+    ("{s} is certified to {o} now.", "ORG",
+     ["Acme Corporation", "Globex Systems", "Initech Labs"], "STANDARD_ID",
+     ["ISO 27001", "IEC 62304", "NIST SP 800-53"], "certified_to"),
+    ("model {s} is described in {o} fully.", "MODEL_NAME",
+     ["llama-3-70b", "bert-large-v2", "rerank-xl-2024"], "ARXIV_ID",
+     ["arXiv:1706.03762", "arXiv:2403.01234"], "described_in"),
+    ("dataset {s} is described in {o} fully.", "DATASET_NAME",
+     ["reviews.v3-clean", "common-crawl.cc24"], "DOI",
+     ["10.1145/3297858.3304028", "10.5281/zenodo.123456"], "described_in"),
+    ("{s} owns {o} outright.", "ORG",
+     ["Acme Corporation", "Stark Technologies"], "PATENT_NUMBER",
+     ["U.S. Pat. No. 9,123,456", "U.S. Pat. No. 10,234,567"], "owns"),
+]
+
+# tier-10 incident/on-call facts (patterns/incident.yaml): same 6-tuple
+# shape. The incident cue travels with the subject surface template-side
+# ("incident {s}") because the pattern captures only "#NNNN"; rotation
+# slugs avoid the "oncall" substring (coref ROLE_REFERENCE vocabulary).
+INCIDENT_FACTS = [
+    ("incident {s} hit {o} hard.", "INCIDENT_ID",
+     ["#4821", "#310", "#9077"], "SERVICE",
+     ["checkout-service", "auth-service", "ingest-service"], "affects"),
+    ("incident {s} was mitigated by runbook {o} quickly.", "INCIDENT_ID",
+     ["#4821", "#310"], "RUNBOOK_ID",
+     ["db-failover-drill", "cache-flush", "queue-drain"], "mitigated_by"),
+    ("incident {s} is reviewed in {o} tomorrow.", "INCIDENT_ID",
+     ["#4821", "#9077"], "POSTMORTEM_ID",
+     ["PM-2026-014", "PM-2025-181"], "reviewed_in"),
+    ("{s} is assigned to rotation {o} this week.", "PERSON", None,
+     "ONCALL_ROTATION", ["payments-primary", "db-weekday", "edge-follow"],
+     "assigned_to"),
+    ("{s} targets {o} this quarter.", "SERVICE", None, "SLO_TARGET",
+     ["four nines", "three nines", "five nines"], "targets"),
+    ("{s} is tiered at {o} now.", "SERVICE", None, "SLA_TIER",
+     ["gold tier", "silver tier", "platinum tier"], "tiered_at"),
+]
+
 TIER3_FACTS = (
     SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
     + LEGAL_FACTS + MLOPS_FACTS + TRACING_FACTS + LEGAL_DEEP_FACTS
+    + CONTRACT_FACTS + STANDARDS_FACTS + INCIDENT_FACTS
 )
 
 # mention-only counter turns (no triple — counters have no pair in the
@@ -402,6 +471,14 @@ COUNTER_TURNS = [
     # references have no pair in the predicate table
     ("see {o} for the carve-out.", "SECTION_REF",
      ["§ 230(c)(1)", "§§ 12-14", "§ 1782"]),
+    # tier-8 mention-only type (patterns/contracts.yaml): exhibit
+    # references have no pair in the predicate table
+    ("see {o} for the schedule.", "EXHIBIT_REF",
+     ["Exhibit B", "Exhibit C", "Exhibit A"]),
+    # tier-9 mention-only type (patterns/standards.yaml): ISBNs have no
+    # pair in the predicate table
+    ("the handbook is {o} in print.", "ISBN",
+     ["978-0-13-468599-1", "978-1-4919-0355-2"]),
 ]
 
 

@@ -1,0 +1,66 @@
+"""Benchmark decontamination (n-gram overlap flagging).
+
+Planted-case semantics, short-document behavior, and the 100 TB plan
+shape: JVM-only (no Python UDF) and a broadcast join on the benchmark
+side so the corpus never shuffles (the DuckDB value twin is the
+`decontaminate` driver oracle in __spark_entry__.py).
+"""
+
+from entity_extraction_service_spark.operators.dedup_corpus import decontaminate
+
+DOCS = [
+    # shares the full planted 5-gram with the benchmark
+    ("d1", "alpha beta gamma delta epsilon zeta eta"),
+    # shares a shifted window of it too (two overlapping 5-grams)
+    ("d2", "zero alpha beta gamma delta epsilon zeta"),
+    # same words, different order: no shared 5-gram
+    ("d3", "epsilon delta gamma beta alpha zeta eta"),
+    # clean
+    ("d4", "one two three four five six seven"),
+    # shorter than n: whole-doc shingle, matches only an identical
+    # benchmark line
+    ("d5", "tiny doc"),
+]
+BENCH = [("b1", "alpha beta gamma delta epsilon zeta"), ("b2", "tiny doc")]
+
+
+def _run(spark, n=5):
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    bench = spark.createDataFrame(BENCH, "doc_id string, text string")
+    return {
+        r["doc_id"]: (r["contaminated_ngrams"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=n).collect()
+    }
+
+
+def test_planted_overlap_flags_exactly(spark):
+    got = _run(spark)
+    # d1: "alpha beta gamma delta epsilon" + "beta gamma delta epsilon
+    # zeta"; d2: the same two grams at a shifted offset
+    assert got["d1"] == (2, True)
+    assert got["d2"] == (2, True)
+    assert got["d3"] == (0, False)
+    assert got["d4"] == (0, False)
+
+
+def test_short_doc_whole_shingle(spark):
+    # a doc shorter than n yields one whole-document shingle; the
+    # benchmark's own short line produces the identical gram
+    got = _run(spark)
+    assert got["d5"] == (1, True)
+
+
+def test_every_input_doc_returns_one_row(spark):
+    got = _run(spark)
+    assert set(got) == {d for d, _ in DOCS}
+
+
+def test_plan_is_jvm_only_with_broadcast_bench(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    bench = spark.createDataFrame(BENCH, "doc_id string, text string")
+    plan = (
+        decontaminate(docs, bench, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan, "decontamination must stay JVM-side"
+    assert "BroadcastHashJoin" in plan, "benchmark grams must broadcast"

@@ -244,6 +244,49 @@ NEW_TYPE_FIXTURES = {
     "flagged under 18 U.S.C. § 1030(a)(2) last week": {
         ("STATUTE_CITATION", "18 U.S.C. § 1030(a)(2)"),
     },
+    # tier-8 contracts: SECTION_REF's "(?<!C\\. )" lookbehind fences it
+    # out of the UCC span; "Exhibit B" must not shed a PERSON
+    "the breach falls under U.C.C. § 2-207 per Exhibit B": {
+        ("UCC_CITATION", "U.C.C. § 2-207"),
+        ("EXHIBIT_REF", "Exhibit B"),
+    },
+    "the MSA picks Delaware law in clause 14.2": {
+        ("AGREEMENT_TYPE", "MSA"),
+        ("GOVERNING_LAW", "Delaware law"),
+        ("CONTRACT_CLAUSE", "clause 14.2"),
+    },
+    "obligations bind the Guarantor jointly": {
+        ("PARTY_ROLE", "Guarantor"),
+    },
+    # tier-9 standards: the DOI's interior slash is digit-preceded so
+    # PATH never fires; the dotted patent form must not shed a PERSON;
+    # the ISBN must not shed SSN/EIN/PHONE fragments
+    "cited 10.1145/3297858.3304028 and arXiv:1706.03762 in the doc": {
+        ("DOI", "10.1145/3297858.3304028"),
+        ("ARXIV_ID", "arXiv:1706.03762"),
+    },
+    "RFC 9110 governs; certified to ISO 27001 and NIST SP 800-53": {
+        ("RFC_NUMBER", "RFC 9110"),
+        ("STANDARD_ID", "ISO 27001"),
+        ("STANDARD_ID", "NIST SP 800-53"),
+    },
+    "shelve 978-0-13-468599-1 next to U.S. Pat. No. 9,123,456": {
+        ("ISBN", "978-0-13-468599-1"),
+        ("PATENT_NUMBER", "U.S. Pat. No. 9,123,456"),
+    },
+    # tier-10 incident: the hash keeps CHANNEL (lowercase-after-#) out;
+    # the PM id survives TICKET's "(?!-\\d)" guard; the runbook slug
+    # must not shed a RUN_ID ("run " cue cannot prefix "runbook")
+    "incident #4821 used runbook db-failover-drill, see PM-2026-014": {
+        ("INCIDENT_ID", "#4821"),
+        ("RUNBOOK_ID", "db-failover-drill"),
+        ("POSTMORTEM_ID", "PM-2026-014"),
+    },
+    "rotation payments-primary holds four nines at gold tier": {
+        ("ONCALL_ROTATION", "payments-primary"),
+        ("SLO_TARGET", "four nines"),
+        ("SLA_TIER", "gold tier"),
+    },
 }
 
 
