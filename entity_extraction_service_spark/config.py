@@ -153,6 +153,8 @@ class PipelineConfig:
         "party_to", "acts_as",
         "implements", "certified_to", "described_in",
         "mitigated_by", "reviewed_in", "targets", "tiered_at",
+        "pinned_at", "isolated_at", "indexed_by", "migrated_by",
+        "fails_with",
         "serves", "returns", "traced_through", "scheduled_in",
         "localized_to",
         "assigned_to", "moved_under", "reports_in",
@@ -272,6 +274,20 @@ class PipelineConfig:
         ("PERSON", "ONCALL_ROTATION", "assigned_to"),
         ("SERVICE", "SLO_TARGET", "targets"),
         ("SERVICE", "SLA_TIER", "tiered_at"),
+        # tier-11 release/build pairs (patterns/build.yaml);
+        # built_from / depends_on / works_on are reused
+        ("SERVICE", "BUILD_NUMBER", "built_from"),
+        ("SERVICE", "ARTIFACT_ID", "built_from"),
+        ("SERVICE", "PYPI_PACKAGE", "depends_on"),
+        ("PYPI_PACKAGE", "SEMVER_RANGE", "pinned_at"),
+        ("PERSON", "CHANGE_ID", "works_on"),
+        # tier-12 database-operations pairs (patterns/database.yaml);
+        # configured_by is reused from the ENV_VAR pair
+        ("DATABASE", "ISOLATION_LEVEL", "isolated_at"),
+        ("DATABASE", "INDEX_NAME", "indexed_by"),
+        ("DATABASE", "MIGRATION_ID", "migrated_by"),
+        ("DATABASE", "SQLSTATE", "fails_with"),
+        ("SERVICE", "CONNECTION_STRING", "configured_by"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -302,6 +318,10 @@ class PipelineConfig:
         "STANDARD_ID",
         "INCIDENT_ID", "RUNBOOK_ID", "ONCALL_ROTATION", "SLO_TARGET",
         "POSTMORTEM_ID", "SLA_TIER",
+        "BUILD_NUMBER", "ARTIFACT_ID", "PYPI_PACKAGE", "SEMVER_RANGE",
+        "CHANGE_ID",
+        "SQLSTATE", "ISOLATION_LEVEL", "INDEX_NAME", "MIGRATION_ID",
+        "CONNECTION_STRING",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

@@ -61,6 +61,9 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         # tier-9 standards / publication identifiers
         "DOI", "ARXIV_ID", "RFC_NUMBER", "ISBN", "PATENT_NUMBER",
         "STANDARD_ID",
+        # tier-11 release/build identifiers
+        "BUILD_NUMBER", "ARTIFACT_ID", "PYPI_PACKAGE", "SEMVER_RANGE",
+        "CHANGE_ID",
     ),
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",
@@ -76,6 +79,9 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         "MODEL_NAME", "DATASET_NAME", "GPU_MODEL",
         # tier-5 ML-ops run/configuration identifiers
         "EXPERIMENT_ID", "HYPERPARAM", "QUANT_FORMAT",
+        # tier-12 database-operations types
+        "SQLSTATE", "ISOLATION_LEVEL", "INDEX_NAME", "MIGRATION_ID",
+        "CONNECTION_STRING",
     ),
     "quantities": (
         "MONEY", "DATE_ISO", "TIME_HHMM", "DATA_SIZE", "ROW_COUNT",

@@ -422,10 +422,52 @@ INCIDENT_FACTS = [
      ["gold tier", "silver tier", "platinum tier"], "tiered_at"),
 ]
 
+# tier-11 release/build facts (patterns/build.yaml): same 6-tuple shape.
+# The "package" cue travels with the template; artifact coordinates and
+# change ids are shape-gated (no cue).
+BUILD_FACTS = [
+    ("{s} shipped from build {o} today.", "SERVICE", None, "BUILD_NUMBER",
+     ["4123", "98021", "777"], "built_from"),
+    ("{s} is built from {o} now.", "SERVICE", None, "ARTIFACT_ID",
+     ["com.acme:ingest-core:2.4.1", "org.apache.kafka:kafka-clients:3.7.0"],
+     "built_from"),
+    ("{s} depends on package {o} at runtime.", "SERVICE", None,
+     "PYPI_PACKAGE", ["requests-oauthlib", "pydantic-core", "types-redis"],
+     "depends_on"),
+    ("package {s} is pinned at {o} for now.", "PYPI_PACKAGE",
+     ["pydantic-core", "requests-oauthlib"], "SEMVER_RANGE",
+     ["^2.31.0", "~1.10.4", "^0.27.2"], "pinned_at"),
+    ("{s} uploaded {o} for review.", "PERSON", None, "CHANGE_ID",
+     ["I3f9a2c41d8", "Iab34cd9021", "I77e0b1f442"], "works_on"),
+]
+
+# tier-12 database-operations facts (patterns/database.yaml): same
+# 6-tuple shape. The "database" cue travels with the subject template
+# (DATABASE is cue-gated); connection-string interiors are fenced by the
+# neighboring patterns' own lookbehinds (see the pack metadata).
+DB_FACTS = [
+    ("database {s} runs at {o} under load.", "DATABASE",
+     ["orders-db", "billing-primary", "users.primary"], "ISOLATION_LEVEL",
+     ["read committed", "repeatable read", "serializable"], "isolated_at"),
+    ("database {s} gained index {o} now.", "DATABASE",
+     ["orders-db", "billing-primary"], "INDEX_NAME",
+     ["idx_users_email", "idx_orders_created_at"], "indexed_by"),
+    ("database {s} was migrated by {o} overnight.", "DATABASE",
+     ["orders-db", "users.primary"], "MIGRATION_ID",
+     ["V20240115__add_users", "V20231201__drop_temp"], "migrated_by"),
+    ("database {s} raised SQLSTATE {o} twice.", "DATABASE",
+     ["orders-db", "billing-primary"], "SQLSTATE",
+     ["42703", "40001", "23505"], "fails_with"),
+    ("{s} connects via {o} at boot.", "SERVICE", None, "CONNECTION_STRING",
+     ["jdbc:postgresql://db-3.prod.internal:5432/app",
+      "jdbc:mysql://cache-1.query.corp:3306/items"], "configured_by"),
+]
+
 TIER3_FACTS = (
     SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
     + LEGAL_FACTS + MLOPS_FACTS + TRACING_FACTS + LEGAL_DEEP_FACTS
     + CONTRACT_FACTS + STANDARDS_FACTS + INCIDENT_FACTS
+    + BUILD_FACTS + DB_FACTS
 )
 
 # mention-only counter turns (no triple — counters have no pair in the

@@ -287,6 +287,30 @@ NEW_TYPE_FIXTURES = {
         ("SLO_TARGET", "four nines"),
         ("SLA_TIER", "gold tier"),
     },
+    # tier-11 build: artifact coordinates must not shed DOCKER_IMAGE
+    # (no slash) or a VERSION; the change id's hex tail must not shed
+    # a SHA (blocked by SHA's own lookbehind behind the leading "I")
+    "build 4123 ships com.acme:ingest-core:2.4.1 via I3f9a2c41d8": {
+        ("BUILD_NUMBER", "4123"),
+        ("ARTIFACT_ID", "com.acme:ingest-core:2.4.1"),
+        ("CHANGE_ID", "I3f9a2c41d8"),
+    },
+    "package pydantic-core pinned at ^2.31.0": {
+        ("PYPI_PACKAGE", "pydantic-core"),
+        ("SEMVER_RANGE", "^2.31.0"),
+    },
+    # tier-12 database: the JDBC interior must not shed HOSTNAME /
+    # PORT / TIME_HHMM / PATH mentions; the migration id must not
+    # shed a VERSION or ENV_VAR
+    "jdbc:postgresql://db-3.prod.internal:5432/app ran V20240115__add_users": {
+        ("CONNECTION_STRING", "jdbc:postgresql://db-3.prod.internal:5432/app"),
+        ("MIGRATION_ID", "V20240115__add_users"),
+    },
+    "index idx_users_email fixed SQLSTATE 42703 at read committed": {
+        ("INDEX_NAME", "idx_users_email"),
+        ("SQLSTATE", "42703"),
+        ("ISOLATION_LEVEL", "read committed"),
+    },
 }
 
 
