@@ -484,3 +484,37 @@ def decontaminate(
             (F.coalesce("contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each document with a
+    per-stratum rate (the training-data "mixture weights" step — e.g.
+    downsample web crawl, keep all code/books). No reference analog.
+
+    Selection is content-addressed, not random: a document is kept iff
+    the first 8 md5 hex chars of ``seed|doc_id`` fall below
+    ``rate * 2^32``. Re-running with the same seed (or re-sampling an
+    incrementally grown corpus) keeps exactly the same documents —
+    lineage-stable, and exactly re-derivable in SQL (no engine RNG).
+
+    100 TB shape: one scan, zero shuffles — the rate lookup compiles to
+    a CASE WHEN chain (small closed stratum vocabulary) and the filter
+    pushes down to the scan; at any corpus size the operator is
+    embarrassingly parallel.
+    """
+    rate_col = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate_col = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate_col)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return docs.where(bucket < (rate_col * F.lit(float(1 << 32))).cast("bigint"))

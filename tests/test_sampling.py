@@ -1,0 +1,77 @@
+"""Deterministic stratified (domain-mixture) sampling.
+
+Determinism, rate accuracy, incremental stability (a grown corpus keeps
+exactly the prior sample), DuckDB value parity for the md5 bucket rule,
+and the zero-shuffle plan shape.
+"""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.dedup_corpus import stratified_sample
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "web")
+        .when(F.col("id") % 3 == 1, "code")
+        .otherwise("books")
+        .alias("source"),
+        F.concat(F.lit("doc text "), F.col("id")).alias("text"),
+    )
+
+
+def test_rates_apply_per_stratum(spark):
+    docs = _docs(spark)
+    out = stratified_sample(docs, {"web": 0.25, "code": 1.0, "books": 0.0})
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("code") == 667  # every code doc kept
+    assert "books" not in counts  # rate 0 drops the stratum
+    web = counts.get("web", 0)
+    assert 0.15 * 667 < web < 0.35 * 667, f"web kept {web} of 667 at rate 0.25"
+
+
+def test_deterministic_and_incrementally_stable(spark):
+    docs = _docs(spark)
+    kept1 = {r["doc_id"] for r in stratified_sample(docs, {"web": 0.3}).select("doc_id").collect()}
+    kept2 = {r["doc_id"] for r in stratified_sample(docs, {"web": 0.3}).select("doc_id").collect()}
+    assert kept1 == kept2
+    # growing the corpus never changes prior membership (content-addressed)
+    grown = _docs(spark, 4000)
+    kept3 = {r["doc_id"] for r in stratified_sample(grown, {"web": 0.3}).select("doc_id").collect()}
+    assert {d for d in kept3 if d < 2000} == kept1
+
+
+def test_duckdb_value_parity(spark):
+    docs = _docs(spark, 500)
+    kept = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, {"web": 0.25, "code": 0.5}).select("doc_id").collect()
+    )
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    oracle = [
+        r[0]
+        for r in con.execute(
+            """
+            SELECT doc_id FROM docs
+            WHERE CAST(('0x' || substr(md5('mix-v1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  < CAST((CASE source WHEN 'code' THEN 0.5 WHEN 'web' THEN 0.25 ELSE 1.0 END)
+                         * 4294967296.0 AS BIGINT)
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert kept == oracle
+
+
+def test_plan_is_one_scan_no_shuffle(spark):
+    docs = _docs(spark)
+    plan = (
+        stratified_sample(docs, {"web": 0.25})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, "sampling must not shuffle"
+    assert "EvalPython" not in plan, "sampling must stay JVM-side"
