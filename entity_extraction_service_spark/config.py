@@ -155,6 +155,11 @@ class PipelineConfig:
         "mitigated_by", "reviewed_in", "targets", "tiered_at",
         "pinned_at", "isolated_at", "indexed_by", "migrated_by",
         "fails_with",
+        "secured_by", "announces", "segmented_in", "speaks",
+        "stocked_in", "carried_by",
+        "subject_to", "classified_as", "retained_for", "relies_on",
+        "grounded_in",
+        "reproduced_in", "rendered_at",
         "serves", "returns", "traced_through", "scheduled_in",
         "localized_to",
         "assigned_to", "moved_under", "reports_in",
@@ -288,6 +293,28 @@ class PipelineConfig:
         ("DATABASE", "MIGRATION_ID", "migrated_by"),
         ("DATABASE", "SQLSTATE", "fails_with"),
         ("SERVICE", "CONNECTION_STRING", "configured_by"),
+        # tier-13 network pairs (patterns/network.yaml)
+        ("SERVICE", "TLS_VERSION", "secured_by"),
+        ("HOSTNAME", "DNS_RECORD_TYPE", "resolved_by"),
+        ("ORG", "ASN", "announces"),
+        ("SERVICE", "VLAN_ID", "segmented_in"),
+        ("SERVICE", "NET_PROTOCOL", "speaks"),
+        # tier-14 logistics pairs (patterns/logistics.yaml);
+        # located_in / operates are reused
+        ("SKU", "WAREHOUSE_ID", "stocked_in"),
+        ("TRACKING_NUMBER", "CARRIER", "carried_by"),
+        ("CONTAINER_ID", "CARRIER", "carried_by"),
+        ("WAREHOUSE_ID", "ZIP_CODE", "located_in"),
+        ("ORG", "WAREHOUSE_ID", "operates"),
+        # tier-15 privacy pairs (patterns/privacy.yaml)
+        ("ORG", "PRIVACY_REGIME", "subject_to"),
+        ("DATASET_NAME", "DATA_CLASS", "classified_as"),
+        ("DATASET_NAME", "RETENTION_PERIOD", "retained_for"),
+        ("ORG", "LAWFUL_BASIS", "relies_on"),
+        ("DSAR_ID", "GDPR_ARTICLE", "grounded_in"),
+        # tier-16 frontend pairs (patterns/frontend.yaml)
+        ("PERSON", "BROWSER", "reproduced_in"),
+        ("BROWSER", "VIEWPORT", "rendered_at"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -322,6 +349,13 @@ class PipelineConfig:
         "CHANGE_ID",
         "SQLSTATE", "ISOLATION_LEVEL", "INDEX_NAME", "MIGRATION_ID",
         "CONNECTION_STRING",
+        "TLS_VERSION", "DNS_RECORD_TYPE", "ASN", "VLAN_ID", "NET_PROTOCOL",
+        "IPV6_ADDR",
+        "SKU", "TRACKING_NUMBER", "CARRIER", "ZIP_CODE", "GPS_COORD",
+        "WAREHOUSE_ID", "CONTAINER_ID",
+        "GDPR_ARTICLE", "DSAR_ID", "DATA_CLASS", "RETENTION_PERIOD",
+        "LAWFUL_BASIS", "PRIVACY_REGIME",
+        "HEX_COLOR", "VIEWPORT", "BROWSER", "DOM_EVENT", "ARIA_ATTR",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

@@ -43,6 +43,9 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         "SECURITY_GROUP", "IAM_ROLE",
         # tier-6 API-surface types
         "HTTP_ENDPOINT", "MIME_TYPE", "HTTP_HEADER",
+        # tier-13 network-layer types
+        "TLS_VERSION", "DNS_RECORD_TYPE", "ASN", "VLAN_ID", "NET_PROTOCOL",
+        "IPV6_ADDR",
     ),
     "artifacts": (
         "VERSION", "SHA", "PATH", "URL", "OBJECT_URI", "GIT_BRANCH",
@@ -64,6 +67,12 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         # tier-11 release/build identifiers
         "BUILD_NUMBER", "ARTIFACT_ID", "PYPI_PACKAGE", "SEMVER_RANGE",
         "CHANGE_ID",
+        # tier-14 logistics identifiers
+        "SKU", "TRACKING_NUMBER", "WAREHOUSE_ID", "CONTAINER_ID",
+        # tier-15 privacy citation (the GDPR analog of the statute rows)
+        "GDPR_ARTICLE",
+        # tier-16 web-platform artifacts
+        "DOM_EVENT", "ARIA_ATTR",
     ),
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",
@@ -91,12 +100,21 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         "EPOCH", "LOSS_VALUE", "SEED",
         # tier-7 fiscal calendar periods
         "FISCAL_PERIOD",
+        # tier-14 logistics coordinates/codes
+        "ZIP_CODE", "GPS_COORD",
+        # tier-16 web-platform dimensions/colors
+        "HEX_COLOR", "VIEWPORT",
     ),
     # credentials and account/tax ids are sensitive-value types — same
     # category as the reference's PII handling
     "pii": ("PHONE", "SSN", "CREDIT_CARD", "EMAIL",
-            "API_KEY", "JWT_TOKEN", "IBAN", "EIN"),
-    "concepts_tools": ("TOOL", "CONCEPT"),
+            "API_KEY", "JWT_TOKEN", "IBAN", "EIN",
+            # tier-15 privacy-compliance types travel with the PII pass
+            "DSAR_ID", "DATA_CLASS", "RETENTION_PERIOD", "LAWFUL_BASIS",
+            "PRIVACY_REGIME"),
+    "concepts_tools": ("TOOL", "CONCEPT",
+                       # tier-14/16 vendor/product vocabularies
+                       "CARRIER", "BROWSER"),
 }
 
 

@@ -463,11 +463,83 @@ DB_FACTS = [
       "jdbc:mysql://cache-1.query.corp:3306/items"], "configured_by"),
 ]
 
+# tier-13 network facts (patterns/network.yaml): same 6-tuple shape.
+# DNS record types are cue-gated on the following "record" word, which
+# travels with the template; vlan ids ride the template's "vlan" cue.
+NETWORK_FACTS = [
+    ("{s} now requires {o} for ingress.", "SERVICE", None, "TLS_VERSION",
+     ["TLS 1.3", "TLS 1.2"], "secured_by"),
+    ("{s} fronts a {o} record at the resolver.", "HOSTNAME",
+     ["cdn-7.prod", "edge-2.lan", "mail.acme.internal"], "DNS_RECORD_TYPE",
+     ["CNAME", "MX", "TXT"], "resolved_by"),
+    ("{s} announces {o} at the exchange.", "ORG",
+     ["Acme Corporation", "Globex Systems"], "ASN",
+     ["AS64501", "AS13335", "AS7018"], "announces"),
+    ("{s} lives on vlan {o} now.", "SERVICE", None, "VLAN_ID",
+     ["120", "4094", "77"], "segmented_in"),
+    ("{s} speaks {o} internally.", "SERVICE", None, "NET_PROTOCOL",
+     ["http2", "quic", "mtls"], "speaks"),
+]
+
+# tier-14 logistics facts (patterns/logistics.yaml): same 6-tuple shape.
+# SKU / warehouse / zip cues travel with the templates; tracking numbers
+# and container ids are shape-gated (literal 1Z / ISO-6346 prefixes).
+LOGISTICS_FACTS = [
+    ("sku {s} is stocked in warehouse {o} today.", "SKU",
+     ["B07XJ8C8F5", "9GK42QPR", "TR7700KL"], "WAREHOUSE_ID",
+     ["ATL4", "PHX12", "EWR9"], "stocked_in"),
+    ("{s} moves with {o} this week.", "TRACKING_NUMBER",
+     ["1Z999AA10123456784", "1Z12345E0205271688"], "CARRIER",
+     ["ups", "fedex", "ontrac"], "carried_by"),
+    ("container {s} sails with {o} on Friday.", "CONTAINER_ID",
+     ["MSCU1234567", "APLU7654321"], "CARRIER",
+     ["dhl", "usps"], "carried_by"),
+    ("warehouse {s} sits at zip {o} downtown.", "WAREHOUSE_ID",
+     ["ATL4", "PHX12"], "ZIP_CODE",
+     ["30309", "94105-1111", "85043"], "located_in"),
+    ("{s} operates warehouse {o} in the east region.", "ORG",
+     ["Acme Corporation", "Initech Labs"], "WAREHOUSE_ID",
+     ["EWR9", "ATL4"], "operates"),
+]
+
+# tier-15 privacy facts (patterns/privacy.yaml): same 6-tuple shape.
+# The DSAR cue travels with the subject template; dataset cues with the
+# dataset surfaces.
+PRIVACY_FACTS = [
+    ("{s} is subject to {o} audits.", "ORG",
+     ["Initech Industries", "Acme Corporation"], "PRIVACY_REGIME",
+     ["CCPA", "HIPAA", "LGPD"], "subject_to"),
+    ("dataset {s} is classified as {o} under policy.", "DATASET_NAME",
+     ["reviews.v3-clean", "claims.q3-extract"], "DATA_CLASS",
+     ["PII", "PHI"], "classified_as"),
+    ("dataset {s} keeps a {o} retention window.", "DATASET_NAME",
+     ["reviews.v3-clean", "audit.logs-cold"], "RETENTION_PERIOD",
+     ["90-day", "30-day", "365-day"], "retained_for"),
+    ("{s} relies on {o} for processing.", "ORG",
+     ["Initech Industries", "Globex Systems"], "LAWFUL_BASIS",
+     ["legitimate interest", "explicit consent", "public task"],
+     "relies_on"),
+    ("DSAR {s} is grounded in {o} today.", "DSAR_ID",
+     ["#1042", "#220155"], "GDPR_ARTICLE",
+     ["Article 17 GDPR", "Art. 6(1) GDPR", "Article 20 GDPR"],
+     "grounded_in"),
+]
+
+# tier-16 frontend facts (patterns/frontend.yaml): same 6-tuple shape.
+FRONTEND_FACTS = [
+    ("{s} reproduced the crash in {o} yesterday.", "PERSON", None,
+     "BROWSER", ["firefox", "chrome", "safari"], "reproduced_in"),
+    ("{s} renders at {o} by default.", "BROWSER",
+     ["chrome", "chromium", "firefox"], "VIEWPORT",
+     ["1920x1080", "1280x720", "375x812"], "rendered_at"),
+]
+
 TIER3_FACTS = (
     SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
     + LEGAL_FACTS + MLOPS_FACTS + TRACING_FACTS + LEGAL_DEEP_FACTS
     + CONTRACT_FACTS + STANDARDS_FACTS + INCIDENT_FACTS
     + BUILD_FACTS + DB_FACTS
+    + NETWORK_FACTS + LOGISTICS_FACTS + PRIVACY_FACTS + FRONTEND_FACTS
 )
 
 # mention-only counter turns (no triple — counters have no pair in the
@@ -521,6 +593,20 @@ COUNTER_TURNS = [
     # pair in the predicate table
     ("the handbook is {o} in print.", "ISBN",
      ["978-0-13-468599-1", "978-1-4919-0355-2"]),
+    # tier-13 mention-only type (patterns/network.yaml): bare IPv6
+    # addresses have no pair in the predicate table
+    ("the probe pinged {o} from the edge rack.", "IPV6_ADDR",
+     ["2001:db8::7334", "fe80::1ff:fe23:4567:890a", "fd12:3456:789a::1"]),
+    # tier-14 mention-only type (patterns/logistics.yaml)
+    ("the rider dropped the pin at {o} downtown.", "GPS_COORD",
+     ["37.7749,-122.4194", "40.7128,-74.0060"]),
+    # tier-16 mention-only types (patterns/frontend.yaml)
+    ("set the banner to {o} for launch.", "HEX_COLOR",
+     ["#FF8800", "#0A84FF", "#1DB954"]),
+    ("the handler {o} fired twice.", "DOM_EVENT",
+     ["onclick", "onsubmit", "onscroll"]),
+    ("audit flagged missing {o} coverage.", "ARIA_ATTR",
+     ["aria-label", "aria-hidden", "aria-expanded"]),
 ]
 
 

@@ -311,6 +311,57 @@ NEW_TYPE_FIXTURES = {
         ("SQLSTATE", "42703"),
         ("ISOLATION_LEVEL", "read committed"),
     },
+    # tier-13 network: the TLS minor must not stand alone, the DNS type
+    # needs its "record" cue, the vlan id its "vlan" cue
+    "the edge probe pinned TLS 1.2 and a CNAME record at vlan 120": {
+        ("TLS_VERSION", "TLS 1.2"),
+        ("DNS_RECORD_TYPE", "CNAME"),
+        ("VLAN_ID", "120"),
+    },
+    # the IPv6 interior must not shed MAC_ADDR / TIME_HHMM / SHA pieces
+    "AS64501 peers over quic while fe80::1ff:fe23:4567:890a flaps": {
+        ("ASN", "AS64501"),
+        ("NET_PROTOCOL", "quic"),
+        ("IPV6_ADDR", "fe80::1ff:fe23:4567:890a"),
+    },
+    # tier-14 logistics: the tracking number's E-interior must not shed
+    # an ERROR_CODE; the sku stays cue-gated
+    "sku B07XJ8C8F5 ships as 1Z12345E0205271688 via fedex": {
+        ("SKU", "B07XJ8C8F5"),
+        ("TRACKING_NUMBER", "1Z12345E0205271688"),
+        ("CARRIER", "fedex"),
+    },
+    "container MSCU1234567 reaches warehouse ATL4 at zip 30309": {
+        ("CONTAINER_ID", "MSCU1234567"),
+        ("WAREHOUSE_ID", "ATL4"),
+        ("ZIP_CODE", "30309"),
+    },
+    # GPS decimals must not shed VERSION/PERCENT-like numerics
+    "the pin 37.7749,-122.4194 sits in the geofence": {
+        ("GPS_COORD", "37.7749,-122.4194"),
+    },
+    # tier-15 privacy: the GDPR article must not shed a SECTION_REF;
+    # PII/CCPA stay word-fenced
+    "DSAR #1042 cites Article 17 GDPR for PII under CCPA": {
+        ("DSAR_ID", "#1042"),
+        ("GDPR_ARTICLE", "Article 17 GDPR"),
+        ("DATA_CLASS", "PII"),
+        ("PRIVACY_REGIME", "CCPA"),
+    },
+    # the N-day token must not shed a DURATION
+    "a 90-day retention window needs legitimate interest": {
+        ("RETENTION_PERIOD", "90-day"),
+        ("LAWFUL_BASIS", "legitimate interest"),
+    },
+    # tier-16 frontend: uppercase hex must not shed a CHANNEL; the
+    # viewport x-pair must not shed DATA_SIZE-like numerics
+    "chrome at 1920x1080 paints #FF8800 on onclick with aria-label set": {
+        ("BROWSER", "chrome"),
+        ("VIEWPORT", "1920x1080"),
+        ("HEX_COLOR", "#FF8800"),
+        ("DOM_EVENT", "onclick"),
+        ("ARIA_ATTR", "aria-label"),
+    },
 }
 
 
