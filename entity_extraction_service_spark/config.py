@@ -160,6 +160,9 @@ class PipelineConfig:
         "subject_to", "classified_as", "retained_for", "relies_on",
         "grounded_in",
         "reproduced_in", "rendered_at",
+        "diagnosed_with", "bills_under", "prescribed", "dosed_at",
+        "departs_from", "holds", "booked_under",
+        "clocked_at", "flashed_with",
         "serves", "returns", "traced_through", "scheduled_in",
         "localized_to",
         "assigned_to", "moved_under", "reports_in",
@@ -315,6 +318,18 @@ class PipelineConfig:
         # tier-16 frontend pairs (patterns/frontend.yaml)
         ("PERSON", "BROWSER", "reproduced_in"),
         ("BROWSER", "VIEWPORT", "rendered_at"),
+        # tier-17 healthcare pairs (patterns/healthcare.yaml)
+        ("MRN", "ICD10_CODE", "diagnosed_with"),
+        ("PERSON", "NPI", "bills_under"),
+        ("PERSON", "DRUG_NAME", "prescribed"),
+        ("DRUG_NAME", "DOSAGE", "dosed_at"),
+        # tier-18 travel pairs (patterns/travel.yaml)
+        ("FLIGHT_NO", "AIRPORT_CODE", "departs_from"),
+        ("PNR", "SEAT_NO", "holds"),
+        ("PERSON", "PNR", "booked_under"),
+        # tier-19 hardware pairs (patterns/hardware.yaml)
+        ("GPU_MODEL", "FREQUENCY", "clocked_at"),
+        ("SERIAL_NO", "FIRMWARE_VERSION", "flashed_with"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -356,6 +371,10 @@ class PipelineConfig:
         "GDPR_ARTICLE", "DSAR_ID", "DATA_CLASS", "RETENTION_PERIOD",
         "LAWFUL_BASIS", "PRIVACY_REGIME",
         "HEX_COLOR", "VIEWPORT", "BROWSER", "DOM_EVENT", "ARIA_ATTR",
+        "ICD10_CODE", "NPI", "CPT_CODE", "MRN", "DRUG_NAME", "DOSAGE",
+        "FLIGHT_NO", "AIRPORT_CODE", "PNR", "SEAT_NO",
+        "TEMPERATURE", "FREQUENCY", "VOLTAGE", "SERIAL_NO",
+        "FIRMWARE_VERSION",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

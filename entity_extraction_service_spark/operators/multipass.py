@@ -73,6 +73,12 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         "GDPR_ARTICLE",
         # tier-16 web-platform artifacts
         "DOM_EVENT", "ARIA_ATTR",
+        # tier-17 clinical codes
+        "ICD10_CODE", "CPT_CODE",
+        # tier-18 travel identifiers
+        "FLIGHT_NO", "AIRPORT_CODE", "PNR", "SEAT_NO",
+        # tier-19 hardware identifiers
+        "SERIAL_NO", "FIRMWARE_VERSION",
     ),
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",
@@ -104,6 +110,8 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         "ZIP_CODE", "GPS_COORD",
         # tier-16 web-platform dimensions/colors
         "HEX_COLOR", "VIEWPORT",
+        # tier-17/19 physical quantities
+        "DOSAGE", "TEMPERATURE", "FREQUENCY", "VOLTAGE",
     ),
     # credentials and account/tax ids are sensitive-value types — same
     # category as the reference's PII handling
@@ -111,10 +119,12 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
             "API_KEY", "JWT_TOKEN", "IBAN", "EIN",
             # tier-15 privacy-compliance types travel with the PII pass
             "DSAR_ID", "DATA_CLASS", "RETENTION_PERIOD", "LAWFUL_BASIS",
-            "PRIVACY_REGIME"),
+            "PRIVACY_REGIME",
+            # tier-17 patient/provider identifiers are PHI
+            "MRN", "NPI"),
     "concepts_tools": ("TOOL", "CONCEPT",
-                       # tier-14/16 vendor/product vocabularies
-                       "CARRIER", "BROWSER"),
+                       # tier-14/16/17 vendor/product vocabularies
+                       "CARRIER", "BROWSER", "DRUG_NAME"),
 }
 
 

@@ -534,12 +534,52 @@ FRONTEND_FACTS = [
      ["1920x1080", "1280x720", "375x812"], "rendered_at"),
 ]
 
+# tier-17 healthcare facts (patterns/healthcare.yaml): same 6-tuple
+# shape. MRN/NPI/ICD-10 cues travel with the templates.
+HEALTHCARE_FACTS = [
+    ("MRN {s} carries icd-10 {o} this visit.", "MRN",
+     ["00482913", "7731042"], "ICD10_CODE",
+     ["E11.9", "J45.40", "I10"], "diagnosed_with"),
+    ("{s} bills under NPI {o}.", "PERSON", None, "NPI",
+     ["1234567893", "1093817465"], "bills_under"),
+    ("{s} was prescribed {o} on discharge.", "PERSON", None, "DRUG_NAME",
+     ["metformin", "atorvastatin", "lisinopril"], "prescribed"),
+    ("{s} is dosed at {o} twice daily.", "DRUG_NAME",
+     ["metformin", "ibuprofen", "semaglutide"], "DOSAGE",
+     ["500 mg", "0.5 mL", "10 IU"], "dosed_at"),
+]
+
+# tier-18 travel facts (patterns/travel.yaml): same 6-tuple shape.
+# All four travel types are cue-gated; the cues travel with the
+# templates.
+TRAVEL_FACTS = [
+    ("flight {s} leaves from airport {o} tonight.", "FLIGHT_NO",
+     ["UA1042", "BA49", "DL210"], "AIRPORT_CODE",
+     ["SFO", "JFK", "ORD"], "departs_from"),
+    ("PNR {s} holds seat {o} on the outbound.", "PNR",
+     ["X4T9QZ", "K88M2P"], "SEAT_NO",
+     ["12A", "31C"], "holds"),
+    ("{s} is booked under PNR {o} for the redeye.", "PERSON", None,
+     "PNR", ["X4T9QZ", "QW3R7Y"], "booked_under"),
+]
+
+# tier-19 hardware facts (patterns/hardware.yaml): same 6-tuple shape.
+HARDWARE_FACTS = [
+    ("{s} boosts to {o} under load.", "GPU_MODEL",
+     ["H100", "A100", "MI300X"], "FREQUENCY",
+     ["3.9 GHz", "1.8GHz", "2.6 GHz"], "clocked_at"),
+    ("serial {s} runs firmware {o} today.", "SERIAL_NO",
+     ["5CG1234XYZ", "FDO21420ABC"], "FIRMWARE_VERSION",
+     ["4.2.1", "7.10"], "flashed_with"),
+]
+
 TIER3_FACTS = (
     SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
     + LEGAL_FACTS + MLOPS_FACTS + TRACING_FACTS + LEGAL_DEEP_FACTS
     + CONTRACT_FACTS + STANDARDS_FACTS + INCIDENT_FACTS
     + BUILD_FACTS + DB_FACTS
     + NETWORK_FACTS + LOGISTICS_FACTS + PRIVACY_FACTS + FRONTEND_FACTS
+    + HEALTHCARE_FACTS + TRAVEL_FACTS + HARDWARE_FACTS
 )
 
 # mention-only counter turns (no triple — counters have no pair in the
@@ -607,6 +647,15 @@ COUNTER_TURNS = [
      ["onclick", "onsubmit", "onscroll"]),
     ("audit flagged missing {o} coverage.", "ARIA_ATTR",
      ["aria-label", "aria-hidden", "aria-expanded"]),
+    # tier-17 mention-only type (patterns/healthcare.yaml): bare CPT
+    # procedure codes have no pair in the predicate table
+    ("the claim bundles CPT {o} with the labs.", "CPT_CODE",
+     ["99213", "70553", "80053"]),
+    # tier-19 mention-only types (patterns/hardware.yaml)
+    ("the rack inlet hit {o} during the brownout.", "TEMPERATURE",
+     ["42°C", "95 °C", "104°F"]),
+    ("the {o} rail sagged during spin-up.", "VOLTAGE",
+     ["12V", "5V", "3.3 V"]),
 ]
 
 

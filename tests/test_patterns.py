@@ -362,6 +362,36 @@ NEW_TYPE_FIXTURES = {
         ("DOM_EVENT", "onclick"),
         ("ARIA_ATTR", "aria-label"),
     },
+    # tier-17 healthcare: every numeric id stays behind its own acronym
+    # cue — the bare digit runs must not shed HTTP_STATUS/SEED/PORT
+    "MRN 00482913 carries icd-10 E11.9 after CPT 99213": {
+        ("MRN", "00482913"),
+        ("ICD10_CODE", "E11.9"),
+        ("CPT_CODE", "99213"),
+    },
+    # the dose unit must not shed a DURATION or DATA_SIZE
+    "NPI 1234567893 prescribed metformin at 500 mg": {
+        ("NPI", "1234567893"),
+        ("DRUG_NAME", "metformin"),
+        ("DOSAGE", "500 mg"),
+    },
+    # tier-18 travel: UA1042 must not shed a GPU_MODEL-style bare
+    # letter+digits mention; SFO stays behind the airport cue
+    "flight UA1042 from airport SFO under PNR X4T9QZ seat 12A": {
+        ("FLIGHT_NO", "UA1042"),
+        ("AIRPORT_CODE", "SFO"),
+        ("PNR", "X4T9QZ"),
+        ("SEAT_NO", "12A"),
+    },
+    # tier-19 hardware: the firmware number has no leading v (VERSION
+    # stays out); 12V must not shed a VERSION/PORT-like numeric
+    "serial 5CG1234XYZ at firmware 4.2.1 hit 42°C, 3.9 GHz and 12V": {
+        ("SERIAL_NO", "5CG1234XYZ"),
+        ("FIRMWARE_VERSION", "4.2.1"),
+        ("TEMPERATURE", "42°C"),
+        ("FREQUENCY", "3.9 GHz"),
+        ("VOLTAGE", "12V"),
+    },
 }
 
 
