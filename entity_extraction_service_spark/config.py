@@ -163,6 +163,7 @@ class PipelineConfig:
         "diagnosed_with", "bills_under", "prescribed", "dosed_at",
         "departs_from", "holds", "booked_under",
         "clocked_at", "flashed_with",
+        "confirmed_in", "bridged_to", "resolves_through",
         "serves", "returns", "traced_through", "scheduled_in",
         "localized_to",
         "assigned_to", "moved_under", "reports_in",
@@ -330,6 +331,11 @@ class PipelineConfig:
         # tier-19 hardware pairs (patterns/hardware.yaml)
         ("GPU_MODEL", "FREQUENCY", "clocked_at"),
         ("SERIAL_NO", "FIRMWARE_VERSION", "flashed_with"),
+        # tier-20 web3 pairs (patterns/web3.yaml)
+        ("TX_HASH", "BLOCK_HEIGHT", "confirmed_in"),
+        ("WALLET_ADDR", "CHAIN_NAME", "bridged_to"),
+        ("ENS_NAME", "WALLET_ADDR", "resolves_through"),
+        ("TX_HASH", "GAS_PRICE", "costs"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -375,6 +381,8 @@ class PipelineConfig:
         "FLIGHT_NO", "AIRPORT_CODE", "PNR", "SEAT_NO",
         "TEMPERATURE", "FREQUENCY", "VOLTAGE", "SERIAL_NO",
         "FIRMWARE_VERSION",
+        "TX_HASH", "WALLET_ADDR", "BLOCK_HEIGHT", "GAS_PRICE",
+        "CHAIN_NAME", "ENS_NAME",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

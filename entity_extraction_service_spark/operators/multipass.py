@@ -79,6 +79,8 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         "FLIGHT_NO", "AIRPORT_CODE", "PNR", "SEAT_NO",
         # tier-19 hardware identifiers
         "SERIAL_NO", "FIRMWARE_VERSION",
+        # tier-20 on-chain identifiers
+        "TX_HASH", "WALLET_ADDR", "ENS_NAME",
     ),
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",
@@ -112,6 +114,8 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         "HEX_COLOR", "VIEWPORT",
         # tier-17/19 physical quantities
         "DOSAGE", "TEMPERATURE", "FREQUENCY", "VOLTAGE",
+        # tier-20 on-chain quantities
+        "BLOCK_HEIGHT", "GAS_PRICE",
     ),
     # credentials and account/tax ids are sensitive-value types — same
     # category as the reference's PII handling
@@ -123,8 +127,8 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
             # tier-17 patient/provider identifiers are PHI
             "MRN", "NPI"),
     "concepts_tools": ("TOOL", "CONCEPT",
-                       # tier-14/16/17 vendor/product vocabularies
-                       "CARRIER", "BROWSER", "DRUG_NAME"),
+                       # tier-14/16/17/20 vendor/product vocabularies
+                       "CARRIER", "BROWSER", "DRUG_NAME", "CHAIN_NAME"),
 }
 
 

@@ -573,13 +573,33 @@ HARDWARE_FACTS = [
      ["4.2.1", "7.10"], "flashed_with"),
 ]
 
+# tier-20 web3 facts (patterns/web3.yaml): same 6-tuple shape. The
+# block cue travels with the template; hashes/addresses are
+# shape-gated on the 0x prefix.
+WEB3_FACTS = [
+    ("{s} confirmed in block {o} on mainnet.", "TX_HASH",
+     ["0x3f9a2c41d8e0b17746aa90cc13df58214be02ddfa0931e847c6b1a2f90d4e5c7",
+      "0xaa11bb22cc33dd44ee55ff660718293a4b5c6d7e8f90123456789abcdef01234"],
+     "BLOCK_HEIGHT", ["19000000", "184211"], "confirmed_in"),
+    ("{s} bridged to {o} this morning.", "WALLET_ADDR",
+     ["0x71C7656EC7ab88b098defB751B7401B5f6d8976F",
+      "0xde0b295669a9fd93d5f28d9ec85e40f4cb697bae"], "CHAIN_NAME",
+     ["arbitrum", "polygon", "solana"], "bridged_to"),
+    ("{s} resolves through {o} onchain.", "ENS_NAME",
+     ["vitalik.eth", "acme-dao.eth"], "WALLET_ADDR",
+     ["0x71C7656EC7ab88b098defB751B7401B5f6d8976F"], "resolves_through"),
+    ("{s} cost {o} at the peak.", "TX_HASH",
+     ["0xaa11bb22cc33dd44ee55ff660718293a4b5c6d7e8f90123456789abcdef01234"],
+     "GAS_PRICE", ["32 gwei", "8.5 gwei"], "costs"),
+]
+
 TIER3_FACTS = (
     SECURITY_FACTS + FINANCE_FACTS + WORKFLOW_FACTS + BREADTH_FACTS
     + LEGAL_FACTS + MLOPS_FACTS + TRACING_FACTS + LEGAL_DEEP_FACTS
     + CONTRACT_FACTS + STANDARDS_FACTS + INCIDENT_FACTS
     + BUILD_FACTS + DB_FACTS
     + NETWORK_FACTS + LOGISTICS_FACTS + PRIVACY_FACTS + FRONTEND_FACTS
-    + HEALTHCARE_FACTS + TRAVEL_FACTS + HARDWARE_FACTS
+    + HEALTHCARE_FACTS + TRAVEL_FACTS + HARDWARE_FACTS + WEB3_FACTS
 )
 
 # mention-only counter turns (no triple — counters have no pair in the
