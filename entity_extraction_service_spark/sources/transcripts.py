@@ -586,7 +586,7 @@ WEB3_FACTS = [
       "0xde0b295669a9fd93d5f28d9ec85e40f4cb697bae"], "CHAIN_NAME",
      ["arbitrum", "polygon", "solana"], "bridged_to"),
     ("{s} resolves through {o} onchain.", "ENS_NAME",
-     ["vitalik.eth", "acme-dao.eth"], "WALLET_ADDR",
+     ["treasury-ops.eth", "acme-dao.eth"], "WALLET_ADDR",
      ["0x71C7656EC7ab88b098defB751B7401B5f6d8976F"], "resolves_through"),
     ("{s} cost {o} at the peak.", "TX_HASH",
      ["0xaa11bb22cc33dd44ee55ff660718293a4b5c6d7e8f90123456789abcdef01234"],

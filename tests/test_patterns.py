@@ -394,16 +394,16 @@ NEW_TYPE_FIXTURES = {
     },
     # tier-20 web3: the 0x prefix keeps SHA out of the hash interior;
     # the 40-hex wallet grammar must not claim a 64-hex tx prefix;
-    # vitalik.eth must not shed a HOSTNAME
+    # treasury-ops.eth must not shed a HOSTNAME
     "0x3f9a2c41d8e0b17746aa90cc13df58214be02ddfa0931e847c6b1a2f90d4e5c7"
-    " hit block 19000000 at 32 gwei on ethereum via vitalik.eth": {
+    " hit block 19000000 at 32 gwei on ethereum via treasury-ops.eth": {
         ("TX_HASH",
          "0x3f9a2c41d8e0b17746aa90cc13df58214be02ddfa0931e847c6b1a2f"
          "90d4e5c7"),
         ("BLOCK_HEIGHT", "19000000"),
         ("GAS_PRICE", "32 gwei"),
         ("CHAIN_NAME", "ethereum"),
-        ("ENS_NAME", "vitalik.eth"),
+        ("ENS_NAME", "treasury-ops.eth"),
     },
     "0x71C7656EC7ab88b098defB751B7401B5f6d8976F signed on arbitrum": {
         ("WALLET_ADDR", "0x71C7656EC7ab88b098defB751B7401B5f6d8976F"),
