@@ -167,6 +167,7 @@ class PipelineConfig:
         "serves", "returns", "traced_through", "scheduled_in",
         "localized_to",
         "assigned_to", "moved_under", "reports_in",
+        "identified_by", "registered_as", "settles_via", "priced_at",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -336,6 +337,11 @@ class PipelineConfig:
         ("WALLET_ADDR", "CHAIN_NAME", "bridged_to"),
         ("ENS_NAME", "WALLET_ADDR", "resolves_through"),
         ("TX_HASH", "GAS_PRICE", "costs"),
+        # tier-21 global-identifier pairs (patterns/identifiers.yaml)
+        ("PERSON", "ORCID", "identified_by"),
+        ("ORG", "LEI", "registered_as"),
+        ("ORG", "SWIFT_BIC", "settles_via"),
+        ("ISIN", "MONEY", "priced_at"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -383,6 +389,7 @@ class PipelineConfig:
         "FIRMWARE_VERSION",
         "TX_HASH", "WALLET_ADDR", "BLOCK_HEIGHT", "GAS_PRICE",
         "CHAIN_NAME", "ENS_NAME",
+        "ORCID", "ISIN", "LEI", "VIN", "IMO_NUMBER", "SWIFT_BIC",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

@@ -409,6 +409,35 @@ NEW_TYPE_FIXTURES = {
         ("WALLET_ADDR", "0x71C7656EC7ab88b098defB751B7401B5f6d8976F"),
         ("CHAIN_NAME", "arbitrum"),
     },
+    # tier-21 identifiers: the cued ORCID body must NOT also shed a
+    # CREDIT_CARD (4-4-4-4 digit shape ceded via lookbehind), and none
+    # of the id digit runs may shed SSN/DATE_ISO/ZIP-style fragments
+    "reviewer orcid 0000-0002-1825-0097 signed off on the corpus.": {
+        ("ORCID", "0000-0002-1825-0097"),
+    },
+    "hedge the exposure on ISIN US0378331005 before close.": {
+        ("ISIN", "US0378331005"),
+    },
+    # LEI/VIN uppercase-alnum bodies must not shed SERIAL_NO/TRACKING/
+    # PNR (all cue- or prefix-gated); the bare 7-digit IMO run must not
+    # shed HTTP_STATUS/SEED/PORT-like numerics; the 8-letter BIC must
+    # not shed an ENV_VAR (underscore required there)
+    "KYC flagged LEI 529900T8BM49AURSDO55 as lapsed.": {
+        ("LEI", "529900T8BM49AURSDO55"),
+    },
+    "recall covers VIN 1HGCM82633A004352 built before May.": {
+        ("VIN", "1HGCM82633A004352"),
+    },
+    "the feeder vessel IMO 9321483 berths on Tuesday.": {
+        ("IMO_NUMBER", "9321483"),
+    },
+    "route the wire via BIC DEUTDEFF today.": {
+        ("SWIFT_BIC", "DEUTDEFF"),
+    },
+    # an uncued 4-4-4-4 body is still a CREDIT_CARD
+    "test card 4111 1111 1111 1111 was committed by mistake": {
+        ("CREDIT_CARD", "4111 1111 1111 1111"),
+    },
 }
 
 
