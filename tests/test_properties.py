@@ -1,0 +1,342 @@
+"""Property-based tests (hypothesis) over the pure-Python turn-local
+kernels — a §5 layer the reference does not have (its suite is fixture-
+and golden-output-driven only, SURVEY.md §5).
+
+Targets are the Spark-free kernels, so thousands of randomized cases run
+in seconds with full shrinking:
+
+- E1 `_match_turn`: span/offset exactness and prescreen-guard
+  equivalence on adversarial texts (reference regex_engine.py:564-628).
+- E2+D5 `resolve_and_merge`: equivalence with an independent union-find
+  spec of "transitive-overlap groups keep the best row"
+  (regex_engine.py:882-988), idempotence, input-order invariance.
+- T1/T3 `pattern_triples_local` / `proximity_triples_local`:
+  equivalence with unpruned brute-force specs (the shipped kernels
+  early-break on the sorted stream) and structural invariants
+  (relationship_extractor.py:698-727 semantics).
+- E11 `repair_json`: totality (never raises) on arbitrary text, and
+  recovery of entity payloads under the reference's observed corruption
+  modes (markdown fences, prose wrapping, python-repr responses —
+  json_repair semantics, extraction_orchestrator.py repair ladder).
+- S5 ids: `surface_id_py` (kernel twin) == `entity_id_py` (functions
+  twin) — two independent implementations of the
+  graph_storage.py:262-265 invariant.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_extraction_service_spark.functions.ids import entity_id_py
+from entity_extraction_service_spark.operators.extract_model import (
+    conform_entities,
+    repair_json,
+)
+from entity_extraction_service_spark.operators.local_resolve import (
+    METHOD_PRIORITY,
+    pattern_triples_local,
+    proximity_triples_local,
+    resolve_and_merge,
+    surface_id_py,
+)
+from entity_extraction_service_spark.operators.mentions import (
+    MentionPattern,
+    _match_turn,
+    build_pattern_table,
+)
+
+# ---------------------------------------------------------------- E1
+
+
+_TABLE = build_pattern_table()
+_UNGUARDED = [
+    MentionPattern(p.regex, p.entity_type, p.confidence, ()) for p in _TABLE
+]
+
+# fragments that brush against many pattern families' fences
+_FRAGMENTS = [
+    "Alice Chen", "Acme Corporation", "redis", "rate limiting",
+    "v2.14.3", "INFRA-1234", "10.2.41.7", "2025-11-28", "$30m",
+    "CVE-2021-44228", "HTTP 503", "3.5%", "#incident-4521", "42°C",
+    "orcid 0000-0002-1825-0097", "4111 1111 1111 1111", "UN 1203",
+    "flight UA1042", "serial 5CG1234XYZ", "block 19000000",
+    "sev2", "SEV2", "P0", "us-east-1", "250ms", "1920x1080",
+    "... )", "((", "\\", "0x", "§ 230", "e.g.", "U.S.C.",
+]
+
+_texts = st.lists(
+    st.one_of(
+        st.sampled_from(_FRAGMENTS),
+        st.text(
+            alphabet="abcXYZ019 .-_:/#$%°§",
+            min_size=0,
+            max_size=12,
+        ),
+    ),
+    min_size=0,
+    max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts)
+def test_match_turn_spans_slice_exactly(text):
+    """Every emitted mention's (start, end) must slice the turn text to
+    exactly the emitted surface — the offset invariant every downstream
+    stage (C4 re-offsetting, T1 span joins) builds on."""
+    for etype, surface, s, e, conf in _match_turn(_TABLE, text):
+        assert text[s:e] == surface, (etype, surface, s, e)
+        assert 0.0 < conf <= 1.0
+        assert surface  # no empty captures
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts)
+def test_match_turn_prescreen_never_changes_output(text):
+    """The derived-guard prescreen is a pure skip optimization: output
+    with guards must equal output with every guard stripped."""
+    assert _match_turn(_TABLE, text) == _match_turn(_UNGUARDED, text)
+
+
+# ------------------------------------------------------------ E2+D5
+
+
+_mention_sets = st.lists(
+    st.tuples(
+        st.sampled_from(["PERSON", "ORG", "TOOL"]),        # entity_type
+        st.sampled_from(["aa", "bb", "cc", "dd"]),         # surface
+        st.integers(min_value=0, max_value=40),            # start
+        st.integers(min_value=1, max_value=15),            # length
+        st.sampled_from([0.5, 0.8, 0.85, 0.9]),            # confidence
+        st.sampled_from(["regex", "model", "hybrid"]),     # method
+    ),
+    min_size=0,
+    max_size=12,
+).map(
+    # (type, surface, start, end, conf, method); unique (type, start, end)
+    # so best-row ties cannot depend on input order (duplicate spans are
+    # D-stage dedup's job, not E2's)
+    lambda ms: list(
+        {
+            (m[2], m[2] + m[3], m[0]): (m[0], m[1], m[2], m[2] + m[3], m[4], m[5])
+            for m in ms
+        }.values()
+    )
+)
+
+
+def _brute_resolve(matches):
+    """Independent spec: per type, connected components of the strict
+    interval-overlap graph via union-find; E2 keeps the best row by
+    (conf desc, start, end desc) per component; D5 regroups the
+    survivors and keeps the best by (method priority desc, conf desc,
+    start, end desc)."""
+
+    def components(ms):
+        parent = list(range(len(ms)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = ms[i], ms[j]
+                if a[2] < b[3] and b[2] < a[3]:  # strict overlap
+                    parent[find(i)] = find(j)
+        groups = {}
+        for i in range(len(ms)):
+            groups.setdefault(find(i), []).append(ms[i])
+        return list(groups.values())
+
+    out = []
+    by_type = {}
+    for m in matches:
+        by_type.setdefault(m[0], []).append(m)
+    for ms in by_type.values():
+        stage1 = [
+            min(g, key=lambda m: (-m[4], m[2], -m[3])) for g in components(ms)
+        ]
+        stage2 = [
+            min(g, key=lambda m: (-METHOD_PRIORITY.get(m[5], 0), -m[4], m[2], -m[3]))
+            for g in components(stage1)
+        ]
+        out.extend(stage2)
+    out.sort(key=lambda m: (m[2], m[3], m[0]))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(_mention_sets)
+def test_resolve_and_merge_equals_unionfind_spec(ms):
+    assert resolve_and_merge(ms) == _brute_resolve(ms)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_mention_sets)
+def test_resolve_and_merge_idempotent(ms):
+    once = resolve_and_merge(ms)
+    assert resolve_and_merge(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(_mention_sets, st.randoms(use_true_random=False))
+def test_resolve_and_merge_input_order_invariant(ms, rnd):
+    shuffled = list(ms)
+    rnd.shuffle(shuffled)
+    assert resolve_and_merge(shuffled) == resolve_and_merge(ms)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_mention_sets)
+def test_resolve_and_merge_no_same_type_overlap_survives(ms):
+    out = resolve_and_merge(ms)
+    for i in range(len(out)):
+        for j in range(i + 1, len(out)):
+            a, b = out[i], out[j]
+            if a[0] == b[0]:
+                assert a[3] <= b[2] or b[3] <= a[2], (a, b)
+
+
+# ------------------------------------------------------------- T1/T3
+
+
+def _with_sids(ms):
+    """(type, surface, start, end, conf, method) -> 7-tuples with a
+    unique surface_id per row (index-salted so nearest-mention ties
+    cannot depend on input order)."""
+    return [
+        m + (surface_id_py(m[0], f"{m[1]}-{i}"),) for i, m in enumerate(ms)
+    ]
+
+
+_verb_sets = st.lists(
+    st.tuples(
+        st.sampled_from(["uses_tool", "works_for", "operates"]),
+        st.integers(min_value=0, max_value=55),
+        st.integers(min_value=0, max_value=6),
+    ).map(lambda v: (v[0], v[1], v[1] + v[2])),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_mention_sets, _verb_sets, st.integers(min_value=0, max_value=8))
+def test_pattern_triples_nearest_mention_spec(ms, verbs, max_gap):
+    mentions = _with_sids(ms)
+    got = pattern_triples_local(mentions, verbs, max_gap=max_gap)
+    expect = []
+    for pred, v_start, v_end in verbs:
+        left = [m for m in mentions if m[3] <= v_start]
+        right = [m for m in mentions if m[2] >= v_end]
+        subj = max(left, key=lambda m: (m[3], m[2], m[6], m[1]), default=None)
+        obj = min(right, key=lambda m: (m[2], m[3], m[6], m[1]), default=None)
+        if subj and obj and v_start - subj[3] <= max_gap and obj[2] - v_end <= max_gap:
+            expect.append(
+                (subj[6], pred, obj[6], 0.85, f"{subj[1]} {pred} {obj[1]}")
+            )
+    assert got == expect
+
+
+_rules = st.dictionaries(
+    st.tuples(
+        st.sampled_from(["PERSON", "ORG", "TOOL"]),
+        st.sampled_from(["PERSON", "ORG", "TOOL"]),
+    ),
+    st.sampled_from(["works_for", "uses_tool", "operates"]),
+    max_size=4,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_mention_sets, _rules, st.integers(min_value=0, max_value=30))
+def test_proximity_triples_equal_unpruned_spec(ms, rules, window):
+    """The shipped kernel early-breaks on the start-sorted stream; the
+    spec scans every ordered pair with no pruning."""
+    mentions = _with_sids(ms)
+    got = proximity_triples_local(mentions, rules, proximity_window=window)
+    ordered = sorted(mentions, key=lambda m: (m[2], m[3]))
+    expect = []
+    for i, a in enumerate(ordered):
+        for b in ordered[i + 1:]:
+            if (a[2], a[3]) >= (b[2], b[3]):
+                continue
+            dist = b[2] - a[3]
+            if dist > window:
+                continue  # spec: no break — checks the pruning is sound
+            pred = rules.get((a[0], b[0])) or rules.get((b[0], a[0]), "related_to")
+            conf = max(0.5, min(1.0, 1.0 - dist / 200))
+            expect.append((a[6], pred, b[6], round(conf, 6), f"{a[1]} ~ {b[1]}"))
+    assert sorted(got) == sorted(expect)
+    for _sid, _pred, _oid, conf, _ev in got:
+        assert 0.5 <= conf <= 1.0
+
+
+# --------------------------------------------------------------- E11
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_repair_json_total_on_garbage(raw):
+    """The ladder must never raise, whatever the model emits; it returns
+    a dict or None, and conform_entities() of the result never raises."""
+    obj = repair_json(raw)
+    assert obj is None or isinstance(obj, dict)
+    assert isinstance(conform_entities(obj), list)
+
+
+_entities = st.lists(
+    st.fixed_dictionaries(
+        {
+            "entity_type": st.sampled_from(["PERSON", "ORG", "TOOL"]),
+            "text": st.text(alphabet="abcXYZ019 ", min_size=1, max_size=12).map(
+                lambda s: s.strip() or "x"
+            ),
+            "turn_idx": st.integers(min_value=0, max_value=50),
+            "start": st.integers(min_value=0, max_value=100),
+            "end": st.integers(min_value=100, max_value=300),
+            "confidence": st.sampled_from([0.5, 0.85, 1.0]),
+        }
+    ),
+    max_size=4,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_entities, st.sampled_from(["plain", "fenced", "prose", "pyrepr"]))
+def test_repair_json_recovers_corrupted_entity_payloads(ents, mode):
+    payload = {"entities": ents}
+    raw = json.dumps(payload)
+    if mode == "fenced":
+        raw = f"```json\n{raw}\n```"
+    elif mode == "prose":
+        raw = f"Here are the extracted entities: {raw} Let me know!"
+    elif mode == "pyrepr":
+        raw = repr(payload)  # single quotes — ladder step 8
+    got = conform_entities(repair_json(raw))
+    expect = conform_entities(payload)
+    assert got == expect
+
+
+# ---------------------------------------------------------------- S5
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sampled_from(["PERSON", "ORG", "TOOL", "CONCEPT"]),
+    st.text(max_size=40),
+)
+def test_surface_id_twins_agree(etype, text):
+    """Two independent implementations of the graph_storage.py:262-265
+    id invariant (functions/ids.py vs operators/local_resolve.py) must
+    agree on every input, and the id is 16 lowercase hex chars."""
+    a = entity_id_py(etype, text)
+    b = surface_id_py(etype, text)
+    assert a == b
+    assert len(a) == 16 and all(c in "0123456789abcdef" for c in a)
