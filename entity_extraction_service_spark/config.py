@@ -390,6 +390,8 @@ class PipelineConfig:
         "TX_HASH", "WALLET_ADDR", "BLOCK_HEIGHT", "GAS_PRICE",
         "CHAIN_NAME", "ENS_NAME",
         "ORCID", "ISIN", "LEI", "VIN", "IMO_NUMBER", "SWIFT_BIC",
+        "CONST_CITATION", "FED_REG_CITATION", "PUB_LAW_CITATION",
+        "LAW_REVIEW_CITATION", "RESTATEMENT_CITATION", "STATE_CODE_CITATION",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

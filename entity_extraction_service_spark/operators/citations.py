@@ -15,7 +15,12 @@ regexes are Java-compatible by construction (no lookbehind in component
 grammars; validated by tests).
 
 Three further layers of the reference's citation subsystem, over the
-tier-4 legal pack's parsed components:
+tier-4/7/22 legal packs' parsed components (the subtype rule table spans
+13 of the taxonomy's 15 families — case, statutory, regulatory,
+constitutional, court-rule, secondary-source, electronic, international,
+record, specialized and pinpoint tiers here, plus the ID/SUPRA/
+SHORT_FORM cross-reference tier emitted by classify_short_cites;
+news-media and practice-materials have no transcript analog):
 
 - sub-classification (CitationType tiers, regex_engine.py:1400-1566) —
   a data-table-driven CASE WHEN chain (reporter -> court level), pure
@@ -86,11 +91,54 @@ def component_rows(
 # the same table transcribes 1:1 into a DuckDB SQL twin for parity tests.
 # A `None` component marks the entity-type-level fallback.
 CITATION_SUBTYPE_RULES: tuple[tuple[str, str | None, str | None, str], ...] = (
+    # case citations (reporter tiers, entities.py:223-235)
     ("CASE_CITATION", "reporter", r"^U\.S\.$", "SUPREME_COURT_CITATION"),
+    ("CASE_CITATION", "reporter", r"^S\.Ct\.$", "SUPREME_COURT_CITATION"),
+    ("CASE_CITATION", "reporter", r"^L\.Ed\.(2d)?$", "SUPREME_COURT_CITATION"),
     ("CASE_CITATION", "reporter", r"^F\.(2d|3d|4th)?$", "APPELLATE_COURT_CITATION"),
+    ("CASE_CITATION", "reporter", r"^F\. Supp\.( 2d| 3d)?$", "DISTRICT_COURT_CITATION"),
+    ("CASE_CITATION", "reporter", r"^F\.R\.D\.$", "DISTRICT_COURT_CITATION"),
     ("CASE_CITATION", "reporter", r"^B\.R\.$", "BANKRUPTCY_COURT_CITATION"),
+    ("CASE_CITATION", "reporter", r"^T\.C\.$", "TAX_COURT_CITATION"),
+    ("CASE_CITATION", "reporter", r"^M\.J\.$", "MILITARY_COURT_CITATION"),
     ("CASE_CITATION", None, None, "STATE_CASE_CITATION"),
+    # statutory citations (:237-246)
+    ("STATUTE_CITATION", "edition", r"^A$", "USCA_CITATION"),
     ("STATUTE_CITATION", None, None, "USC_CITATION"),
+    ("PUB_LAW_CITATION", None, None, "PUBLIC_LAW_CITATION"),
+    ("STATE_CODE_CITATION", None, None, "STATE_CODE_CITATION"),
+    # regulatory citations (:248-257)
+    ("CFR_CITATION", None, None, "CFR_CITATION"),
+    ("FED_REG_CITATION", None, None, "FEDERAL_REGISTER_CITATION"),
+    # constitutional citations (:259-263)
+    ("CONST_CITATION", "kind", r"^amend$", "AMENDMENT_CITATION"),
+    ("CONST_CITATION", None, None, "US_CONSTITUTION_CITATION"),
+    # court rules (:265-273)
+    ("COURT_RULE", "body", r"^Civ$", "FRCP_CITATION"),
+    ("COURT_RULE", "body", r"^Crim$", "FRCRP_CITATION"),
+    ("COURT_RULE", "body", r"^Evid$", "FRE_CITATION"),
+    ("COURT_RULE", "body", r"^App$", "FRAP_CITATION"),
+    ("COURT_RULE", "body", r"^Bankr$", "FRBP_CITATION"),
+    ("COURT_RULE", None, None, "COURT_RULE_CITATION"),
+    # secondary sources (:275-286)
+    ("LAW_REVIEW_CITATION", "journal", r"L\.J\.$", "LAW_JOURNAL_CITATION"),
+    ("LAW_REVIEW_CITATION", None, None, "LAW_REVIEW_CITATION"),
+    ("RESTATEMENT_CITATION", None, None, "RESTATEMENT_CITATION"),
+    ("UCC_CITATION", None, None, "UNIFORM_LAW_CITATION"),
+    ("ISBN", None, None, "BOOK_CITATION"),
+    # electronic sources (:295-302)
+    ("URL", None, None, "WEB_CITATION"),
+    # international (:303-310): GDPR articles are foreign law from the
+    # reference's U.S.-court vantage
+    ("GDPR_ARTICLE", None, None, "FOREIGN_LAW_CITATION"),
+    # record citations (:325-331)
+    ("EXHIBIT_REF", None, None, "EXHIBIT_CITATION"),
+    # specialized citations (:333-338)
+    ("PATENT_NUMBER", None, None, "PATENT_CITATION"),
+    # pinpoint citations (:358-363); the cross-reference tier
+    # (ID/SUPRA/SHORT_FORM, :340-344) is emitted by classify_short_cites
+    ("SECTION_REF", None, None, "SECTION_CITATION"),
+    # courts themselves (abbrev tiers)
     ("COURT", "abbrev", r"Cir$", "APPELLATE_COURT_CITATION"),
     ("COURT", None, None, "DISTRICT_COURT_CITATION"),
 )
@@ -103,10 +151,14 @@ YEAR_RANGE = (1754, 2030)
 PAGE_RANGE = (1, 9999)
 VOLUME_RANGES: tuple[tuple[str, int, int], ...] = (
     ("U.S.", 1, 606),
+    ("S.Ct.", 1, 145),
     ("F.", 1, 300),
     ("F.2d", 1, 999),
     ("F.3d", 1, 999),
     ("F.4th", 1, 200),
+    ("F. Supp.", 1, 999),
+    ("F. Supp. 2d", 1, 999),
+    ("F. Supp. 3d", 1, 700),
 )
 YEAR_PENALTY, VOLUME_PENALTY, PAGE_PENALTY = 0.5, 0.7, 0.8
 
@@ -142,8 +194,12 @@ def validate_citations(withc: DataFrame) -> DataFrame:
     for reporter, lo, hi in VOLUME_RANGES:
         vol_bad = vol_bad | ((rep == reporter) & ~vol.between(lo, hi))
     score = F.when(vol.isNotNull() & vol_bad, score * VOLUME_PENALTY).otherwise(score)
+    # the page range is a case-reporter rule (regex_engine.py:597 checks
+    # reporter-paged cites): Fed. Reg. / law-review pages legitimately
+    # run past 9999, so the penalty applies only alongside a reporter
     score = F.when(
-        page.isNotNull() & ~page.between(*PAGE_RANGE), score * PAGE_PENALTY
+        page.isNotNull() & rep.isNotNull() & ~page.between(*PAGE_RANGE),
+        score * PAGE_PENALTY,
     ).otherwise(score)
     return withc.withColumn("validated_confidence", score)
 

@@ -50,6 +50,27 @@ LEGAL_TURNS = [
     ("c2", 1, "compare Lee v. Park, 12 Cal.4th 55 (1996) on damages."),
     ("c2", 2, "the case was heard in N.D. Cal. last term."),
     ("c2", 3, "on appeal the 9th Cir. reversed."),
+    # tier-22 citation-taxonomy families (patterns/legal_citations.yaml)
+    ("c3", 0, "standing doctrine flows from U.S. Const. art. III here."),
+    ("c3", 1, "the claim arises under U.S. Const. amend. XIV today."),
+    ("c3", 2, "the final rule appears at 88 Fed. Reg. 12345 today."),
+    ("c3", 3, "the program was funded by Pub. L. No. 117-58 last year."),
+    ("c3", 4, "the test comes from 123 Harv. L. Rev. 456 originally."),
+    ("c3", 5, "compare 98 Yale L.J. 325 on the point."),
+    ("c3", 6, "liability tracks Restatement (Second) of Torts here."),
+    ("c3", 7, "the notice rule lives in Cal. Civ. Code today."),
+    # multi-token reporter, annotated code, court rules, pinpoint
+    ("c4", 0, "Lane v. Dole, 52 F. Supp. 2d 312 (1999) is the district case."),
+    ("c4", 1, "jurisdiction rests on 28 U.S.C.A. § 1331 as annotated."),
+    ("c4", 2, "Dana Rivera moved under Fed. R. Civ. P. 12(b)(6) today."),
+    ("c4", 3, "the motion cites Fed. R. Evid. 702 again."),
+    ("c4", 4, "see § 230(c)(1) for the carve-out."),
+    # families mapped from other packs (UCC / GDPR / exhibit / patent / ISBN)
+    ("c5", 0, "indemnity follows U.C.C. § 2-207 here."),
+    ("c5", 1, "erasure requests fall under Article 17 GDPR now."),
+    ("c5", 2, "see Exhibit A for the logs."),
+    ("c5", 3, "the hinge is covered by U.S. Pat. No. 11,349,210 as granted."),
+    ("c5", 4, "order 978-0-262-03384-8 for the shelf."),
 ]
 
 
@@ -83,15 +104,33 @@ def test_citation_subtypes(spark, legal_mentions):
         ("17 U.S.C. § 107", "USC_CITATION"),
         ("N.D. Cal.", "DISTRICT_COURT_CITATION"),
         ("9th Cir.", "APPELLATE_COURT_CITATION"),
+        # tier-22 taxonomy families
+        ("U.S. Const. art. III", "US_CONSTITUTION_CITATION"),
+        ("U.S. Const. amend. XIV", "AMENDMENT_CITATION"),
+        ("88 Fed. Reg. 12345", "FEDERAL_REGISTER_CITATION"),
+        ("Pub. L. No. 117-58", "PUBLIC_LAW_CITATION"),
+        ("123 Harv. L. Rev. 456", "LAW_REVIEW_CITATION"),
+        ("98 Yale L.J. 325", "LAW_JOURNAL_CITATION"),
+        ("Restatement (Second) of Torts", "RESTATEMENT_CITATION"),
+        ("Cal. Civ. Code", "STATE_CODE_CITATION"),
+        ("Lane v. Dole, 52 F. Supp. 2d 312 (1999)", "DISTRICT_COURT_CITATION"),
+        ("28 U.S.C.A. § 1331", "USCA_CITATION"),
+        ("Fed. R. Civ. P. 12(b)(6)", "FRCP_CITATION"),
+        ("Fed. R. Evid. 702", "FRE_CITATION"),
+        ("§ 230(c)(1)", "SECTION_CITATION"),
+        ("U.C.C. § 2-207", "UNIFORM_LAW_CITATION"),
+        ("Article 17 GDPR", "FOREIGN_LAW_CITATION"),
+        ("Exhibit A", "EXHIBIT_CITATION"),
+        ("U.S. Pat. No. 11,349,210", "PATENT_CITATION"),
+        ("978-0-262-03384-8", "BOOK_CITATION"),
     }
 
 
 def test_non_citation_types_get_null_subtype(spark, legal_mentions):
     _, mentions = legal_mentions
     cited = classify_citations(with_components(mentions))
-    others = cited.where(
-        ~F.col("entity_type").isin("CASE_CITATION", "STATUTE_CITATION", "COURT")
-    )
+    ruled_types = {r[0] for r in CITATION_SUBTYPE_RULES}
+    others = cited.where(~F.col("entity_type").isin(*sorted(ruled_types)))
     assert others.where(F.col("citation_subtype").isNotNull()).count() == 0
 
 
@@ -153,7 +192,7 @@ def _parity_sql() -> str:
         "confidence"
         f" * CASE WHEN year IS NOT NULL AND (year < {YEAR_RANGE[0]} OR year > {YEAR_RANGE[1]}) THEN {YEAR_PENALTY} ELSE 1 END"
         f" * CASE WHEN volume IS NOT NULL AND ({vol_bad}) THEN {VOLUME_PENALTY} ELSE 1 END"
-        f" * CASE WHEN page IS NOT NULL AND (page < {PAGE_RANGE[0]} OR page > {PAGE_RANGE[1]}) THEN {PAGE_PENALTY} ELSE 1 END"
+        f" * CASE WHEN page IS NOT NULL AND reporter IS NOT NULL AND (page < {PAGE_RANGE[0]} OR page > {PAGE_RANGE[1]}) THEN {PAGE_PENALTY} ELSE 1 END"
     )
     return (
         "SELECT conv_id, turn_idx, entity_type, text, "
@@ -165,14 +204,18 @@ def _parity_sql() -> str:
 
 def test_classify_validate_duckdb_parity(spark, legal_mentions, tmp_path):
     _, mentions = legal_mentions
-    legal = mentions.where(
-        F.col("entity_type").isin("CASE_CITATION", "STATUTE_CITATION", "COURT")
-    )
+    # every type the rule table covers participates in the parity check
+    ruled_types = sorted({r[0] for r in CITATION_SUBTYPE_RULES})
+    legal = mentions.where(F.col("entity_type").isin(*ruled_types))
     withc = with_components(legal)
     flat = withc.select(
         "conv_id", "turn_idx", "entity_type", "text", "confidence",
         F.col("components")["reporter"].alias("reporter"),
         F.col("components")["abbrev"].alias("abbrev"),
+        F.col("components")["edition"].alias("edition"),
+        F.col("components")["kind"].alias("kind"),
+        F.col("components")["body"].alias("body"),
+        F.col("components")["journal"].alias("journal"),
         F.col("components")["year"].cast("int").alias("year"),
         F.col("components")["volume"].cast("int").alias("volume"),
         F.col("components")["page"].cast("int").alias("page"),

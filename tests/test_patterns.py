@@ -438,6 +438,38 @@ NEW_TYPE_FIXTURES = {
     "test card 4111 1111 1111 1111 was committed by mistake": {
         ("CREDIT_CARD", "4111 1111 1111 1111"),
     },
+    # tier-22 citation taxonomy: the constitutional pinpoint stays a
+    # separate SECTION_REF (the reference's distinct pinpoint type);
+    # dotted middle tokens keep PERSON out of every span
+    "the claim arises under U.S. Const. amend. XIV, § 2 today.": {
+        ("CONST_CITATION", "U.S. Const. amend. XIV"),
+        ("SECTION_REF", "§ 2"),
+    },
+    "the final rule appears at 88 Fed. Reg. 12345 today.": {
+        ("FED_REG_CITATION", "88 Fed. Reg. 12345"),
+    },
+    "the program was funded by Pub. L. No. 117-58 last year.": {
+        ("PUB_LAW_CITATION", "Pub. L. No. 117-58"),
+    },
+    "compare 98 Yale L.J. 325 on the point": {
+        ("LAW_REVIEW_CITATION", "98 Yale L.J. 325"),
+    },
+    "liability tracks Restatement (Second) of Torts § 402A here.": {
+        ("RESTATEMENT_CITATION", "Restatement (Second) of Torts"),
+        ("SECTION_REF", "§ 402A"),
+    },
+    "disclosure falls under N.Y. Gen. Bus. Law instead": {
+        ("STATE_CODE_CITATION", "N.Y. Gen. Bus. Law"),
+    },
+    # the multi-token reporter must not shed a DURATION from its series
+    # token ("2d"), and the annotated-code edition must not shed a
+    # SECTION_REF from its section sign ("A. §" lookbehind)
+    "Lane v. Dole, 52 F. Supp. 2d 312 (1999) is the district case": {
+        ("CASE_CITATION", "Lane v. Dole, 52 F. Supp. 2d 312 (1999)"),
+    },
+    "jurisdiction rests on 28 U.S.C.A. § 1331 as annotated": {
+        ("STATUTE_CITATION", "28 U.S.C.A. § 1331"),
+    },
 }
 
 
