@@ -122,13 +122,31 @@ def _lit_guard(ch: str, ignorecase: bool) -> str | None:
 
 def _walk_guards(tree, ignorecase: bool) -> set[str]:
     req: set[str] = set()
+    # consecutive LITERAL nodes form a required SUBSTRING of any match —
+    # a far more selective containment guard than its individual chars
+    # (e.g. "Fed. Reg. " or "orcid " vs just "." and " "). Alphabetic
+    # chars under IGNORECASE break the run (either case could appear).
+    run: list[str] = []
+
+    def _flush() -> None:
+        if len(run) >= 2:
+            req.add("".join(run))
+        run.clear()
+
     for op, av in tree:
         name = getattr(op, "name", str(op))
         if name == "LITERAL":
-            g = _lit_guard(chr(av), ignorecase)
+            ch = chr(av)
+            g = _lit_guard(ch, ignorecase)
             if g:
                 req.add(g)
-        elif name == "IN":
+            if ignorecase and ch.isalpha():
+                _flush()
+            else:
+                run.append(ch)
+            continue
+        _flush()
+        if name == "IN":
             g = _in_guard(av, ignorecase)
             if g:
                 req.add(g)
@@ -170,6 +188,69 @@ def derive_guards(rx: re.Pattern) -> tuple[str, ...]:
 _HAS_DIGIT_RE = re.compile(r"\d")
 _HAS_UPPER_RE = re.compile(r"[A-Z]")
 
+class PatternTable(list):
+    """The compiled pattern table: a plain list of MentionPattern plus a
+    guard-profile candidate cache.
+
+    Guard satisfaction is a pure function of the turn's *guard profile*
+    — (has_digit, has_upper, which of the table's ~14 distinct guard
+    literals occur) — so the exact ordered list of patterns that survive
+    the prescreen is computed ONCE per distinct profile and memoized.
+    Per turn the kernel then does 14 C-level containment checks + two
+    char-class searches + one dict hit, and walks only the patterns it
+    would have scanned anyway. Semantics are IDENTICAL to guard-checking
+    every pattern (the hypothesis equivalence test asserts bit-equality,
+    including order, against the plain-list path). The cache is bounded:
+    real corpora produce a few dozen distinct profiles; past the cap the
+    list is computed uncached rather than evicting."""
+
+    _CACHE_CAP = 4096
+
+    def __init__(self, patterns) -> None:
+        super().__init__(patterns)
+        self.literals: tuple[str, ...] = tuple(sorted(
+            {g for p in self for g in p.guards if g not in (_GUARD_DIGIT, _GUARD_UPPER)}
+        ))
+        # per (has_digit, has_upper) flag profile, the literals still
+        # worth containment-testing: a literal whose every owning pattern
+        # is already pruned by the flags never needs an `in text` check
+        # (e.g. on a digit-less prose turn, "Fed. Reg. " is moot)
+        self.literals_by_flags: dict[tuple[bool, bool], tuple[str, ...]] = {}
+        for hd in (False, True):
+            for hu in (False, True):
+                alive = [
+                    p for p in self
+                    if (hd or _GUARD_DIGIT not in p.guards)
+                    and (hu or _GUARD_UPPER not in p.guards)
+                ]
+                lits = sorted({
+                    g for p in alive for g in p.guards
+                    if g not in (_GUARD_DIGIT, _GUARD_UPPER)
+                })
+                self.literals_by_flags[(hd, hu)] = tuple(lits)
+        self._cand_cache: dict[tuple, tuple[MentionPattern, ...]] = {}
+
+    def candidates(
+        self, has_digit: bool, has_upper: bool, present: frozenset
+    ) -> tuple[MentionPattern, ...]:
+        """Table-ordered patterns whose every guard holds under the
+        given profile — exactly the plain loop's surviving set."""
+        key = (has_digit, has_upper, present)
+        got = self._cand_cache.get(key)
+        if got is None:
+            got = tuple(
+                p for p in self
+                if all(
+                    has_digit if g == _GUARD_DIGIT
+                    else has_upper if g == _GUARD_UPPER
+                    else g in present
+                    for g in p.guards
+                )
+            )
+            if len(self._cand_cache) < self._CACHE_CAP:
+                self._cand_cache[key] = got
+        return got
+
 
 def build_pattern_table(config: PipelineConfig = DEFAULT_CONFIG) -> list[MentionPattern]:
     """Compile the YAML pattern corpus into the runtime pattern table.
@@ -184,7 +265,7 @@ def build_pattern_table(config: PipelineConfig = DEFAULT_CONFIG) -> list[Mention
         allowed = set(config.restrict_types)
         specs = [s for s in specs if s.entity_type in allowed]
     c = config.regex_confidence
-    return [
+    return PatternTable(
         MentionPattern(
             s.regex,
             s.entity_type,
@@ -192,7 +273,7 @@ def build_pattern_table(config: PipelineConfig = DEFAULT_CONFIG) -> list[Mention
             derive_guards(s.regex),
         )
         for s in specs
-    ]
+    )
 
 
 def vocabulary(config: PipelineConfig = DEFAULT_CONFIG) -> frozenset[str]:
@@ -231,30 +312,39 @@ MENTION_SCHEMA = T.StructType(
 def _match_turn(patterns: list[MentionPattern], text: str) -> list[tuple]:
     """Run the pattern table over one turn's text; returns
     (etype, surface, start, end, conf) tuples with validation rules applied
-    (the E1 validation analog, regex_engine.py:564-628)."""
+    (the E1 validation analog, regex_engine.py:564-628).
+
+    A PatternTable resolves the surviving-pattern list through its
+    guard-profile cache (identical output, one dict hit per turn); a
+    plain list falls back to the guard-check-every-pattern loop."""
     out = []
     has_digit = _HAS_DIGIT_RE.search(text) is not None
     has_upper = _HAS_UPPER_RE.search(text) is not None
-    for p in patterns:
+
+    if isinstance(patterns, PatternTable):
+        lits = patterns.literals_by_flags[(has_digit, has_upper)]
+        present = frozenset(lit for lit in lits if lit in text)
+        iterable = patterns.candidates(has_digit, has_upper, present)
+    else:
         # pattern relevance prescreen (regex_engine.py:629-835): skip the
         # full scan when a required character provably can't be present
-        skip = False
-        for g in p.guards:
-            if g == _GUARD_DIGIT:
-                if not has_digit:
-                    skip = True
-                    break
-            elif g == _GUARD_UPPER:
-                if not has_upper:
-                    skip = True
-                    break
-            elif g not in text:
-                skip = True
-                break
-        if skip:
-            continue
-        if p.entity_type in ("TOOL", "CONCEPT") and not any(ch.islower() for ch in text):
-            continue
+        iterable = [
+            p for p in patterns
+            if all(
+                has_digit if g == _GUARD_DIGIT
+                else has_upper if g == _GUARD_UPPER
+                else g in text
+                for g in p.guards
+            )
+        ]
+
+    all_upper = None  # lazily computed: only TOOL/CONCEPT patterns need it
+    for p in iterable:
+        if p.entity_type in ("TOOL", "CONCEPT"):
+            if all_upper is None:
+                all_upper = not any(ch.islower() for ch in text)
+            if all_upper:
+                continue
         for m in p.regex.finditer(text):
             surface = m.group(1)
             if p.entity_type == "PERSON":

@@ -81,6 +81,12 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         "SERIAL_NO", "FIRMWARE_VERSION",
         # tier-20 on-chain identifiers
         "TX_HASH", "WALLET_ADDR", "ENS_NAME",
+        # tier-21 global registry identifiers
+        "ORCID", "ISIN", "LEI", "VIN", "IMO_NUMBER", "SWIFT_BIC",
+        # tier-22 citation-taxonomy families
+        "CONST_CITATION", "FED_REG_CITATION", "PUB_LAW_CITATION",
+        "LAW_REVIEW_CITATION", "RESTATEMENT_CITATION",
+        "STATE_CODE_CITATION",
     ),
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",
