@@ -81,8 +81,16 @@ def _shared_matches(cfg: PipelineConfig, patterns, text: str) -> list[tuple]:
     with the same pattern table inside the same worker process, so sharing
     halves the regex work per distinct text (the UDF's dominant cost on
     pattern-heavy configs). Pure-function cache — hit order can't change
-    output."""
-    memo = _worker_memo(cfg, "match_turn")
+    output.
+
+    Hot-path callers should bind the memo ONCE via ``_worker_memo(cfg,
+    "match_turn")`` and call ``_memo_matches`` — ``_worker_memo`` hashes
+    the (large, tuple-heavy) config dataclass on every call, which
+    profiled at ~12% of kernel wall when done per turn."""
+    return _memo_matches(_worker_memo(cfg, "match_turn"), patterns, text)
+
+
+def _memo_matches(memo: dict, patterns, text: str) -> list[tuple]:
     got = memo.get(text)
     if got is None:
         got = _match_turn(patterns, text)
@@ -105,9 +113,13 @@ class RuleBackedClient:
         self._patterns = build_pattern_table(config)
         self._confidence = config.model_confidence
         self._config = config
+        # bound lazily on the worker (see _FusedKernel._ensure_memos)
+        self._memo: dict | None = None
 
     def _matches(self, text: str) -> list[tuple]:
-        return _shared_matches(self._config, self._patterns, text)
+        if self._memo is None:
+            self._memo = _worker_memo(self._config, "match_turn")
+        return _memo_matches(self._memo, self._patterns, text)
 
     def generate_batch(self, prompts: list[str], payloads: list[list[dict]]) -> list[str]:
         out = []
@@ -520,11 +532,15 @@ class _FusedKernel:
         # the worker-global ones (_WORKER_MEMOS), not per-task copies
         self._text_memo: dict[str, tuple[list[tuple], list[tuple]]] | None = None
         self._norm_memo: dict[tuple[str, str], tuple[str, str, str]] | None = None
+        self._match_memo: dict | None = None
+        self._canon_memo: dict[str, str | None] | None = None
 
     def _ensure_memos(self) -> None:
         if self._text_memo is None:
             self._text_memo = _worker_memo(self._config, "kernel_text")
             self._norm_memo = _worker_memo(self._config, "kernel_norm")
+            self._match_memo = _worker_memo(self._config, "match_turn")
+            self._canon_memo = _worker_memo(self._config, "canon_type")
 
     def make_client(self) -> BatchedExtractorClient:
         return self._factory()
@@ -536,7 +552,7 @@ class _FusedKernel:
         runs first in process(), so the regex stream's scans are hits."""
         got = self._text_memo.get(text)
         if got is None:
-            matches = _shared_matches(self._config, self._patterns, text)
+            matches = _memo_matches(self._match_memo, self._patterns, text)
             vspans = [
                 (pred, vm.start(), vm.end())
                 for rx, pred in self._verbs
@@ -546,6 +562,21 @@ class _FusedKernel:
                 self._text_memo.clear()
             got = (matches, vspans)
             self._text_memo[text] = got
+        return got
+
+    def _canon_of(self, raw_type: str) -> str | None:
+        """_canon_type memoized per distinct raw type string (the model
+        stream re-emits the same handful of type names per corpus; the
+        alias/canonicalization walk profiled at ~6% of kernel wall when
+        recomputed per entity). None (out-of-vocabulary) is a valid cached
+        value, hence the sentinel-free ``in`` check."""
+        memo = self._canon_memo
+        if raw_type in memo:
+            return memo[raw_type]
+        got = _canon_type(raw_type, self._vocab)
+        if len(memo) >= self._CACHE_CAP:
+            memo.clear()
+        memo[raw_type] = got
         return got
 
     def _norm_of(self, etype: str, surface: str) -> tuple[str, str, str]:
@@ -599,7 +630,7 @@ class _FusedKernel:
                         ti = int(ent["turn_idx"])
                         s, e = int(ent["start"]), int(ent["end"])
                         surface = str(ent["text"])
-                        etype = _canon_type(str(ent["entity_type"]), self._vocab)
+                        etype = self._canon_of(str(ent["entity_type"]))
                     except (KeyError, TypeError, ValueError):
                         continue
                     if etype is None or ti not in texts or texts[ti][s:e] != surface:

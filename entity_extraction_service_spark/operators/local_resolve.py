@@ -60,12 +60,41 @@ def resolve_and_merge(matches: list[tuple]) -> list[tuple]:
     (method priority desc, confidence desc, start asc, end desc).
     Output sorted by (start, end, entity_type) for determinism.
     """
+    # fast paths (exact): 0- and 1-match turns — the overwhelming share on
+    # prose-heavy corpora — need no grouping; a single match is its own
+    # E2 group and its own D5 group, so it survives unchanged, and the
+    # output sort over one row is the row itself. Profiled at ~20% of
+    # kernel wall before these exits.
+    if not matches:
+        return []
+    if len(matches) == 1:
+        return list(matches)
+
     by_type: dict[str, list[tuple]] = {}
     for m in matches:
         by_type.setdefault(m[0], []).append(m)
 
     survivors: list[tuple] = []
     for ms in by_type.values():
+        # singleton type group: its own group in BOTH stages — unchanged
+        if len(ms) == 1:
+            survivors.extend(ms)
+            continue
+        # two-element type group — the dominant shape (each span arrives
+        # twice: once per method stream). Replicates the general path
+        # exactly: stable (start, end) order, E2 overlap => one winner by
+        # (-conf, start, -end); D5 over one survivor is itself, and two
+        # non-overlapping survivors stay disjoint in D5 too.
+        if len(ms) == 2:
+            a, b = ms
+            if (b[2], b[3]) < (a[2], a[3]):
+                a, b = b, a
+            if b[2] < a[3]:
+                survivors.append(min((a, b), key=lambda m: (-m[4], m[2], -m[3])))
+            else:
+                survivors.append(a)
+                survivors.append(b)
+            continue
         # E2
         stage1 = [
             min(g, key=lambda m: (-m[4], m[2], -m[3]))
@@ -94,6 +123,8 @@ def pattern_triples_local(
     verbs: (pred, v_start, v_end)
     returns (subj_sid, pred, obj_sid, confidence, evidence)
     """
+    if not mentions or not verbs:  # exact: a triple needs both
+        return []
     out = []
     for pred, v_start, v_end in verbs:
         subj = max(
@@ -128,6 +159,8 @@ def proximity_triples_local(
     mentions: (etype, surface, start, end, conf, method, surface_id)
     returns (subj_sid, pred, obj_sid, confidence, evidence)
     """
+    if len(mentions) < 2:  # exact: pairs need two mentions
+        return []
     out = []
     ordered = sorted(mentions, key=lambda m: (m[2], m[3]))
     for i, a in enumerate(ordered):
