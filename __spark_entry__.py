@@ -835,6 +835,48 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for each purchase event, the most
+    recent at-or-before click by the same user — union + ONE window
+    last(ignorenulls) scan, no range-join explosion, deterministic
+    max-event_id tiebreak at equal timestamps. Unmatched purchases keep
+    NULL click columns (left-join semantics)."""
+    from entity_extraction_service_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        right_seq="event_id", direction="backward", inclusive=True,
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("asof_event_id").alias("click_id"),
+        F.round(F.col("asof_value"), 6).alias("click_value"),
+        F.timestamp_diff("microsecond", F.col("asof_ts"), F.col("ts")).alias("gap_us"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (operators/ann.py semantic_dedup):
+    hyperplane-bucket clusters, min-id keeper, exact-cosine verified drop
+    set. The synthetic embeddings are near-orthogonal (99.9th pct pairwise
+    cosine ~0.38), so the sf-corpus entry runs coarse buckets (4 planes)
+    at threshold 0.2 to stay non-vacuous (46 drops at sf0.01); real
+    corpora use the defaults (finer buckets, higher threshold)."""
+    from entity_extraction_service_spark.operators.ann import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2, n_planes=4
+    )
+
+
 def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5/L8 connected components over the canonical entity graph —
     driver-oracled via a DuckDB recursive reachability closure (component
@@ -1012,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_communities": q_kg_communities,
         "sessionize_events": q_sessionize_events,
+        "events_asof": q_events_asof,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1801,7 +1845,39 @@ SELECT query_id, vec_id, cosine, rank FROM (
     FROM scored
 ) WHERE rank <= 3
 """
-    return {"embedding_near_dups": embedding_near_dups, "lsh_topk": lsh_topk}
+    # semantic_dedup: SINGLE-table signature (4 planes, seed 11 — the
+    # q_semantic_dedup params), min-id keeper per bucket, member->keeper
+    # exact-cosine verify at 0.2
+    sd_planes = _hyperplanes(64, 4, 11)
+    sd_bits = []
+    for p in sd_planes:
+        wl = "[" + ", ".join(repr(float(v)) for v in p) + "]"
+        sd_bits.append(f"(CASE WHEN {dot('embedding', wl)} >= 0 THEN '1' ELSE '0' END)")
+    sd_cos = (
+        f"round({fdot('t.embedding', 'k.kvec')}"
+        f" / ({fnorm('t.embedding')} * {fnorm('k.kvec')}), 6)"
+    )
+    semantic_dedup = f"""
+WITH sig AS (
+    SELECT vec_id AS id, embedding, {" || ".join(sd_bits)} AS bucket
+    FROM embeddings
+), tagged AS (
+    SELECT id, embedding, bucket, min(id) OVER (PARTITION BY bucket) AS keeper_id
+    FROM sig
+), keep AS (
+    SELECT bucket, embedding AS kvec FROM tagged WHERE id = keeper_id
+)
+SELECT vec_id, keeper_id, cosine FROM (
+    SELECT t.id AS vec_id, t.keeper_id, {sd_cos} AS cosine
+    FROM tagged t JOIN keep k USING (bucket)
+    WHERE t.id != t.keeper_id
+) WHERE cosine >= 0.2
+"""
+    return {
+        "embedding_near_dups": embedding_near_dups,
+        "lsh_topk": lsh_topk,
+        "semantic_dedup": semantic_dedup,
+    }
 
 
 def _curation_oracle_sql(base: dict[str, str]) -> str:
@@ -2279,6 +2355,19 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events, round(sum(value), 6) AS value_sum
         FROM sess GROUP BY user_id, session_idx
+    """
+    out["events_asof"] = """
+        SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+               round(c.value, 6) AS click_value,
+               datediff('microsecond', c.ts, p.ts) AS gap_us
+        FROM events p
+        LEFT JOIN LATERAL (
+            SELECT event_id, ts, value FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+        ) c ON TRUE
+        WHERE p.event_type = 'purchase'
     """
     return out
 

@@ -335,3 +335,74 @@ def quantized_dot_pairs(
         )
         .where(F.col("qdot") >= min_dot)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    partition embedding space into semantic clusters, keep ONE representative
+    per cluster, drop members semantically close to it.
+
+    Deterministic Spark-first variant: the "cluster" is a single-table
+    signed-random-projection bucket (seeded hyperplanes — exactly
+    re-derivable in the DuckDB oracle, unlike the paper's k-means), the
+    keeper is the bucket's min-id row, and a member is dropped only if it
+    VERIFIES against the keeper (exact cosine >= ``threshold``) — so
+    precision of the drop set is 1 by construction, and recall is the
+    bucket-collision probability (raise ``n_planes`` for purer clusters,
+    lower it for coarser ones).
+
+    Shape at 100 TB: one projection scan (n_planes dim-``dim`` dot
+    products per vector, JVM-side), one window + one equi-join both keyed
+    on the short bucket string (Catalyst reuses the single hash
+    partitioning), and the member->keeper verify is LINEAR in bucket size
+    — a hot bucket never goes quadratic, unlike pairwise in-cluster
+    scoring. Returns dropped rows ``(vec_id, keeper_id, cosine)``;
+    survivors = corpus anti-join on the drop set (see
+    ``semantic_dedup_keep``).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature_col(vec_col, planes).alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket")
+    tagged = rows.withColumn("keeper_id", F.min("id").over(wb))
+    keepers = tagged.where(F.col("id") == F.col("keeper_id")).select(
+        "bucket", F.col("vec").alias("kvec")
+    )
+    members = tagged.where(F.col("id") != F.col("keeper_id"))
+    cos = F.round(cosine_sim_col(F.col("vec"), F.col("kvec")), 6)
+    return (
+        members.join(keepers, "bucket")
+        .select(
+            F.col("id").alias("vec_id"),
+            "keeper_id",
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Surviving corpus rows after ``semantic_dedup`` pruning."""
+    dropped = semantic_dedup(
+        corpus, threshold, n_planes, dim, seed, id_col, vec_col
+    ).select(F.col("vec_id").alias(id_col))
+    return corpus.join(dropped, id_col, "left_anti")

@@ -1,0 +1,137 @@
+"""As-of (point-in-time) join — a classic temporal operator Spark lacks.
+
+The reference pipeline never needs one (single-document requests), but a
+transcript/event corpus at 10^12 rows constantly asks "attach the most
+recent preceding X to each Y" (last tool invocation before a turn, last
+click before a purchase, config at time of event). The naive Spark
+answers are both wrong at scale: a range join explodes (every left row
+joins every earlier right row before the per-left top-1), and a
+`groupBy(key).applyInPandas` sorts whole keys in Python memory.
+
+Spark-first shape used here (same kernel as L7 coref resolution,
+operators/coref.py): UNION the two sides with a side tag, ONE window
+`last(payload, ignorenulls)` over `(key) ORDER BY (ts, side, seq)` — a
+single hash shuffle on the key, a linear streamed scan per key, O(1)
+reducer state per row regardless of key heat. Ties are fully
+deterministic: at equal timestamps the side tag decides whether the
+right row is visible (inclusive vs strict), and ``seq`` (a unique
+right-side column, e.g. event_id) makes the winner among
+equal-timestamp right rows the max-seq row (min-seq for forward).
+
+At 100 TB both inputs arrive partitioned by arbitrary keys; the one
+shuffle is unavoidable (the semantics are per-key order-dependent).
+Bucketing both tables by the join key turns it into a shuffle-free
+sort-merge — the plan is AQE/bucket-friendly because the only exchange
+is a plain hash repartition on ``on``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    right_seq: str | None = None,
+    direction: str = "backward",
+    inclusive: bool = True,
+    tolerance_us: int | None = None,
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the nearest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its timestamp, per ``on`` key.
+
+    ``right_seq`` must be a unique right-side column (ties at one
+    timestamp resolve to its max for backward, min for forward); defaults
+    to ``ts_col`` (then equal-timestamp right duplicates are the caller's
+    contract to avoid). Unmatched / out-of-``tolerance_us`` left rows keep
+    NULL payload columns (left-join semantics). Right payload columns come
+    back as ``{payload_prefix}{col}``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    seq = right_seq or ts_col
+    payload_cols = [c for c in right.columns if c not in on]
+    payload_type = (
+        "struct<"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols)
+        + ">"
+    )
+    left_cols = [c for c in left.columns if c not in on and c != ts_col]
+    left_type = (
+        "struct<"
+        + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}" for c in left_cols)
+        + ">"
+    ) if left_cols else "boolean"
+
+    # Side ordering at equal ts decides visibility — in BOTH directions
+    # the frame is unboundedPreceding..currentRow over the (possibly
+    # reversed) scan, so "right row visible at equal ts" always means the
+    # right row sorts BEFORE the left row:
+    #   inclusive : right first  -> co-timed right row in frame
+    #   strict    : right after  -> co-timed right row hidden
+    right_side, left_side = (0, 1) if inclusive else (1, 0)
+
+    l_tag = left.select(
+        *on,
+        F.col(ts_col).alias("_ts"),
+        F.lit(left_side).alias("_side"),
+        F.lit(None).cast("long").alias("_seq"),
+        F.lit(None).cast(payload_type).alias("_payload"),
+        (F.struct(*[F.col(c) for c in left_cols]) if left_cols else F.lit(True)).alias("_left"),
+        F.lit(True).alias("_is_left"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(ts_col).alias("_ts"),
+        F.lit(right_side).alias("_side"),
+        F.col(seq).cast("long").alias("_seq"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
+        F.lit(None).cast(left_type).alias("_left"),
+        F.lit(False).alias("_is_left"),
+    )
+    # Left rows carry NULL _seq; asc_nulls_last keeps the total order
+    # explicit (their slot never matters: their payload is NULL, so the
+    # ignorenulls window skips them).
+    if direction == "backward":
+        order = [F.col("_ts"), F.col("_side"), F.col("_seq").asc_nulls_last()]
+    else:
+        # reversed scan: last() then yields the SMALLEST ts >= left ts,
+        # i.e. the nearest following right row; min-seq wins ties.
+        order = [F.col("_ts").desc(), F.col("_side"), F.col("_seq").desc_nulls_last()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+        .withColumn(
+            "_mts",
+            F.last(F.when(F.col("_payload").isNotNull(), F.col("_ts")), ignorenulls=True).over(w),
+        )
+        .where(F.col("_is_left"))
+    )
+    if tolerance_us is not None:
+        # timestamp_diff handles TIMESTAMP and TIMESTAMP_NTZ alike
+        gap = (
+            F.timestamp_diff("microsecond", F.col("_mts"), F.col("_ts"))
+            if direction == "backward"
+            else F.timestamp_diff("microsecond", F.col("_ts"), F.col("_mts"))
+        )
+        in_tol = F.col("_mts").isNotNull() & (gap <= F.lit(int(tolerance_us)))
+        matched = matched.withColumn("_m", F.when(in_tol, F.col("_m"))).withColumn(
+            "_mts", F.when(in_tol, F.col("_mts"))
+        )
+    out_cols = (
+        [F.col(c) for c in on]
+        + [F.col("_ts").alias(ts_col)]
+        + [F.col(f"_left.{c}").alias(c) for c in left_cols]
+        + [F.col(f"_m.{c}").alias(f"{payload_prefix}{c}") for c in payload_cols]
+    )
+    return matched.select(*out_cols)

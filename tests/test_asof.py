@@ -1,0 +1,144 @@
+"""As-of join (operators/asof.py): semantics, ties, tolerance, directions.
+
+Fixture rows are hand-computed; a brute-force python spec cross-checks
+every variant on a randomized-ish grid (deterministic literals).
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T00:00:10"), 100),
+            ("u1", _ts("2024-01-01T00:00:20"), 101),
+            ("u1", _ts("2024-01-01T00:00:05"), 102),  # before any right row
+            ("u2", _ts("2024-01-01T00:00:30"), 103),  # key with no right rows
+        ],
+        "user string, ts timestamp_ntz, lid int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T00:00:10"), 1, 1.5),   # ts == left 100's ts
+            ("u1", _ts("2024-01-01T00:00:08"), 2, 2.5),
+            ("u1", _ts("2024-01-01T00:00:15"), 3, 3.5),
+            ("u1", _ts("2024-01-01T00:00:15"), 4, 4.5),   # tie at :15 with seq 3
+        ],
+        "user string, ts timestamp_ntz, rid long, val double",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {
+        r["lid"]: (r["asof_rid"], r["asof_val"])
+        for r in df.collect()
+    }
+
+
+def test_backward_inclusive(spark, sides):
+    left, right = sides
+    got = _rows(asof_join(left, right, on=["user"], ts_col="ts", right_seq="rid"))
+    # left 100 @10: inclusive -> right @10 (rid 1); left 101 @20: tie at :15
+    # resolves to max rid 4; left 102 @5: nothing earlier; u2: no right rows
+    assert got == {100: (1, 1.5), 101: (4, 4.5), 102: (None, None), 103: (None, None)}
+
+
+def test_backward_strict(spark, sides):
+    left, right = sides
+    got = _rows(
+        asof_join(left, right, on=["user"], ts_col="ts", right_seq="rid", inclusive=False)
+    )
+    # left 100 @10: the co-timed right row is hidden -> @08 (rid 2)
+    assert got[100] == (2, 2.5)
+    assert got[101] == (4, 4.5)
+
+
+def test_forward_inclusive(spark, sides):
+    left, right = sides
+    got = _rows(
+        asof_join(left, right, on=["user"], ts_col="ts", right_seq="rid", direction="forward")
+    )
+    # left 100 @10: at-or-after -> itself-time rid 1; left 102 @5 -> @08;
+    # left 101 @20: nothing later; ties at :15 resolve to MIN rid for forward
+    assert got == {100: (1, 1.5), 101: (None, None), 102: (2, 2.5), 103: (None, None)}
+
+
+def test_forward_tie_min_seq(spark, sides):
+    left, right = sides
+    probe = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T00:00:12"), 1)], "user string, ts timestamp_ntz, lid int"
+    )
+    got = _rows(
+        asof_join(probe, right, on=["user"], ts_col="ts", right_seq="rid", direction="forward")
+    )
+    assert got[1] == (3, 3.5)
+
+
+def test_tolerance(spark, sides):
+    left, right = sides
+    got = _rows(
+        asof_join(
+            left, right, on=["user"], ts_col="ts", right_seq="rid",
+            tolerance_us=2_000_000,
+        )
+    )
+    # left 101 @20 matched @15 -> 5s gap > 2s tolerance -> nulled
+    assert got[101] == (None, None)
+    # left 100 @10 matched @10 -> 0s gap, kept
+    assert got[100] == (1, 1.5)
+
+
+def test_brute_force_parity(spark):
+    """Randomized grid vs a python spec for all 4 direction/inclusive combos."""
+    import itertools
+
+    lrows, rrows = [], []
+    k = 0
+    for u in ("a", "b"):
+        for sec in (3, 5, 5, 9, 14):
+            k += 1
+            lrows.append((u, _ts(f"2024-01-01T00:00:{sec:02d}"), k))
+        for j, sec in enumerate((2, 5, 5, 10, 14, 14)):
+            rrows.append((u, _ts(f"2024-01-01T00:00:{sec:02d}"), 100 * (u == "b") + j, float(j)))
+    left = spark.createDataFrame(lrows, "user string, ts timestamp_ntz, lid int")
+    right = spark.createDataFrame(rrows, "user string, ts timestamp_ntz, rid long, val double")
+
+    def spec(direction, inclusive):
+        out = {}
+        for (u, lts, lid) in lrows:
+            if direction == "backward":
+                cands = [r for r in rrows if r[0] == u and (r[1] <= lts if inclusive else r[1] < lts)]
+                best = max(cands, key=lambda r: (r[1], r[2]), default=None)
+            else:
+                cands = [r for r in rrows if r[0] == u and (r[1] >= lts if inclusive else r[1] > lts)]
+                best = min(cands, key=lambda r: (r[1], r[2]), default=None)
+            out[lid] = (best[2], best[3]) if best else (None, None)
+        return out
+
+    for direction, inclusive in itertools.product(("backward", "forward"), (True, False)):
+        got = _rows(
+            asof_join(
+                left, right, on=["user"], ts_col="ts", right_seq="rid",
+                direction=direction, inclusive=inclusive,
+            )
+        )
+        assert got == spec(direction, inclusive), (direction, inclusive)
+
+
+def test_single_shuffle_plan(spark, sides):
+    """The physical plan carries exactly ONE exchange (hash on the key) —
+    the whole point of the union+window kernel vs a range join."""
+    left, right = sides
+    plan = asof_join(left, right, on=["user"], ts_col="ts", right_seq="rid")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

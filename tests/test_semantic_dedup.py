@@ -1,0 +1,82 @@
+"""SemDeDup-style semantic pruning (operators/ann.py semantic_dedup)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.ann import (
+    _hyperplanes,
+    semantic_dedup,
+    semantic_dedup_keep,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """60 vectors in 3 planted clusters + noise — near-dups exist within
+    clusters, not across."""
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((3, 64)) * 3
+    rows = []
+    for i in range(60):
+        c = centers[i % 3] + rng.standard_normal(64) * 0.4
+        rows.append((i, [float(x) for x in c], i % 3))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).persist()
+
+
+def test_drop_set_invariants(spark, emb):
+    dropped = semantic_dedup(emb, threshold=0.8).collect()
+    assert len(dropped) > 0  # planted clusters must produce drops
+    ids = {r["vec_id"] for r in dropped}
+    keepers = {r["keeper_id"] for r in dropped}
+    # a keeper is never itself dropped, and every drop verified the threshold
+    assert not (ids & keepers)
+    assert all(r["cosine"] >= 0.8 for r in dropped)
+    assert all(r["keeper_id"] < r["vec_id"] for r in dropped)  # min-id keeper
+
+
+def test_keep_is_complement(spark, emb):
+    dropped = {r["vec_id"] for r in semantic_dedup(emb, threshold=0.8).collect()}
+    kept = {r["vec_id"] for r in semantic_dedup_keep(emb, threshold=0.8).collect()}
+    assert kept | dropped == {r["vec_id"] for r in emb.collect()}
+    assert not (kept & dropped)
+
+
+def test_matches_numpy_spec(spark, emb):
+    """Exact parity with a brute-force numpy re-derivation of bucket ->
+    min-id keeper -> cosine>=threshold."""
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    planes = _hyperplanes(64, 6, 11)
+    # float->double widening before the dot, as Catalyst does
+    sigs = ["".join("1" if d >= 0 else "0" for d in planes @ v.astype(np.float64)) for v in V]
+    keeper = {}
+    for i, s in enumerate(sigs):
+        keeper.setdefault(s, rows[i]["vec_id"])
+    expect = set()
+    vid = [r["vec_id"] for r in rows]
+    for i, s in enumerate(sigs):
+        k = keeper[s]
+        if vid[i] == k:
+            continue
+        ki = vid.index(k)
+        a, b = V[i], V[ki]
+        # float32 pairwise multiply, DOUBLE fold — what zip_with+aggregate
+        # does on two float arrays (see __spark_entry__._ann_oracle_sqls)
+        dot = float(np.sum((a * b).astype(np.float64)))
+        na = float(np.sqrt(np.sum((a * a).astype(np.float64))))
+        nb = float(np.sqrt(np.sum((b * b).astype(np.float64))))
+        cos = round(dot / (na * nb), 6)
+        if cos >= 0.8:
+            expect.add((vid[i], k))
+    got = {(r["vec_id"], r["keeper_id"]) for r in semantic_dedup(emb, threshold=0.8).collect()}
+    assert got == expect
+
+
+def test_linear_not_quadratic_in_bucket(spark, emb):
+    """The verify join is member->keeper (one row per member), never
+    member->member: output rows <= corpus rows regardless of bucket heat."""
+    n = emb.count()
+    assert semantic_dedup(emb, threshold=-1.0, n_planes=1).count() <= n
