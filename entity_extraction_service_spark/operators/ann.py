@@ -307,21 +307,31 @@ def quantized_dot_pairs(
     (default ``PipelineConfig.allpairs_max_rows``) — an unguarded
     cartesian product cannot run by accident at scale."""
     from ..config import DEFAULT_CONFIG
+    from .checkpoint import materialize_df
 
     cap = (
         max_rows
         if max_rows is not None
         else (config or DEFAULT_CONFIG).allpairs_max_rows
     )
-    n = corpus.limit(cap + 1).count()
+    # materialize the quantized projection FIRST: the guard count and both
+    # sides of the self-join then read the checkpoint instead of
+    # recomputing the corpus's upstream lineage three times (round-3
+    # review finding — the documented use case feeds a DERIVED plan, e.g.
+    # an LSH re-rank set, whose subtree Catalyst will not deduplicate)
+    q = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("long"))
+    c = materialize_df(
+        corpus.select(F.col(id_col).alias("id"), q.alias("qv")),
+        config or DEFAULT_CONFIG,
+        tag="qdot-vectors",
+    )
+    n = c.limit(cap + 1).count()
     if n > cap:
         raise ValueError(
             f"quantized_dot_pairs refused: corpus has > {cap} rows "
             f"(max_rows={cap}); route candidates through lsh_topk/ivf_topk "
             "and use this only on the bounded re-rank set"
         )
-    q = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("long"))
-    c = corpus.select(F.col(id_col).alias("id"), q.alias("qv"))
     a, b = c.alias("a"), c.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),

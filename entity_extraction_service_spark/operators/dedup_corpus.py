@@ -97,18 +97,16 @@ def jaccard_pairs(
     minhash_lsh_near_dups for unbounded corpora and keep this as its
     verify stage / small-corpus oracle twin.
     """
+    cfg = config or DEFAULT_CONFIG
     cap = (
-        max_block_size
-        if max_block_size is not None
-        else (config or DEFAULT_CONFIG).jaccard_max_block_size
+        max_block_size if max_block_size is not None else cfg.jaccard_max_block_size
     )
-    t = docs.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id"),
-        _termset(text_col, ngram).alias("toks"),
-    )
+    # guard on block SIZES only — a bare one-column count (the scan
+    # column-prunes to block_col; no tokenize/shingle work happens in the
+    # guard job, round-3 review finding)
     hot = (
-        t.groupBy("block").agg(F.count("*").alias("n"))
+        docs.groupBy(F.col(block_col).alias("block"))
+        .agg(F.count("*").alias("n"))
         .where(F.col("n") > cap).select("block", "n").limit(1).collect()
     )
     if hot:
@@ -116,6 +114,19 @@ def jaccard_pairs(
             f"jaccard_pairs refused: block {hot[0]['block']!r} has {hot[0]['n']} docs "
             f"(> max_block_size={cap}); use minhash_lsh_near_dups for corpora this size"
         )
+    # materialize the tokenized termset table once: the self-join reads it
+    # twice and Catalyst does not deduplicate the subtree
+    from .checkpoint import materialize_df
+
+    t = materialize_df(
+        docs.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("id"),
+            _termset(text_col, ngram).alias("toks"),
+        ),
+        cfg,
+        tag="jaccard-termsets",
+    )
     a, b = t.alias("a"), t.alias("b")
     pairs = a.join(
         b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id"))

@@ -85,12 +85,16 @@ def _in_guard(items, ignorecase: bool) -> str | None:
         if name == "LITERAL":
             ch = chr(av)
             chars.append(ch)
-            all_digit &= ch.isdigit()
+            # guard validity must mirror the RUNTIME probes (\d is Nd;
+            # [A-Z] is ASCII) — str.isdigit() is wider than \d (e.g. '²'
+            # is isdigit but not Nd), which would derive an unsatisfiable
+            # guard and silently skip a matchable pattern
+            all_digit &= _HAS_DIGIT_RE.fullmatch(ch) is not None
             all_upper &= "A" <= ch <= "Z"
         elif name == "RANGE":
             lo, hi = chr(av[0]), chr(av[1])
             chars.append("")  # ranges never collapse to one literal
-            all_digit &= lo.isdigit() and hi.isdigit()
+            all_digit &= "0" <= lo and hi <= "9"
             all_upper &= "A" <= lo and hi <= "Z"
         elif name == "CATEGORY":
             cat = getattr(av, "name", str(av))
@@ -109,15 +113,23 @@ def _in_guard(items, ignorecase: bool) -> str | None:
 
 
 def _lit_guard(ch: str, ignorecase: bool) -> str | None:
-    if ch.isdigit():
+    # each branch must agree with its runtime probe: _GUARD_DIGIT is
+    # checked with \d (Nd only), _GUARD_UPPER with ASCII [A-Z]. Non-ASCII
+    # letters/numerics ('²', 'É', 'Ω') fall through to the exact-
+    # containment guard, which is sound for any literal.
+    if _HAS_DIGIT_RE.fullmatch(ch):
         return _GUARD_DIGIT
     if ch.isalpha():
         if ignorecase:
-            return None
-        return _GUARD_UPPER if ch.isupper() else None  # lowercase: not selective
+            return None  # either case could appear in the text
+        if "A" <= ch <= "Z":
+            return _GUARD_UPPER
+        if "a" <= ch <= "z":
+            return None  # lowercase ASCII: not selective
+        return ch  # non-ASCII cased letter, case-sensitive: containment
     if ch.isspace():
         return None
-    return ch  # punctuation literal: exact containment check
+    return ch  # punctuation/symbol/non-Nd numeric: exact containment
 
 
 def _walk_guards(tree, ignorecase: bool) -> set[str]:

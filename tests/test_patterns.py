@@ -723,6 +723,38 @@ def test_derive_guards_units():
     assert "@" in g
 
 
+def test_guards_unicode_literals_probe_consistent():
+    """Non-ASCII literals must never derive a guard their runtime probe
+    cannot satisfy (round-3 review finding): '²' is str.isdigit() but not
+    \\d (Nd), 'É' is isupper() but not [A-Z] — both must become exact
+    containment guards, not _GUARD_DIGIT/_GUARD_UPPER, so the pattern
+    still fires on text that contains them."""
+    import re
+
+    from entity_extraction_service_spark.operators.mentions import (
+        _GUARD_DIGIT,
+        _GUARD_UPPER,
+        _match_turn,
+        MentionPattern,
+        derive_guards,
+    )
+
+    sup = re.compile(r"\b(\w+ ?(?:m²))")
+    g = derive_guards(sup)
+    assert _GUARD_DIGIT not in g and "²" in g
+    acc = re.compile(r"(École \w+)")
+    g = derive_guards(acc)
+    assert _GUARD_UPPER not in g and "É" in g
+    # end-to-end: the guarded scan still finds the mention on text with
+    # no ASCII digit/uppercase anywhere
+    pats = [MentionPattern(sup, "MEASURE", 0.8, derive_guards(sup))]
+    hits = _match_turn(pats, "room is forty m² total")
+    assert any(h[1] == "forty m²" for h in hits)
+    # class of non-Nd numerics stays conservative (no unsatisfiable guard)
+    g = derive_guards(re.compile(r"([²³]+)"))
+    assert _GUARD_DIGIT not in g
+
+
 def test_guards_never_block_corpus_examples():
     """Every pattern's own YAML examples must pass that pattern's guard
     prescreen — the corpus's self-testing examples double as prescreen
