@@ -168,6 +168,7 @@ class PipelineConfig:
         "localized_to",
         "assigned_to", "moved_under", "reports_in",
         "identified_by", "registered_as", "settles_via", "priced_at",
+        "covered_in", "announced_via", "discussed_in", "annotates",
     )
 
     # type-pair -> predicate inference table (T3 analog of
@@ -342,6 +343,12 @@ class PipelineConfig:
         ("ORG", "LEI", "registered_as"),
         ("ORG", "SWIFT_BIC", "settles_via"),
         ("ISIN", "MONEY", "priced_at"),
+        # tier-22b news-media / practice-materials pairs
+        # (patterns/legal_citations.yaml)
+        ("ORG", "NEWS_CITATION", "covered_in"),
+        ("ORG", "PRESS_RELEASE", "announced_via"),
+        ("CASE_CITATION", "TREATISE_CITATION", "discussed_in"),
+        ("ALR_CITATION", "CASE_CITATION", "annotates"),
     )
 
     entity_types: tuple[str, ...] = (
@@ -392,6 +399,8 @@ class PipelineConfig:
         "ORCID", "ISIN", "LEI", "VIN", "IMO_NUMBER", "SWIFT_BIC",
         "CONST_CITATION", "FED_REG_CITATION", "PUB_LAW_CITATION",
         "LAW_REVIEW_CITATION", "RESTATEMENT_CITATION", "STATE_CODE_CITATION",
+        "NEWS_CITATION", "PRESS_RELEASE", "ALR_CITATION",
+        "ENCYCLOPEDIA_CITATION", "MODEL_CODE_CITATION", "TREATISE_CITATION",
     )
 
     # --- L3 type-compatibility merge groups (entity_registry.py:332-351

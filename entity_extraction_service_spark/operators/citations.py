@@ -16,11 +16,13 @@ grammars; validated by tests).
 
 Three further layers of the reference's citation subsystem, over the
 tier-4/7/22 legal packs' parsed components (the subtype rule table spans
-13 of the taxonomy's 15 families — case, statutory, regulatory,
-constitutional, court-rule, secondary-source, electronic, international,
-record, specialized and pinpoint tiers here, plus the ID/SUPRA/
-SHORT_FORM cross-reference tier emitted by classify_short_cites;
-news-media and practice-materials have no transcript analog):
+ALL 15 taxonomy families — case, statutory, regulatory, constitutional,
+court-rule, secondary-source incl. the practice-materials remainder
+(A.L.R., legal encyclopedias, model codes, treatises), news-media
+(newspapers / wires / magazines / press releases), electronic,
+international, record, specialized and pinpoint tiers here, plus the
+ID/SUPRA/SHORT_FORM cross-reference tier emitted by
+classify_short_cites):
 
 - sub-classification (CitationType tiers, regex_engine.py:1400-1566) —
   a data-table-driven CASE WHEN chain (reporter -> court level), pure
@@ -126,6 +128,17 @@ CITATION_SUBTYPE_RULES: tuple[tuple[str, str | None, str | None, str], ...] = (
     ("RESTATEMENT_CITATION", None, None, "RESTATEMENT_CITATION"),
     ("UCC_CITATION", None, None, "UNIFORM_LAW_CITATION"),
     ("ISBN", None, None, "BOOK_CITATION"),
+    # practice materials (:278-286 remainder)
+    ("ALR_CITATION", None, None, "ALR_CITATION"),
+    ("ENCYCLOPEDIA_CITATION", None, None, "LEGAL_ENCYCLOPEDIA_CITATION"),
+    ("MODEL_CODE_CITATION", None, None, "MODEL_CODE_CITATION"),
+    ("TREATISE_CITATION", None, None, "TREATISE_CITATION"),
+    # news & media (:288-293): wire services and magazines split off the
+    # outlet component; dailies are the newspaper default
+    ("NEWS_CITATION", "outlet", r"^(Reuters|Agence Fr\.-Presse)$", "NEWS_WIRE_CITATION"),
+    ("NEWS_CITATION", "outlet", r"^(Sci\. Am\.|Harv\. Bus\. Rev\.)$", "MAGAZINE_CITATION"),
+    ("NEWS_CITATION", None, None, "NEWSPAPER_CITATION"),
+    ("PRESS_RELEASE", None, None, "PRESS_RELEASE_CITATION"),
     # electronic sources (:295-302)
     ("URL", None, None, "WEB_CITATION"),
     # international (:303-310): GDPR articles are foreign law from the

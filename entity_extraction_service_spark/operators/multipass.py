@@ -87,6 +87,9 @@ DEFAULT_PASSES: dict[str, tuple[str, ...]] = {
         "CONST_CITATION", "FED_REG_CITATION", "PUB_LAW_CITATION",
         "LAW_REVIEW_CITATION", "RESTATEMENT_CITATION",
         "STATE_CODE_CITATION",
+        # tier-22b news-media + practice-materials families
+        "NEWS_CITATION", "PRESS_RELEASE", "ALR_CITATION",
+        "ENCYCLOPEDIA_CITATION", "MODEL_CODE_CITATION", "TREATISE_CITATION",
     ),
     "observability": (
         "ERROR_CODE", "CVE", "UUID", "HTTP_STATUS", "PERCENT", "DURATION",

@@ -71,6 +71,15 @@ LEGAL_TURNS = [
     ("c5", 2, "see Exhibit A for the logs."),
     ("c5", 3, "the hinge is covered by U.S. Pat. No. 11,349,210 as granted."),
     ("c5", 4, "order 978-0-262-03384-8 for the shelf."),
+    # tier-22b: news & media + practice materials — the last two families
+    ("c6", 0, "the merger leaked in N.Y. Times, Mar. 3, 2024 before filing."),
+    ("c6", 1, "the recall ran on Reuters, Aug. 14, 2023 overnight."),
+    ("c6", 2, "the profile appeared in Sci. Am., June 1, 2022 as well."),
+    ("c6", 3, "quoting Press Release, U.S. Dep't of Justice, on the settlement."),
+    ("c6", 4, "the annotation at 171 A.L.R. Fed. 1 collects the cases."),
+    ("c6", 5, "the elements are collected in 75 Am. Jur. 2d Trespass today."),
+    ("c6", 6, "recklessness is defined at Model Penal Code § 2.02 here."),
+    ("c6", 7, "the standard appears in 5 Wright & Miller, Federal Practice and Procedure § 1202."),
 ]
 
 
@@ -123,6 +132,17 @@ def test_citation_subtypes(spark, legal_mentions):
         ("Exhibit A", "EXHIBIT_CITATION"),
         ("U.S. Pat. No. 11,349,210", "PATENT_CITATION"),
         ("978-0-262-03384-8", "BOOK_CITATION"),
+        # tier-22b: news & media + practice materials (families 14/15)
+        ("N.Y. Times, Mar. 3, 2024", "NEWSPAPER_CITATION"),
+        ("Reuters, Aug. 14, 2023", "NEWS_WIRE_CITATION"),
+        ("Sci. Am., June 1, 2022", "MAGAZINE_CITATION"),
+        ("Press Release, U.S. Dep't of Justice", "PRESS_RELEASE_CITATION"),
+        ("171 A.L.R. Fed. 1", "ALR_CITATION"),
+        ("75 Am. Jur. 2d Trespass", "LEGAL_ENCYCLOPEDIA_CITATION"),
+        ("Model Penal Code", "MODEL_CODE_CITATION"),
+        ("5 Wright & Miller, Federal Practice and Procedure", "TREATISE_CITATION"),
+        ("§ 2.02", "SECTION_CITATION"),
+        ("§ 1202", "SECTION_CITATION"),
     }
 
 
@@ -216,6 +236,7 @@ def test_classify_validate_duckdb_parity(spark, legal_mentions, tmp_path):
         F.col("components")["kind"].alias("kind"),
         F.col("components")["body"].alias("body"),
         F.col("components")["journal"].alias("journal"),
+        F.col("components")["outlet"].alias("outlet"),
         F.col("components")["year"].cast("int").alias("year"),
         F.col("components")["volume"].cast("int").alias("volume"),
         F.col("components")["page"].cast("int").alias("page"),

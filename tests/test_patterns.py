@@ -470,6 +470,39 @@ NEW_TYPE_FIXTURES = {
     "jurisdiction rests on 28 U.S.C.A. § 1331 as annotated": {
         ("STATUTE_CITATION", "28 U.S.C.A. § 1331"),
     },
+    # tier-22b: the two CitationType families previously absent — news &
+    # media (dated outlet cites, wire services, press releases) and
+    # practice materials (A.L.R., encyclopedias, model codes, treatises);
+    # PERSON is fenced out of the citation phrases by the enumerated
+    # lookahead in core.yaml person_two_token
+    "the merger leaked in N.Y. Times, Mar. 3, 2024 before filing.": {
+        ("NEWS_CITATION", "N.Y. Times, Mar. 3, 2024"),
+    },
+    "the recall ran on Reuters, Aug. 14, 2023 overnight": {
+        ("NEWS_CITATION", "Reuters, Aug. 14, 2023"),
+    },
+    "quoting Press Release, U.S. Dep't of Justice, on the settlement.": {
+        ("PRESS_RELEASE", "Press Release, U.S. Dep't of Justice"),
+    },
+    "the annotation at 171 A.L.R. Fed. 1 collects the cases.": {
+        ("ALR_CITATION", "171 A.L.R. Fed. 1"),
+    },
+    # the glued series token ("A.L.R.3d") must not shed a DURATION, and
+    # "Am. Jur. 2d" is fenced out of DURATION like "F. Supp. 2d"
+    "see 100 A.L.R.3d 316 for the majority rule": {
+        ("ALR_CITATION", "100 A.L.R.3d 316"),
+    },
+    "the elements are collected in 75 Am. Jur. 2d Trespass today.": {
+        ("ENCYCLOPEDIA_CITATION", "75 Am. Jur. 2d Trespass"),
+    },
+    "recklessness is defined at Model Penal Code § 2.02 here.": {
+        ("MODEL_CODE_CITATION", "Model Penal Code"),
+        ("SECTION_REF", "§ 2.02"),
+    },
+    "the standard appears in 5 Wright & Miller, Federal Practice and Procedure § 1202.": {
+        ("TREATISE_CITATION", "5 Wright & Miller, Federal Practice and Procedure"),
+        ("SECTION_REF", "§ 1202"),
+    },
 }
 
 
