@@ -355,6 +355,7 @@ def semantic_dedup(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    config=None,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
     partition embedding space into semantic clusters, keep ONE representative
@@ -378,6 +379,9 @@ def semantic_dedup(
     survivors = corpus anti-join on the drop set (see
     ``semantic_dedup_keep``).
     """
+    from ..config import DEFAULT_CONFIG as _DC
+    from .checkpoint import materialize_df
+
     planes = _hyperplanes(dim, n_planes, seed)
     rows = corpus.select(
         F.col(id_col).alias("id"),
@@ -385,7 +389,14 @@ def semantic_dedup(
         lsh_signature_col(vec_col, planes).alias("bucket"),
     )
     wb = Window.partitionBy("bucket")
-    tagged = rows.withColumn("keeper_id", F.min("id").over(wb))
+    # materialize the tagged table once: the member->keeper join reads it
+    # on both sides, and without the seam each side would redo the
+    # n_planes-dot-product projection AND the keeper window
+    tagged = materialize_df(
+        rows.withColumn("keeper_id", F.min("id").over(wb)),
+        config or _DC,
+        tag="semantic-dedup-tags",
+    )
     keepers = tagged.where(F.col("id") == F.col("keeper_id")).select(
         "bucket", F.col("vec").alias("kvec")
     )
