@@ -835,6 +835,22 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 confidence-distribution analog, percentile form: EXACT
+    linear-interpolation percentiles (Spark `percentile`, not the
+    t-digest approx) per group — hash-matches DuckDB quantile_cont
+    bit-for-bit at 6 dp. At 100 TB the exact sort-based percentile is
+    one shuffle per group key; swap to approx_percentile when a bounded
+    error is acceptable (documented trade, not a silent default)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for each purchase event, the most
     recent at-or-before click by the same user — union + ONE window
@@ -1056,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "events_asof": q_events_asof,
         "semantic_dedup": q_semantic_dedup,
+        "value_percentiles": q_value_percentiles,
     }
 
 
@@ -2368,6 +2385,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
         ) c ON TRUE
         WHERE p.event_type = 'purchase'
+    """
+    out["value_percentiles"] = """
+        SELECT event_type,
+               round(quantile_cont("value", 0.5), 6) AS p50,
+               round(quantile_cont("value", 0.9), 6) AS p90,
+               round(quantile_cont("value", 0.99), 6) AS p99,
+               count(*) AS n
+        FROM events GROUP BY event_type
     """
     return out
 
