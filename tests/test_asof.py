@@ -142,3 +142,31 @@ def test_single_shuffle_plan(spark, sides):
     left, right = sides
     plan = asof_join(left, right, on=["user"], ts_col="ts", right_seq="rid")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_empty_right_side(spark, sides):
+    """No right rows at all: left rows come back with NULL payloads."""
+    left, right = sides
+    got = _rows(asof_join(left, right.limit(0), on=["user"], ts_col="ts", right_seq="rid"))
+    assert set(got.values()) == {(None, None)}
+    assert len(got) == 4
+
+
+def test_empty_left_side(spark, sides):
+    left, right = sides
+    assert asof_join(left.limit(0), right, on=["user"], ts_col="ts", right_seq="rid").count() == 0
+
+
+def test_multi_key_join(spark):
+    """Composite key: rows only match within the same (user, device)."""
+    left = spark.createDataFrame(
+        [("u1", "a", _ts("2024-01-01T00:00:10"), 1),
+         ("u1", "b", _ts("2024-01-01T00:00:10"), 2)],
+        "user string, device string, ts timestamp_ntz, lid int",
+    )
+    right = spark.createDataFrame(
+        [("u1", "a", _ts("2024-01-01T00:00:05"), 7, 1.0)],
+        "user string, device string, ts timestamp_ntz, rid long, val double",
+    )
+    got = _rows(asof_join(left, right, on=["user", "device"], ts_col="ts", right_seq="rid"))
+    assert got == {1: (7, 1.0), 2: (None, None)}

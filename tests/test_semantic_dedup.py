@@ -80,3 +80,17 @@ def test_linear_not_quadratic_in_bucket(spark, emb):
     member->member: output rows <= corpus rows regardless of bucket heat."""
     n = emb.count()
     assert semantic_dedup(emb, threshold=-1.0, n_planes=1).count() <= n
+
+
+def test_empty_corpus(spark, emb):
+    assert semantic_dedup(emb.limit(0), threshold=0.5).count() == 0
+    assert semantic_dedup_keep(emb.limit(0), threshold=0.5).count() == 0
+
+
+def test_unreachable_threshold_drops_nothing(spark, emb):
+    """Threshold above the cosine range gates every drop: all rows kept
+    even when planted clusters share buckets (tight clusters share even
+    40-bit signatures — bucket collision alone must never drop a row)."""
+    n = emb.count()
+    assert semantic_dedup(emb, threshold=1.5).count() == 0
+    assert semantic_dedup_keep(emb, threshold=1.5).count() == n
