@@ -314,24 +314,28 @@ def quantized_dot_pairs(
         if max_rows is not None
         else (config or DEFAULT_CONFIG).allpairs_max_rows
     )
-    # materialize the quantized projection FIRST: the guard count and both
-    # sides of the self-join then read the checkpoint instead of
-    # recomputing the corpus's upstream lineage three times (round-3
-    # review finding — the documented use case feeds a DERIVED plan, e.g.
-    # an LSH re-rank set, whose subtree Catalyst will not deduplicate)
-    q = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("long"))
-    c = materialize_df(
-        corpus.select(F.col(id_col).alias("id"), q.alias("qv")),
-        config or DEFAULT_CONFIG,
-        tag="qdot-vectors",
-    )
-    n = c.limit(cap + 1).count()
+    # cheap size guard FIRST, on the raw input: an over-cap corpus must be
+    # refused before any full-corpus work happens (limit(cap+1).count()
+    # stops scanning after cap+1 rows; materializing first would pay a
+    # full checkpoint write just to learn the call is refused)
+    n = corpus.limit(cap + 1).count()
     if n > cap:
         raise ValueError(
             f"quantized_dot_pairs refused: corpus has > {cap} rows "
             f"(max_rows={cap}); route candidates through lsh_topk/ivf_topk "
             "and use this only on the bounded re-rank set"
         )
+    # then materialize the quantized projection: both sides of the
+    # self-join read the checkpoint instead of recomputing the corpus's
+    # upstream lineage twice (round-3 review finding — the documented use
+    # case feeds a DERIVED plan, e.g. an LSH re-rank set, whose subtree
+    # Catalyst will not deduplicate)
+    q = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("long"))
+    c = materialize_df(
+        corpus.select(F.col(id_col).alias("id"), q.alias("qv")),
+        config or DEFAULT_CONFIG,
+        tag="qdot-vectors",
+    )
     a, b = c.alias("a"), c.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
@@ -421,9 +425,10 @@ def semantic_dedup_keep(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    config=None,
 ) -> DataFrame:
     """Surviving corpus rows after ``semantic_dedup`` pruning."""
     dropped = semantic_dedup(
-        corpus, threshold, n_planes, dim, seed, id_col, vec_col
+        corpus, threshold, n_planes, dim, seed, id_col, vec_col, config=config
     ).select(F.col("vec_id").alias(id_col))
     return corpus.join(dropped, id_col, "left_anti")

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
 
 
 def asof_join(
@@ -56,17 +57,27 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     seq = right_seq or ts_col
     payload_cols = [c for c in right.columns if c not in on]
-    payload_type = (
-        "struct<"
-        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols)
-        + ">"
-    )
     left_cols = [c for c in left.columns if c not in on and c != ts_col]
+    # struct types built programmatically from the source schemas (NOT via
+    # a DDL string): column names needing backquoting (spaces, hyphens,
+    # colons) must survive the cast unchanged
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in payload_cols]
+    )
     left_type = (
-        "struct<"
-        + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}" for c in left_cols)
-        + ">"
-    ) if left_cols else "boolean"
+        StructType([StructField(c, left.schema[c].dataType, True) for c in left_cols])
+        if left_cols
+        else BooleanType()
+    )
+    # output-name collision check: a left column already named
+    # f"{payload_prefix}{payload_col}" would silently duplicate
+    out_names = on + [ts_col] + left_cols + [f"{payload_prefix}{c}" for c in payload_cols]
+    dups = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dups:
+        raise ValueError(
+            f"asof_join output column collision on {dups}: rename the left "
+            f"column(s) or pass a different payload_prefix (={payload_prefix!r})"
+        )
 
     # Side ordering at equal ts decides visibility — in BOTH directions
     # the frame is unboundedPreceding..currentRow over the (possibly
@@ -131,7 +142,7 @@ def asof_join(
     out_cols = (
         [F.col(c) for c in on]
         + [F.col("_ts").alias(ts_col)]
-        + [F.col(f"_left.{c}").alias(c) for c in left_cols]
-        + [F.col(f"_m.{c}").alias(f"{payload_prefix}{c}") for c in payload_cols]
+        + [F.col("_left").getField(c).alias(c) for c in left_cols]
+        + [F.col("_m").getField(c).alias(f"{payload_prefix}{c}") for c in payload_cols]
     )
     return matched.select(*out_cols)

@@ -46,3 +46,47 @@ def test_quantized_dot_pairs_runs_under_cap(spark):
     )
     out = quantized_dot_pairs(vecs, min_dot=0, max_rows=10)
     assert out.count() == 10  # C(5,2)
+
+
+def test_quantized_dot_pairs_guard_runs_before_materialize(spark, tmp_path):
+    """The size refusal must fire BEFORE the quantized projection is
+    checkpointed: an over-cap corpus pays a bounded limit(cap+1).count(),
+    never a full-corpus parquet write (round-4 advice)."""
+    from dataclasses import replace
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+
+    cfg = replace(
+        DEFAULT_CONFIG, checkpoint_dir=str(tmp_path), materialize="parquet"
+    )
+    vecs = spark.range(25).select(
+        F.concat(F.lit("v"), F.col("id")).alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="quantized_dot_pairs refused"):
+        quantized_dot_pairs(vecs, min_dot=0, max_rows=10, config=cfg)
+    leaked = list(tmp_path.rglob("qdot-vectors-*"))
+    assert not leaked, f"guard materialized before refusing: {leaked}"
+
+
+def test_semantic_dedup_keep_forwards_config(spark, tmp_path):
+    """semantic_dedup_keep must forward config to semantic_dedup so the
+    materialize seam is controllable (round-4 advice): with a
+    checkpoint_dir config, the tagged table lands under it."""
+    from dataclasses import replace
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+    from entity_extraction_service_spark.operators.ann import semantic_dedup_keep
+
+    cfg = replace(
+        DEFAULT_CONFIG, checkpoint_dir=str(tmp_path), materialize="parquet"
+    )
+    vecs = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 3 + i).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    kept = semantic_dedup_keep(vecs, threshold=0.0, n_planes=2, dim=4, config=cfg)
+    assert kept.count() > 0
+    assert list(tmp_path.rglob("semantic-dedup-tags-*")), "config not forwarded"

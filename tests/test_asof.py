@@ -170,3 +170,37 @@ def test_multi_key_join(spark):
     )
     got = _rows(asof_join(left, right, on=["user", "device"], ts_col="ts", right_seq="rid"))
     assert got == {1: (7, 1.0), 2: (None, None)}
+
+
+def test_awkward_column_names(spark):
+    """Column names needing backquoting (spaces, hyphens, colons) survive:
+    the struct types are built programmatically from the source schemas,
+    not from a DDL string (round-4 advice)."""
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T00:00:10"), 1)],
+        ["user", "ts", "left id"],
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T00:00:05"), 7, 1.5)],
+        ["user", "ts", "right-id", "val:x"],
+    )
+    out = asof_join(left, right, on=["user"], ts_col="ts", right_seq="right-id")
+    row = out.collect()[0]
+    assert row["left id"] == 1
+    assert row["asof_right-id"] == 7
+    assert row["asof_val:x"] == 1.5
+
+
+def test_payload_prefix_collision_raises(spark):
+    """A left column already named f'{payload_prefix}{payload_col}' must be
+    refused loudly, not silently duplicated (round-4 advice)."""
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T00:00:10"), 9)],
+        "user string, ts timestamp_ntz, asof_rid int",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T00:00:05"), 7)],
+        "user string, ts timestamp_ntz, rid long",
+    )
+    with pytest.raises(ValueError, match="collision.*asof_rid"):
+        asof_join(left, right, on=["user"], ts_col="ts", right_seq="rid")
