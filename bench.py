@@ -47,6 +47,39 @@ def _materialize(df) -> int:
     return 0
 
 
+def _probe_burn(n: int) -> int:
+    # same CPU-bound kernel as scripts/scaling_bench.py::_burn — keep in
+    # sync so bench probes and scaling-pair ceilings are comparable
+    s = 0
+    for i in range(n):
+        s += i * i % 7
+    return s
+
+
+def host_probe(n_procs: int = 8, per_proc: int = 4_000_000) -> dict:
+    """Window-quality evidence (VERDICT r3 item 2): a few seconds of pure
+    CPU-bound Python multiprocessing — no Spark, no IO — run before and
+    after the timed suite. On this virtualized host, steal/frequency
+    windows have swung identical-code query timings 2x+ between rounds;
+    recording the host's own single-core rate and small-fanout parallel
+    efficiency alongside every BENCH JSON makes such drift self-evident
+    (a degraded probe == a degraded window, not a code regression).
+    """
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    _probe_burn(per_proc)
+    single = per_proc / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    with mp.Pool(n_procs) as p:
+        p.map(_probe_burn, [per_proc] * n_procs)
+    multi = n_procs * per_proc / (time.perf_counter() - t0)
+    return {
+        "single_mops": round(single / 1e6, 2),
+        "eff_x{}".format(n_procs): round(multi / (n_procs * single), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -56,6 +89,8 @@ def main() -> None:
     from entity_extraction_service_spark.session import build_session
 
     import __spark_entry__ as entry_mod
+
+    probe_pre = host_probe()
 
     cfg = DEFAULT_CONFIG
     spark = build_session(
@@ -185,6 +220,7 @@ def main() -> None:
         t0 = time.perf_counter()
         _materialize(qmap[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+    probe_post = host_probe()
     out = {
         "metric": "headline_suite_wall",
         "value": round(total, 3),
@@ -194,6 +230,10 @@ def main() -> None:
         "cpus": cpus,
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / kg_sec, 2) if kg_sec > 0 else None,
+        # untimed window-quality probes (see host_probe docstring): compare
+        # across BENCH_r{N}.json files before reading timing deltas as code
+        "host_probe_pre": probe_pre,
+        "host_probe_post": probe_post,
     }
     print(json.dumps(out))
     spark.stop()
