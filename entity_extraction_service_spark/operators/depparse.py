@@ -1,0 +1,394 @@
+"""Deterministic pure-Python dependency parser for the T2 seam.
+
+The reference classifies SHORTEST DEPENDENCY PATHS between entity-pair
+head tokens from a real spaCy parse (relationship_extractor.py:441-630:
+entity->token mapping :466-483, head-token pick :563-568, BFS shortest
+path :570-593, (dep, lemma) pattern classification :595-630). This
+container has no spaCy model, so this module ships a deterministic
+rule-based dependency parser producing the same tree interface —
+``Tok.head`` / ``Tok.children`` / ``Tok.dep`` / ``Tok.lemma`` — over the
+grammar the transcript domain actually uses: active SVO clauses,
+be-passives with optional ``by``-agent phrases, prepositional objects,
+and subject/object relative clauses. Everything is table- and
+rule-driven: same text in, same tree out, on every run and every
+partitioning (a requirement the driver's hash-compare correctness gate
+imposes that a learned parser cannot meet).
+
+Where the shallow-SVO default (triples_ml.dependency_triples_default)
+reads pure linear order — nearest mention left of the verb is the
+subject, nearest right is the object — this parser gets the three
+structures that flip or break linear order:
+
+- passives:            "E7 was raised by checkout-service."
+- object relatives:    "the error that auth-service raised"
+- agentless passives:  "The pipeline was deployed." (no actor -> no triple
+                       instead of a wrong one)
+
+tests/test_depparse.py measures the P/R delta on a labeled fixture set
+of exactly these shapes.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# lexicon (closed classes; open-class default is NOUN — entity heads are
+# always located via mention offsets, so open-class tagging only has to be
+# good enough to find clause structure, not to label every word)
+
+AUX_BE = {"is", "are", "was", "were", "am", "be", "been", "being"}
+AUX_OTHER = {
+    "has", "have", "had", "do", "does", "did", "will", "would",
+    "shall", "should", "can", "could", "may", "might", "must",
+}
+DETS = {
+    "the", "a", "an", "this", "these", "those", "its", "his", "her",
+    "their", "our", "my", "your", "some", "any", "each", "every", "no",
+}
+REL_PRONS = {"that", "which", "who", "whom", "whose"}
+ADPS = {
+    "at", "by", "of", "in", "on", "for", "with", "to", "from", "into",
+    "onto", "over", "under", "about", "after", "before", "between",
+    "during", "through", "against", "within", "without", "across",
+}
+CCONJS = {"and", "or", "but", "nor", "so", "yet"}
+PRONS = {
+    "he", "she", "it", "they", "we", "i", "you",
+    "him", "them", "us", "me", "itself", "themselves",
+}
+NEGS = {"not", "never"}
+
+_TOKEN_RE = re.compile(r"\w+(?:[-'.]\w+)*|[^\w\s]")
+_SENT_BOUND_RE = re.compile(r"[.!?\n]")
+
+
+@dataclass
+class Tok:
+    """spaCy-token-shaped node: the BFS path walker and the classifier
+    only touch these fields (reference Token usage :563-593)."""
+
+    i: int
+    text: str
+    start: int
+    end: int
+    pos: str = "NOUN"
+    lemma: str = ""
+    dep: str = "dep"
+    head: "Tok | None" = None            # None == root (self-loop analog)
+    children: list["Tok"] = field(default_factory=list)
+
+    def __hash__(self) -> int:           # identity-hashable for BFS sets
+        return id(self)
+
+    def __eq__(self, other) -> bool:
+        return self is other
+
+
+def _attach(child: Tok, head: Tok, dep: str) -> None:
+    child.head = head
+    child.dep = dep
+    head.children.append(child)
+
+
+class DepParser:
+    """Rule-based arc builder. ``verb_forms`` maps an inflected surface
+    form to (lemma, confidence) — the same table the shallow default uses
+    (triples_ml.DEP_VERB_FORMS), so both T2 paths recognize the same verb
+    vocabulary and differ only in structure."""
+
+    def __init__(self, verb_forms: dict[str, tuple[str, float]]):
+        self.verb_forms = verb_forms
+        # past/participle forms license the be-passive reading
+        self.past_forms = {
+            f for f in verb_forms
+            if f.endswith("ed") or f in {"ran", "wrote", "built"}
+        }
+
+    # -- tagging ------------------------------------------------------------
+
+    def _tag(self, tok: Tok, prev: Tok | None) -> None:
+        w = tok.text.lower()
+        if not tok.text[0].isalnum():
+            tok.pos = "PUNCT"
+        elif w in self.verb_forms:
+            tok.pos = "VERB"
+            tok.lemma = self.verb_forms[w][0]
+        elif w in AUX_BE or w in AUX_OTHER:
+            tok.pos = "AUX"
+        elif w in REL_PRONS and prev is not None and prev.pos in ("NOUN", "PRON"):
+            # "that" heading a relative clause follows a noun; sentence-
+            # initial or post-verb "that" stays DET
+            tok.pos = "RELPRON"
+        elif w in DETS:
+            tok.pos = "DET"
+        elif w in ADPS:
+            tok.pos = "ADP"
+        elif w in CCONJS:
+            tok.pos = "CCONJ"
+        elif w in PRONS:
+            tok.pos = "PRON"
+        elif w in NEGS:
+            tok.pos = "NEG"
+        elif (
+            w.endswith(("ed", "ing"))
+            and len(w) > 4
+            and prev is not None
+            and prev.pos in ("RELPRON", "AUX")
+        ):
+            # narrow morphological verb rule: an unknown -ed/-ing form
+            # directly after a relative pronoun ("that crashed") or an
+            # auxiliary ("was scheduled") can only be a verb — needed so
+            # out-of-table verbs still yield a correct TREE (they never
+            # yield a triple: classification requires a table lemma)
+            tok.pos = "VERB"
+        elif w.endswith("ly"):
+            tok.pos = "ADV"
+        else:
+            tok.pos = "NOUN"
+        if not tok.lemma:
+            tok.lemma = w
+
+    # -- NP runs ------------------------------------------------------------
+
+    @staticmethod
+    def _np_runs(toks: list[Tok]) -> list[tuple[int, int]]:
+        """Maximal contiguous NOUN/PRON runs; head = LAST token of the run
+        (right-headed compounds: 'checkout service' -> head 'service')."""
+        runs, i = [], 0
+        while i < len(toks):
+            if toks[i].pos in ("NOUN", "PRON"):
+                j = i
+                while j + 1 < len(toks) and toks[j + 1].pos == "NOUN":
+                    j += 1
+                runs.append((i, j))
+                i = j + 1
+            else:
+                i += 1
+        return runs
+
+    # -- per-sentence arc building -------------------------------------------
+
+    def _parse_sentence(self, toks: list[Tok]) -> None:
+        runs = self._np_runs(toks)
+        run_head = {}                    # token index -> its run's head token
+        run_a = {}                       # run-head token index -> run start
+        for a, b in runs:
+            head = toks[b]
+            run_a[b] = a
+            for k in range(a, b):
+                _attach(toks[k], head, "compound")
+            for k in range(a, b + 1):
+                run_head[k] = head
+
+        verbs = [t for t in toks if t.pos == "VERB"]
+        root: Tok | None = None
+        relcl: set[int] = set()
+
+        for v in verbs:
+            # auxiliaries / negation / adverbs immediately left of the verb
+            j = v.i - 1
+            saw_be = False
+            while j >= 0 and toks[j].pos in ("AUX", "NEG", "ADV"):
+                if toks[j].text.lower() in AUX_BE:
+                    saw_be = True
+                _attach(toks[j], v, "aux")
+                j -= 1
+            w = v.text.lower()
+            is_past = w in self.past_forms or (
+                w not in self.verb_forms and w.endswith("ed")
+            )
+            passive = saw_be and is_past
+            subj_dep = "nsubjpass" if passive else "nsubj"
+
+            # relative clause: NP_mod RELPRON [NP_inner] aux* VERB
+            k = j
+            inner_subj: Tok | None = None
+            if k >= 0 and k in run_head:
+                inner_subj = run_head[k]
+                k = run_a[inner_subj.i] - 1
+            if k >= 0 and toks[k].pos == "RELPRON":
+                mod = next(
+                    (toks[b] for a, b in reversed(runs) if b < k), None
+                )                                       # NP the clause modifies
+                _attach(toks[k], v, "ref")
+                if mod is not None:
+                    _attach(v, mod, "relcl")
+                    relcl.add(v.i)
+                if inner_subj is not None and inner_subj.head is None:
+                    # object relative ("the error that the service closed"):
+                    # the inner NP is the clause's subject; the modified NP
+                    # is read as its object through the relcl edge
+                    _attach(inner_subj, v, subj_dep)
+                # subject relative ("the service that crashed"): no inner
+                # NP; the modified NP is the subject via the relcl edge
+            else:
+                # plain clause: subject = RIGHTMOST still-unattached NP head
+                # left of the verb. Attached ones are skipped, which walks
+                # THROUGH relative clauses to the NP they modify ("the
+                # pipeline that Alice built crashed" -> nsubj(crashed) =
+                # pipeline, because Alice is already nsubj of built)
+                subj = next(
+                    (toks[b] for a, b in reversed(runs)
+                     if b < v.i and toks[b].head is None),
+                    None,
+                )
+                if subj is not None:
+                    _attach(subj, v, subj_dep)
+
+            # right side: objects / prepositional phrases, up to the next
+            # verb or relative pronoun (the next clause's territory). An
+            # OBJECT relative's verb takes no right-side dependents at all:
+            # its object slot is the gap filled by the modified NP, and
+            # everything to the right belongs to the outer clause ("the
+            # error that the service closed [GAP] broke checkout")
+            if v.i in relcl and inner_subj is not None and inner_subj.head is v:
+                continue
+            j = v.i + 1
+            have_dobj = False
+            while j < len(toks):
+                t = toks[j]
+                if t.pos in ("VERB", "RELPRON"):
+                    break
+                if t.pos in ("ADV", "NEG", "DET", "CCONJ", "PUNCT"):
+                    if t.head is None:
+                        _attach(t, v, "dep")
+                    j += 1
+                    continue
+                if t.pos == "ADP":
+                    dep = "agent" if passive and t.text.lower() == "by" else "prep"
+                    _attach(t, v, dep)
+                    # its NP
+                    k = j + 1
+                    while k < len(toks) and toks[k].pos in ("DET", "ADV"):
+                        k += 1
+                    if k < len(toks) and k in run_head and run_head[k].head is None:
+                        _attach(run_head[k], t, "pobj")
+                        j = next(b for a, b in runs if toks[b] is run_head[k]) + 1
+                        continue
+                    j = k
+                    continue
+                if j in run_head and run_head[j].head is None:
+                    _attach(run_head[j], v, "conj" if have_dobj else "dobj")
+                    have_dobj = True
+                    j = next(b for a, b in runs if toks[b] is run_head[j]) + 1
+                    continue
+                j += 1
+
+            if v.i not in relcl:
+                if root is None:
+                    root = v
+                else:
+                    _attach(v, root, "conj")
+
+        # root fallback + orphan attachment (reference trees are always
+        # connected; BFS needs one component per sentence)
+        if root is None:
+            heads = [t for t in toks if t.head is None]
+            root = heads[0] if heads else (toks[0] if toks else None)
+        for t in toks:
+            if t.head is None and t is not root:
+                _attach(t, root, "dep")
+        if root is not None:
+            root.dep = "ROOT"
+
+    # -- public API -----------------------------------------------------------
+
+    def parse(self, text: str) -> list[list[Tok]]:
+        """Parse ``text`` into per-sentence token lists (offsets are
+        text-global, like spaCy's ``token.idx``)."""
+        bounds = [0] + [m.end() for m in _SENT_BOUND_RE.finditer(text)] + [len(text)]
+        sents: list[list[Tok]] = []
+        for s, e in zip(bounds, bounds[1:]):
+            toks = [
+                Tok(i=i, text=m.group(0), start=m.start() + s, end=m.end() + s)
+                for i, m in enumerate(_TOKEN_RE.finditer(text[s:e]))
+            ]
+            prev = None
+            for t in toks:
+                self._tag(t, prev)
+                if t.pos != "PUNCT":
+                    prev = t
+            self._parse_sentence(toks)
+            if toks:
+                sents.append(toks)
+        return sents
+
+
+# ---------------------------------------------------------------------------
+# reference-parity helpers (relationship_extractor.py :466-593)
+
+
+def map_entities_to_tokens(
+    sents: list[list[Tok]], spans: list[tuple[int, int]]
+) -> list[tuple[int, Tok] | None]:
+    """Entity -> head token (+ sentence index). Token membership is the
+    reference's containment rule (:476-479: token fully inside the span);
+    the head is the member whose head is outside the member set (:563-568)."""
+    out: list[tuple[int, Tok] | None] = []
+    for start, end in spans:
+        members: list[tuple[int, Tok]] = []
+        for si, toks in enumerate(sents):
+            for t in toks:
+                if t.start >= start and t.end <= end:
+                    members.append((si, t))
+        if not members:
+            out.append(None)
+            continue
+        mset = {t for _, t in members}
+        head = next(((si, t) for si, t in members if t.head not in mset), members[0])
+        out.append(head)
+    return out
+
+
+def dependency_path(t1: Tok, t2: Tok) -> list[Tok]:
+    """BFS shortest path over head+children edges — line-for-line the
+    reference's traversal semantics (:570-593)."""
+    visited: set[Tok] = set()
+    queue: list[tuple[Tok, list[Tok]]] = [(t1, [t1])]
+    while queue:
+        current, path = queue.pop(0)
+        if current is t2:
+            return path
+        if current in visited:
+            continue
+        visited.add(current)
+        if current.head is not None:
+            queue.append((current.head, path + [current.head]))
+        for child in current.children:
+            queue.append((child, path + [child]))
+    return []
+
+
+def grammatical_role(head: Tok, verb: Tok) -> str | None:
+    """actor|patient of ``head`` relative to ``verb``, from tree structure:
+
+    - nsubj child (or via conj)            -> actor
+    - nsubjpass / dobj child               -> patient
+    - pobj under an ``agent`` preposition  -> actor  (passive by-phrase)
+    - pobj under a plain ``prep``          -> patient
+    - NP modified by the verb as a relcl   -> patient if the clause has an
+      internal subject (object relative), else actor (subject relative)
+    """
+    t = head
+    for _ in range(8):                    # bounded: compounds chains are short
+        if verb.head is t and verb.dep == "relcl":
+            has_inner_subj = any(
+                c.dep in ("nsubj", "nsubjpass") for c in verb.children
+            )
+            return "patient" if has_inner_subj else "actor"
+        if t.head is verb:
+            if t.dep == "nsubj":
+                return "actor"
+            if t.dep in ("nsubjpass", "dobj"):
+                return "patient"
+            return None
+        if t.head is not None and t.head.head is verb and t.dep == "pobj":
+            return "actor" if t.head.dep == "agent" else "patient"
+        # only compound edges connect a mention-internal token to its NP
+        # head — walking any other edge would cross clause boundaries
+        if t.dep != "compound" or t.head is None:
+            return None
+        t = t.head
+    return None

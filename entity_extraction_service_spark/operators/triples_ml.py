@@ -12,10 +12,15 @@ entity-pair head tokens, classified by a (dep, lemma) table
   mention as dobj within the sentence, classifying the (lemma,
   type-pair) exactly where the reference classifies the (dep, lemma)
   path. No external model; runs in this container.
-- ``dependency_triples`` — the loader seam for a REAL parser (spaCy et
-  al): mapInPandas with one parser per executor process, never per row.
-  Raises NotImplementedError only when neither a loader nor the default
-  path's inputs are available.
+- ``dependency_triples_parsed`` — the FULL reference-class path over the
+  built-in deterministic dependency parser (operators/depparse.py):
+  entity->head-token mapping, BFS shortest dependency path, (dep, lemma)
+  classification — gets passives, by-agent phrases and object relatives
+  right where linear order lies.
+- ``dependency_triples`` — the loader seam for an EXTERNAL parser (spaCy
+  et al): mapInPandas with one parser per executor process, never per
+  row. Raises NotImplementedError only when neither a loader nor the
+  default path's inputs are available.
 
 T4 (ML-model triples, reference relationship_extractor.py:729-785 +
 relationship_models.py:450-496): candidate pairs <= max_entity_distance
@@ -300,6 +305,112 @@ def ml_triples(
     return pairs.mapInPandas(run, schema=TRIPLE_SCHEMA)
 
 
+def dependency_triples_parsed(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """T2 full-tree path — triples from the deterministic dependency
+    parser (method='dep'), reference-class semantics end to end:
+
+    parse each turn (operators/depparse.py), map mentions to token spans
+    and pick head tokens (relationship_extractor.py:466-483, :563-568),
+    BFS the shortest dependency path between each same-sentence entity
+    pair (:570-593), and classify the path (:595-630): the path must
+    carry a verb from the shared DEP_VERB_FORMS lemma table, the two
+    entities' grammatical roles (nsubj / nsubjpass / dobj / agent-pobj /
+    relcl gap) must yield one actor and one patient, and the predicate
+    comes from the ordered type-pair table — actor-first lookup, with the
+    reversed entry keeping the table's subject/object roles, the same
+    assignment rule the shallow default and T1 use.
+
+    Where the shallow default reads linear order, the tree gets passives,
+    by-agent phrases, and object relatives RIGHT (and drops agentless
+    passives instead of inventing an actor) — tests/test_depparse.py
+    reports the P/R delta on a labeled fixture set of exactly these
+    shapes.
+
+    Scale shape: one cogroup shuffle on (conv_id, turn_idx) — the same
+    key granularity as T1/T3, no hot keys — and Arrow-batched Python
+    doing O(tokens) work per turn (the BFS is bounded by turn length).
+    One DepParser per executor batch; the verb/predicate tables ride the
+    closure (a few KB).
+    """
+    from .depparse import (
+        DepParser,
+        dependency_path,
+        grammatical_role,
+        map_entities_to_tokens,
+    )
+
+    pred_table = {(a, b): p for a, b, p in config.type_pair_predicates}
+    lemma_conf = {lemma: conf for lemma, (_forms, conf) in _DEP_LEMMAS.items()}
+
+    t = transcripts.select("conv_id", "turn_idx", "text")
+    m = mentions.select(
+        "conv_id", "turn_idx", "entity_type", "start", "end", "surface_id"
+    )
+    cols = [f.name for f in TRIPLE_SCHEMA.fields]
+
+    def run(key: tuple, tdf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
+        if tdf.empty or len(mdf) < 2:
+            return pd.DataFrame(columns=cols)
+        conv_id, turn_idx = key
+        text = tdf["text"].iloc[0] or ""
+        parser = DepParser(DEP_VERB_FORMS)
+        sents = parser.parse(text)
+        ments = sorted(
+            mdf.itertuples(index=False),
+            key=lambda r: (r.start, r.end, r.surface_id),
+        )
+        heads = map_entities_to_tokens(sents, [(r.start, r.end) for r in ments])
+        rows = []
+        for i in range(len(ments)):
+            for j in range(i + 1, len(ments)):
+                hi, hj = heads[i], heads[j]
+                if hi is None or hj is None or hi[0] != hj[0]:
+                    continue                      # unmapped or cross-sentence
+                path = dependency_path(hi[1], hj[1])
+                if not path:
+                    continue
+                verb = next(
+                    (tk for tk in path if tk.pos == "VERB" and tk.lemma in lemma_conf),
+                    None,
+                )
+                if verb is None:
+                    continue
+                r1 = grammatical_role(hi[1], verb)
+                r2 = grammatical_role(hj[1], verb)
+                if {r1, r2} != {"actor", "patient"}:
+                    continue
+                actor, patient = (ments[i], ments[j]) if r1 == "actor" else (ments[j], ments[i])
+                if (actor.entity_type, patient.entity_type) in pred_table:
+                    pred = pred_table[(actor.entity_type, patient.entity_type)]
+                    subj, obj = actor, patient
+                elif (patient.entity_type, actor.entity_type) in pred_table:
+                    pred = pred_table[(patient.entity_type, actor.entity_type)]
+                    subj, obj = patient, actor
+                else:
+                    continue
+                conf = lemma_conf[verb.lemma]
+                if conf < DEP_CONFIDENCE_FLOOR:
+                    continue
+                evidence = "dep_path: " + " -> ".join(tk.dep for tk in path)
+                rows.append(
+                    (
+                        subj.surface_id, pred, obj.surface_id, float(conf),
+                        conv_id, int(turn_idx), evidence, "dep",
+                    )
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        t.groupBy("conv_id", "turn_idx")
+        .cogroup(m.groupBy("conv_id", "turn_idx"))
+        .applyInPandas(run, schema=TRIPLE_SCHEMA)
+    )
+
+
 def dependency_triples(
     transcripts: DataFrame,
     parser_loader: Callable[[], object] | None = None,
@@ -321,8 +432,9 @@ def dependency_triples(
         except ImportError as e:
             raise NotImplementedError(
                 "dependency_triples needs spaCy (not in this container) or an "
-                "injected parser_loader; use dependency_triples_default(transcripts, "
-                "mentions) for the built-in deterministic shallow-SVO parser"
+                "injected parser_loader; use dependency_triples_parsed(transcripts, "
+                "mentions) for the built-in deterministic tree parser, or "
+                "dependency_triples_default for the shallow-SVO fallback"
             ) from e
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

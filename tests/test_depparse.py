@@ -1,0 +1,206 @@
+"""T2 full-tree dependency parser (operators/depparse.py +
+dependency_triples_parsed): tree shapes, reference BFS/role semantics,
+and the measured P/R delta vs the shallow-SVO default on a labeled
+fixture set of exactly the structures linear order gets wrong
+(passives, by-agent phrases, object relatives, agentless passives)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.depparse import (
+    DepParser,
+    dependency_path,
+    grammatical_role,
+    map_entities_to_tokens,
+)
+from entity_extraction_service_spark.operators.triples_ml import (
+    DEP_VERB_FORMS,
+    dependency_triples_default,
+    dependency_triples_parsed,
+)
+
+T_DDL = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+M_DDL = (
+    "conv_id string, turn_idx int, entity_type string, text string, "
+    "start int, end int, surface_id string"
+)
+
+
+def _transcripts(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, "user", t, None, None) for c, i, t in rows], T_DDL
+    )
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(rows, M_DDL)
+
+
+# ---------------------------------------------------------------------------
+# parser unit level
+
+
+def test_passive_tree_shape():
+    p = DepParser(DEP_VERB_FORMS)
+    sents = p.parse("The pipeline was built by Dana Rivera.")
+    toks = {t.text: t for t in sents[0]}
+    assert toks["pipeline"].dep == "nsubjpass"
+    assert toks["was"].dep == "aux"
+    assert toks["by"].dep == "agent"
+    assert toks["Rivera"].dep == "pobj" and toks["Rivera"].head is toks["by"]
+
+
+def test_object_relative_tree_shape():
+    p = DepParser(DEP_VERB_FORMS)
+    sents = p.parse("The error that auth-service closed broke checkout.")
+    toks = {t.text: t for t in sents[0]}
+    assert toks["closed"].dep == "relcl" and toks["closed"].head is toks["error"]
+    assert toks["auth-service"].dep == "nsubj"
+    # object-relative verb takes nothing from the outer clause
+    assert toks["checkout"].head is not toks["closed"]
+
+
+def test_bfs_path_matches_reference_semantics():
+    p = DepParser(DEP_VERB_FORMS)
+    sents = p.parse("Bob was mentioned by Alice.")
+    heads = map_entities_to_tokens(sents, [(0, 3), (21, 26)])
+    path = dependency_path(heads[0][1], heads[1][1])
+    assert [t.dep for t in path] == ["nsubjpass", "ROOT", "agent", "pobj"]
+    verb = next(t for t in path if t.pos == "VERB")
+    assert grammatical_role(heads[0][1], verb) == "patient"
+    assert grammatical_role(heads[1][1], verb) == "actor"
+
+
+# ---------------------------------------------------------------------------
+# labeled adversarial fixture: gold triples on structures where linear
+# order and grammar disagree. surface ids double as readable labels.
+
+FIXTURE = [
+    # (text, mentions[(type, text, start, end, sid)], gold{(subj,pred,obj)})
+    (
+        "Alice Kim mentioned Bob Li.",
+        [("PERSON", "Alice Kim", 0, 9, "alice"), ("PERSON", "Bob Li", 20, 26, "bob")],
+        {("alice", "mentions", "bob")},
+    ),
+    (
+        "Bob Li was mentioned by Alice Kim.",
+        [("PERSON", "Bob Li", 0, 6, "bob"), ("PERSON", "Alice Kim", 24, 33, "alice")],
+        {("alice", "mentions", "bob")},
+    ),
+    (
+        "Acme Corporation was joined by Dana Rivera.",
+        [
+            ("ORG", "Acme Corporation", 0, 16, "acme"),
+            ("PERSON", "Dana Rivera", 31, 42, "dana"),
+        ],
+        {("dana", "works_for", "acme")},
+    ),
+    (
+        "The auth-service that payments-service closed broke checkout-service.",
+        [
+            ("SERVICE", "auth-service", 4, 16, "auth"),
+            ("SERVICE", "payments-service", 22, 38, "pay"),
+            ("SERVICE", "checkout-service", 52, 68, "checkout"),
+        ],
+        {("pay", "depends_on", "auth")},
+    ),
+    (
+        "The billing-service was closed after the E504 incident.",
+        [
+            ("SERVICE", "billing-service", 4, 19, "billing"),
+            ("ERROR_CODE", "E504", 42, 46, "e504"),
+        ],
+        set(),  # agentless passive: no actor, no triple
+    ),
+    (
+        "The model that Maria Santos trained was published by Acme Corporation.",
+        [
+            ("PERSON", "Maria Santos", 15, 27, "maria"),
+            ("ORG", "Acme Corporation", 53, 69, "acme"),
+        ],
+        set(),  # maria and acme relate only THROUGH the model; no direct role pair
+    ),
+]
+
+
+def _pr(got: set, gold: set) -> tuple[float, float]:
+    tp = len(got & gold)
+    p = tp / len(got) if got else 1.0
+    r = tp / len(gold) if gold else 1.0
+    return p, r
+
+
+def _run_fixture(spark, fn):
+    got: set = set()
+    for k, (text, ments, _gold) in enumerate(FIXTURE):
+        t = _transcripts(spark, [(f"c{k}", 0, text)])
+        m = _mentions(
+            spark,
+            [(f"c{k}", 0, ty, tx, s, e, sid) for ty, tx, s, e, sid in ments],
+        )
+        got |= {
+            (r["subj_id"], r["pred"], r["obj_id"]) for r in fn(t, m).collect()
+        }
+    return got
+
+
+def test_parsed_beats_shallow_on_adversarial_fixture(spark):
+    gold = set().union(*[g for _, _, g in FIXTURE])
+    got_parsed = _run_fixture(spark, dependency_triples_parsed)
+    got_shallow = _run_fixture(spark, dependency_triples_default)
+    p_p, r_p = _pr(got_parsed, gold)
+    p_s, r_s = _pr(got_shallow, gold)
+    # the tree parser is exact on this set
+    assert got_parsed == gold, f"parsed={got_parsed} gold={gold}"
+    # the shallow default mis-directs the passives and the object relative
+    assert p_s < 1.0, f"shallow unexpectedly exact: {got_shallow}"
+    assert (p_p, r_p) >= (p_s, r_s)
+    print(
+        f"\nP/R on adversarial fixture: parsed P={p_p:.2f} R={r_p:.2f} | "
+        f"shallow P={p_s:.2f} R={r_s:.2f}"
+    )
+
+
+def test_agrees_with_shallow_on_plain_svo(spark):
+    """On simple active SVO text the two T2 paths must coincide."""
+    from entity_extraction_service_spark.plans.pipeline import extract_mentions
+
+    t = _transcripts(
+        spark,
+        [
+            ("c1", 0, "Dana Rivera works at Acme Corporation."),
+            ("c1", 1, "Dana Rivera uses Terraform."),
+        ],
+    )
+    m = extract_mentions(t)
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["subj_id"], r["pred"], r["obj_id"])
+    a = sorted(map(key, dependency_triples_parsed(t, m).collect()))
+    b = sorted(map(key, dependency_triples_default(t, m).collect()))
+    assert a == b and a
+
+
+def test_partitioning_invariance(spark):
+    """Cogroup keys make the output independent of input partitioning."""
+    text = "Bob Li was mentioned by Alice Kim."
+    t = _transcripts(spark, [(f"c{k}", 0, text) for k in range(10)])
+    m = _mentions(
+        spark,
+        [
+            row
+            for k in range(10)
+            for row in (
+                (f"c{k}", 0, "PERSON", "Bob Li", 0, 6, f"bob{k}"),
+                (f"c{k}", 0, "PERSON", "Alice Kim", 24, 33, f"alice{k}"),
+            )
+        ],
+    )
+    one = sorted(map(tuple, dependency_triples_parsed(t, m).collect()))
+    many = sorted(
+        map(
+            tuple,
+            dependency_triples_parsed(t.repartition(7), m.repartition(3)).collect(),
+        )
+    )
+    assert one == many
+    assert len(one) == 10
