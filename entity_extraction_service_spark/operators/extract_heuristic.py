@@ -84,6 +84,66 @@ ORG_SUFFIXES = frozenset(
 HEURISTIC_CONFIDENCE = 0.6  # below every pattern confidence -> D5 never
 # prefers a heuristic row on overlap even within equal method priority
 
+# --- round-4 generators (the remaining entity_candidates.py families) ---
+
+# title_person generator (entity_candidates.py pattern family
+# 'title_person', base confidence 0.8 at :578-589): an honorific licenses
+# even a SINGLE capitalized surname the plain capitalized rule skips
+TITLE_PERSON_RE = re.compile(
+    r"\b(?:Mr|Mrs|Ms|Dr|Prof)\.?\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)\b"
+)
+TITLE_PERSON_CONFIDENCE = 0.8
+
+# parenthetical generator (entity_candidates.py 'parenthetical', base
+# 0.4): a short parenthesized span is a naming aside — typed by the
+# capitalized rule when it applies, else CONCEPT
+PARENTHETICAL_RE = re.compile(r"\(([^()\n]{2,40})\)")
+PARENTHETICAL_CONFIDENCE = 0.4
+
+# context-driven generator, reference shape (entity_candidates.py
+# :505-536 keyword->type lookup, :668-714 capitalized-phrase scan inside
+# keyword sentences, conf 0.5 + 0.1*keywords (cap +0.3) + 0.1 proper-noun
+# at :716-728). The keyword table is the transcript-domain analog of the
+# reference entity types' context_keywords lists, injectable the same way.
+CONTEXT_TYPE_KEYWORDS: tuple[tuple[str, str], ...] = (
+    ("company", "ORG"),
+    ("vendor", "ORG"),
+    ("startup", "ORG"),
+    ("firm", "ORG"),
+    ("engineer", "PERSON"),
+    ("developer", "PERSON"),
+    ("manager", "PERSON"),
+    ("analyst", "PERSON"),
+    ("framework", "TOOL"),
+    ("library", "TOOL"),
+    ("compiler", "TOOL"),
+    ("dataset", "DATASET_NAME"),
+    ("benchmark", "DATASET_NAME"),
+)
+# single-word candidates inside keyword sentences need the reference's
+# common-word filter (:430 _has_common_words analog) or sentence-initial
+# determiners/pronouns become candidates
+COMMON_CAP_WORDS = frozenset(
+    {
+        "The", "A", "An", "Our", "Your", "My", "Their", "His", "Her", "Its",
+        "This", "That", "These", "Those", "It", "We", "They", "He", "She",
+        "I", "You", "But", "And", "Or", "So", "If", "When", "While", "Then",
+    }
+)
+_SENT_SPLIT_RE = re.compile(r"[.!?]+")
+_CTX_CAP_RE = re.compile(r"\b([A-Z][A-Za-z]+(?:\s+[A-Z][A-Za-z]+){0,4})\b")
+
+
+def _wc_adjust(conf: float, surface: str) -> float:
+    """Reference word-count confidence adjustment (:591-599): single
+    words x0.8, very long phrases x0.9."""
+    wc = len(surface.split())
+    if wc == 1:
+        return round(conf * 0.8, 6)
+    if wc > 5:
+        return round(conf * 0.9, 6)
+    return conf
+
 
 def _classify_cap_phrase(surface: str) -> str | None:
     """The capitalized-phrase classification rule
@@ -102,21 +162,28 @@ def _classify_cap_phrase(surface: str) -> str | None:
 
 def heuristic_mentions_py(
     text: str,
-    generators: tuple[str, ...] = ("capitalized", "quoted", "context", "noun_phrase"),
+    generators: tuple[str, ...] = (
+        "capitalized", "quoted", "context", "noun_phrase",
+        "title_person", "parenthetical", "context_typed",
+    ),
 ) -> list[tuple]:
     """Unpatterned candidate generators for one turn:
     [(etype, surface, s, e, conf)].
 
-    Pure function of the text (no state). All four of the reference's
-    generators (entity_candidates.py:349-599) have deterministic
+    Pure function of the text (no state). All SEVEN of the reference's
+    generator families (entity_candidates.py:349-599) have deterministic
     defaults: capitalization (:381-430), quoted-span (:~470-520),
-    context-driven cues (:~540-599), and a shallow noun-phrase chunker
+    naming-cue context (:~540-599), a shallow noun-phrase chunker
     (:501-599 — the reference uses spaCy noun_chunks; a real POS model
     can still be injected via ``extract_mentions_heuristic``'s ``ner_fn``
-    seam, the same pattern as T2's parser loader). Overlapping candidates
-    from different generators are emitted as-is; D2/D5 dedup downstream
-    keeps the best row per span, exactly as the reference funnels all
-    generators into one candidate pool.
+    seam, the same pattern as T2's parser loader), plus the round-4
+    additions: title_person (honorific-licensed surnames, pattern family
+    :578), parenthetical naming asides (:585), and the reference-shape
+    context-driven generator (keyword->type sentences, :505-536 +
+    :668-728). Overlapping candidates from different generators are
+    emitted as-is; D2/D5 dedup downstream keeps the best row per span,
+    exactly as the reference funnels all generators into one candidate
+    pool.
     """
     out: list[tuple] = []
     t = text or ""
@@ -156,6 +223,57 @@ def heuristic_mentions_py(
             if surface.split()[-1] in NP_HEAD_STOPLIST:
                 continue
             out.append(("CONCEPT", surface, m.start(1), m.end(1), NP_CONFIDENCE))
+    if "title_person" in generators:
+        for m in TITLE_PERSON_RE.finditer(t):
+            surface = m.group(1)
+            out.append(
+                ("PERSON", surface, m.start(1), m.end(1),
+                 _wc_adjust(TITLE_PERSON_CONFIDENCE, surface))
+            )
+    if "parenthetical" in generators:
+        for m in PARENTHETICAL_RE.finditer(t):
+            raw = m.group(1)
+            surface = raw.strip()
+            if not surface or len(surface.split()) > 5:
+                continue
+            if surface in COMMON_CAP_WORDS or not surface[0].isalnum():
+                continue
+            s = m.start(1) + (len(raw) - len(raw.lstrip()))
+            e = s + len(surface)
+            etype = (
+                _classify_cap_phrase(surface)
+                if CAP_PHRASE_RE.fullmatch(surface)
+                else None
+            ) or "CONCEPT"
+            out.append(
+                (etype, surface, s, e, _wc_adjust(PARENTHETICAL_CONFIDENCE, surface))
+            )
+    if "context_typed" in generators:
+        # reference context-driven generator: inside sentences that carry
+        # a type's context keyword, every capitalized phrase becomes a
+        # candidate of that type
+        kw_table = [(k, ty) for k, ty in CONTEXT_TYPE_KEYWORDS]
+        pos = 0
+        for seg in _SENT_SPLIT_RE.split(t):
+            sent_start = t.find(seg, pos)
+            pos = sent_start + len(seg)
+            sent = seg.strip()
+            if len(sent) < 10:
+                continue
+            low = seg.lower()
+            found = [(k, ty) for k, ty in kw_table if k in low]
+            if not found:
+                continue
+            etype = found[0][1]          # first table entry wins: deterministic
+            conf = min(1.0, 0.5 + min(0.3, 0.1 * len(found)) + 0.1)
+            for m in _CTX_CAP_RE.finditer(seg):
+                surface = m.group(1)
+                if surface in COMMON_CAP_WORDS or len(surface) <= 1:
+                    continue
+                out.append(
+                    (etype, surface, sent_start + m.start(1),
+                     sent_start + m.end(1), _wc_adjust(conf, surface))
+                )
     # a span two generators both propose (e.g. a quoted capitalized name)
     # is one candidate, as in the reference's shared candidate pool
     seen: set = set()

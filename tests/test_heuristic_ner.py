@@ -177,3 +177,50 @@ def test_generators_are_selectable():
     assert {t for t, *_ in only_cap} == {"PERSON"}
     all_gen = heuristic_mentions_py(text)
     assert {t for t, *_ in all_gen} == {"PERSON", "CONCEPT"}
+
+
+def test_round4_generator_recall_uplift():
+    """Recall uplift from the round-4 generator families (title_person,
+    parenthetical, context_typed) on a labeled pack of unpatterned
+    entities — none are in any pattern vocabulary, and each is shaped so
+    the ORIGINAL four generators miss it (single capitalized words,
+    parenthesized asides, keyword-context names)."""
+    pack = [
+        # (text, gold entity surfaces)
+        ("Dr. Okafor approved the rollout.", {"Okafor"}),
+        ("Ms. Ferreira signed off after review.", {"Ferreira"}),
+        ("The payment gateway (Stripe) failed twice.", {"Stripe"}),
+        ("We proxy requests through (Envoy) now.", {"Envoy"}),
+        ("Our vendor Redpanda handles the ingestion layer.", {"Redpanda"}),
+        ("The company Initech expanded to three regions.", {"Initech"}),
+        ("That framework, Axum, replaced the old router.", {"Axum"}),
+        ("A staff engineer from Datadog joined the call.", {"Datadog"}),
+    ]
+    old_gens = ("capitalized", "quoted", "context", "noun_phrase")
+
+    def recall(gens):
+        hit = total = 0
+        for text, gold in pack:
+            got = {m[1] for m in heuristic_mentions_py(text, generators=gens)}
+            hit += len(gold & got)
+            total += len(gold)
+        return hit / total
+
+    r_old = recall(old_gens)
+    r_new = recall(
+        old_gens + ("title_person", "parenthetical", "context_typed")
+    )
+    assert r_old < 0.25, f"pack not adversarial enough: old recall {r_old}"
+    assert r_new == 1.0, f"round-4 generators missed entities: {r_new}"
+    print(f"\nunpatterned recall: old generators {r_old:.2f} -> full set {r_new:.2f}")
+
+
+def test_round4_generators_confidence_below_pattern_floor():
+    """Every new-generator row stays below the regex-pattern confidence
+    floor so D5 overlap merge can only ADD, never displace."""
+    rows = heuristic_mentions_py(
+        "Dr. Okafor met the company Initech near the gateway (Stripe).",
+        generators=("title_person", "parenthetical", "context_typed"),
+    )
+    assert rows
+    assert all(r[4] <= 0.8 for r in rows)
