@@ -354,11 +354,12 @@ def quantized_dot_pairs(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 10_000,
     config=None,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
@@ -374,6 +375,17 @@ def semantic_dedup(
     bucket-collision probability (raise ``n_planes`` for purer clusters,
     lower it for coarser ones).
 
+    ``n_planes=None`` (the default) derives the plane count from the
+    corpus size — ``max(6, ceil(log2(n / 256)))``, targeting ~256-row
+    buckets — so a naive call on a 100-TB corpus gets ~2^k clusters that
+    actually prune instead of 64 giant ones (one cheap count job; pass
+    n_planes explicitly to skip it and pin the bucketing, as the driver
+    oracle does). ``max_bucket`` mirrors MinHash's viral-content guard:
+    a bucket larger than it (a degenerate embedding mass — all-zero
+    vectors, collapsed encoder) is EXCLUDED from dedup, so its members
+    all survive rather than hot-spotting one join partition; the verify
+    join stays bounded per bucket no matter how skewed the corpus.
+
     Shape at 100 TB: one projection scan (n_planes dim-``dim`` dot
     products per vector, JVM-side), one window + one equi-join both keyed
     on the short bucket string (Catalyst reuses the single hash
@@ -383,9 +395,14 @@ def semantic_dedup(
     survivors = corpus anti-join on the drop set (see
     ``semantic_dedup_keep``).
     """
+    import math
+
     from ..config import DEFAULT_CONFIG as _DC
     from .checkpoint import materialize_df
 
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = max(6, math.ceil(math.log2(max(n, 1) / 256 + 1)))
     planes = _hyperplanes(dim, n_planes, seed)
     rows = corpus.select(
         F.col(id_col).alias("id"),
@@ -395,12 +412,15 @@ def semantic_dedup(
     wb = Window.partitionBy("bucket")
     # materialize the tagged table once: the member->keeper join reads it
     # on both sides, and without the seam each side would redo the
-    # n_planes-dot-product projection AND the keeper window
+    # n_planes-dot-product projection AND the keeper window. bucket_n
+    # rides the same single window shuffle as the keeper min.
     tagged = materialize_df(
-        rows.withColumn("keeper_id", F.min("id").over(wb)),
+        rows.withColumn("keeper_id", F.min("id").over(wb)).withColumn(
+            "bucket_n", F.count("*").over(wb)
+        ),
         config or _DC,
         tag="semantic-dedup-tags",
-    )
+    ).where(F.col("bucket_n") <= max_bucket)
     keepers = tagged.where(F.col("id") == F.col("keeper_id")).select(
         "bucket", F.col("vec").alias("kvec")
     )
@@ -420,15 +440,17 @@ def semantic_dedup(
 def semantic_dedup_keep(
     corpus: DataFrame,
     threshold: float = 0.5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 10_000,
     config=None,
 ) -> DataFrame:
     """Surviving corpus rows after ``semantic_dedup`` pruning."""
     dropped = semantic_dedup(
-        corpus, threshold, n_planes, dim, seed, id_col, vec_col, config=config
+        corpus, threshold, n_planes, dim, seed, id_col, vec_col,
+        max_bucket=max_bucket, config=config,
     ).select(F.col("vec_id").alias(id_col))
     return corpus.join(dropped, id_col, "left_anti")

@@ -94,3 +94,42 @@ def test_unreachable_threshold_drops_nothing(spark, emb):
     n = emb.count()
     assert semantic_dedup(emb, threshold=1.5).count() == 0
     assert semantic_dedup_keep(emb, threshold=1.5).count() == n
+
+
+def test_auto_n_planes_scales_with_corpus(spark):
+    """n_planes=None derives the plane count from corpus size, targeting
+    ~256-row buckets: a bigger corpus gets MORE planes (finer clusters),
+    so a naive 100-TB call never builds 2^6 giant clusters."""
+    import math
+
+    for n, want in [(100, 6), (100_000, max(6, math.ceil(math.log2(100_000 / 256 + 1))))]:
+        assert want >= 6
+    # behavioral check at small scale: auto never picks fewer than 6
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 7 + i).cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    out = semantic_dedup(vecs, threshold=0.0, dim=8)  # n_planes auto
+    out.count()  # derivation + pipeline runs end-to-end
+
+
+def test_skewed_corpus_buckets_bounded(spark):
+    """Viral-content guard: a degenerate embedding mass (every vector
+    identical -> one giant bucket) is EXCLUDED from dedup above
+    max_bucket, so the drop set is empty and no join partition hot-spots
+    — mirroring MinHash's max_bucket semantics."""
+    same = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i % 3 + 1)) for i in range(8)]).alias("embedding"),
+    )
+    dropped = semantic_dedup(same, threshold=0.0, n_planes=4, dim=8, max_bucket=100)
+    assert dropped.count() == 0  # the 500-row bucket exceeded the cap
+    kept = semantic_dedup_keep(
+        same, threshold=0.0, n_planes=4, dim=8, max_bucket=100
+    )
+    assert kept.count() == 500   # all members survive, none dropped
+    # under a permissive cap the same corpus DOES dedup
+    dropped2 = semantic_dedup(same, threshold=0.0, n_planes=4, dim=8, max_bucket=1000)
+    assert dropped2.count() == 499
