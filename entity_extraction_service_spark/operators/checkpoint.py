@@ -333,7 +333,19 @@ def merge_into(
     parquet fallback for Iceberg's optimistic-concurrency `MERGE INTO`):
     two concurrent writers would both read the same base and the last
     pointer replace would win, silently dropping the other batch —
-    serialize merge_into calls per table."""
+    serialize merge_into calls per table.
+
+    DEPLOYMENT CAVEAT — local/shared POSIX filesystems ONLY: the
+    atomicity guarantee is ``os.replace`` (rename(2)), which object
+    stores (S3/GCS/ABFS) do NOT provide — a "rename" there is
+    copy+delete, and a reader can observe a missing or half-written
+    _LATEST pointer. On object storage use a real table format whose
+    commit protocol is designed for it: Iceberg's `MERGE INTO` with a
+    catalog-backed atomic snapshot swap (the seam this function
+    parquet-emulates — swap this call for
+    ``spark.sql("MERGE INTO ...")`` once the iceberg-spark runtime jar
+    and a catalog are on the cluster; the jar is not available in this
+    sandbox, so that path is documented rather than executed)."""
     table_dir = os.path.join(base_dir, name)
     os.makedirs(table_dir, exist_ok=True)
     cur_version = _latest_version(base_dir, name)

@@ -1,0 +1,221 @@
+"""Adversarial P/R fixtures (VERDICT r3 item 7): hand-labeled hostile
+cases the generator-twinned corpus never produces — nested overlapping
+spans across types, near-threshold L2 pairs straddling 0.85, L4
+attribute conflicts vs legitimate L3 cross-type merges, and short-cite
+(last-name) chains crossing chunk boundaries. Gold labels are
+hand-derived from the REFERENCE's contracts (same-type overlap collapse
+per regex_engine.py:882-988 with cross-type coexistence per :940-943;
+L2 threshold entity_registry.py:283-330; L4 conflicts :353-377; wave-2
+short-cite resolution extraction_orchestrator.py wave semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.functions.normalize import (
+    group_norm_py,
+    normalize_text_py,
+)
+from entity_extraction_service_spark.functions.similarity import pair_score_py
+from entity_extraction_service_spark.operators.linking import link_entities
+from entity_extraction_service_spark.plans.pipeline import extract_mentions
+
+T_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def _transcripts(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, "user", t, None, None) for c, i, t in rows], T_DDL
+    )
+
+
+def _mention_rows(spark, rows):
+    """Build mention rows (conv_id, entity_type, text, confidence) with
+    derived group_norm / surface_id, matching the extractor's id rule."""
+    import hashlib
+
+    data = []
+    for conv_id, etype, text, conf in rows:
+        norm = normalize_text_py(text)
+        g = group_norm_py(norm)
+        sid = hashlib.md5(f"{etype}:{g.lower().strip()}".encode()).hexdigest()[:16]
+        data.append((conv_id, 0, etype, text, norm, g, conf, sid))
+    return spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx int, entity_type string, text string, "
+        "norm_text string, group_norm string, confidence double, surface_id string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. nested overlapping spans across types
+
+
+def test_nested_overlap_same_type_collapses_cross_type_coexists(spark):
+    """Same-type overlapping spans must collapse to one mention per
+    overlap group; DIFFERENT-type nesting must coexist (HOSTNAME inside
+    DOCKER_IMAGE, VERSION beside SERVICE) — regex_engine.py:940-943."""
+    t = _transcripts(
+        spark,
+        [
+            ("a1", 0, "Deploy auth-service v2.1.3 in us-east-1."),
+            ("a2", 0, "The image registry.local/app:1.2 failed with E5042."),
+            ("a3", 0, "Email dana.rivera@acme.io about INFRA-1234 and CVE-2024-12345."),
+        ],
+    )
+    got = {
+        (r["conv_id"], r["entity_type"], r["text"], r["start"], r["end"])
+        for r in extract_mentions(t).collect()
+    }
+    # cross-type nesting survives: both the host and the full image ref
+    assert ("a2", "HOSTNAME", "registry.local", 10, 24) in got
+    assert ("a2", "DOCKER_IMAGE", "registry.local/app:1.2", 10, 32) in got
+    # the email is ONE span — no fragment entity for the local part or the
+    # domain may appear as a same-type competitor
+    emails = [g for g in got if g[1] == "EMAIL"]
+    assert emails == [("a3", "EMAIL", "dana.rivera@acme.io", 6, 25)]
+    # same-type overlap invariant: within (conv, turn, type) no two kept
+    # spans overlap
+    by_key: dict = {}
+    for c, ty, _tx, s, e in got:
+        by_key.setdefault((c, ty), []).append((s, e))
+    for spans in by_key.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 >= e1, f"same-type overlap survived: {spans}"
+
+
+# ---------------------------------------------------------------------------
+# 2. near-threshold L2 pairs straddling the 0.85 gate
+
+
+def test_l2_pair_scores_straddle_threshold():
+    """Pinned scores for the fixture pairs: 0.8444 (below) / 0.86 (above).
+    If the scoring formula drifts, this fails before the cluster test."""
+
+    def score(a, b):
+        na, nb = group_norm_py(normalize_text_py(a)), group_norm_py(normalize_text_py(b))
+        return round(pair_score_py(a, na, "PERSON", b, nb, "PERSON"), 4)
+
+    assert score("Dax Marsh", "Dax Marek") == 0.8444
+    assert score("Dax Barton", "Dax Barnes") == 0.86
+
+
+def test_l2_near_threshold_merge_behavior(spark):
+    """0.86 pair merges into one canonical entity; 0.8444 pair stays two.
+    Both pairs share a block key ('dax'), so blocking is not the decider
+    — the SequenceMatcher formula at the 0.85 gate is."""
+    m = _mention_rows(
+        spark,
+        [
+            ("c1", "PERSON", "Dax Barton", 0.9),
+            ("c2", "PERSON", "Dax Barnes", 0.9),
+            ("c3", "PERSON", "Dax Marsh", 0.9),
+            ("c4", "PERSON", "Dax Marek", 0.9),
+        ],
+    )
+    entities, s2c = link_entities(m)
+    canon = {r["surface_id"]: r["entity_id"] for r in s2c.collect()}
+    sid = {r["text"]: r["surface_id"] for r in m.collect()}
+    assert canon[sid["Dax Barton"]] == canon[sid["Dax Barnes"]], "0.86 pair must merge"
+    assert canon[sid["Dax Marsh"]] != canon[sid["Dax Marek"]], "0.8444 pair must NOT merge"
+    assert entities.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# 3. L4 attribute conflict vs legitimate L3 cross-type merge
+
+
+def test_l4_conflict_blocks_near_identical_tickets(spark):
+    """INFRA-1234 vs INFRA-1235 are 0.9-similar strings, but the parsed
+    ``number`` component conflicts -> the -0.2 penalty lands the score at
+    0.73 < 0.85 and they must stay separate entities; the legitimate L3
+    cross-type pair (TOOL redis / SERVICE redis) merges at the 0.7
+    cross-type threshold in the same run."""
+    m = _mention_rows(
+        spark,
+        [
+            ("c1", "TICKET", "INFRA-1234", 0.95),
+            ("c2", "TICKET", "INFRA-1235", 0.95),
+            ("c3", "TOOL", "redis", 0.8),
+            ("c4", "SERVICE", "redis", 0.8),
+        ],
+    )
+    entities, s2c = link_entities(m)
+    canon = {r["surface_id"]: r["entity_id"] for r in s2c.collect()}
+    sids = {(r["entity_type"], r["text"]): r["surface_id"] for r in m.collect()}
+    assert (
+        canon[sids[("TICKET", "INFRA-1234")]] != canon[sids[("TICKET", "INFRA-1235")]]
+    ), "L4 attribute conflict must block the merge"
+    assert (
+        canon[sids[("TOOL", "redis")]] == canon[sids[("SERVICE", "redis")]]
+    ), "L3-compatible cross-type pair must merge"
+
+
+# ---------------------------------------------------------------------------
+# 4. short-cite chains crossing chunk boundaries
+
+
+def test_lastname_chain_across_chunk_boundary(spark):
+    """A last-name-only reference 30+ turns after the full name (a
+    different chunk at any chunking granularity) resolves to the SAME
+    surface as the full name via wave 2 — the wave pass sees wave 1's
+    corpus-wide entity inventory, not just the local chunk."""
+    from entity_extraction_service_spark.operators.waves import wave_extract
+
+    turns = [("w1", 0, "Dana Rivera works at Acme Corporation.")]
+    turns += [("w1", i, f"status update number {i} with nothing new.") for i in range(1, 31)]
+    turns += [("w1", 31, "Rivera closed INFRA-1234 after the review.")]
+    t = _transcripts(spark, turns)
+    m = wave_extract(t, n_waves=2)
+    persons = {
+        (r["turn_idx"], r["text"], r["group_norm"], r["wave"])
+        for r in m.where(F.col("entity_type") == "PERSON").collect()
+    }
+    full = {p for p in persons if p[0] == 0}
+    cite = {p for p in persons if p[0] == 31}
+    assert full, f"wave 1 missed the full name: {persons}"
+    assert cite, f"wave 2 missed the last-name short cite: {persons}"
+    # the short cite must resolve to the SAME group_norm (same canonical
+    # surface) as the full name, and must come from a later wave
+    full_norm = next(iter(full))[2]
+    assert all(c[2] == full_norm for c in cite), f"unresolved cite: {cite}"
+    assert all(c[3] >= 2 for c in cite)
+
+
+# ---------------------------------------------------------------------------
+# aggregate report
+
+
+def test_adversarial_pack_pr_report(spark):
+    """One P/R number over the whole hand-labeled pack (mention level):
+    every gold mention recalled, no spurious same-type overlap rows. The
+    per-category tests above localize any failure; this is the headline
+    the round report quotes."""
+    t = _transcripts(
+        spark,
+        [
+            ("p1", 0, "Deploy auth-service v2.1.3 in us-east-1."),
+            ("p2", 0, "Email dana.rivera@acme.io about INFRA-1234 and CVE-2024-12345."),
+        ],
+    )
+    gold = {
+        ("p1", "SERVICE", "auth-service"),
+        ("p1", "VERSION", "v2.1.3"),
+        ("p1", "CLOUD_REGION", "us-east-1"),
+        ("p2", "EMAIL", "dana.rivera@acme.io"),
+        ("p2", "TICKET", "INFRA-1234"),
+        ("p2", "CVE", "CVE-2024-12345"),
+    }
+    got = {
+        (r["conv_id"], r["entity_type"], r["text"])
+        for r in extract_mentions(t).collect()
+    }
+    tp = len(got & gold)
+    precision = tp / len(got)
+    recall = tp / len(gold)
+    assert precision >= 0.95, f"adversarial precision {precision:.3f}: extra={got - gold}"
+    assert recall >= 0.95, f"adversarial recall {recall:.3f}: missing={gold - got}"
+    print(f"\nadversarial pack P={precision:.2f} R={recall:.2f} ({tp}/{len(gold)})")
