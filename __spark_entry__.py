@@ -436,14 +436,17 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_t2_dependency_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2 default — shallow-SVO dependency triples over the derived
-    corpus (operators/triples_ml.py dependency_triples_default; reference
-    relationship_extractor.py:441-630). The oracle replays the fact-turn
-    templates: the document turns contain no inflected verb forms
+    """T2 both paths — shallow-SVO AND full-tree parsed dependency
+    triples over the derived corpus (operators/triples_ml.py
+    dependency_triples_default + dependency_triples_parsed over
+    operators/depparse.py; reference relationship_extractor.py:441-630).
+    The oracle replays the fact-turn templates twice (family-tagged): the
+    document turns contain no inflected verb forms beyond the templates
     (verified across sf0.001/0.01/0.1), so each conversation yields
-    exactly its three fact-turn SVO triples."""
+    exactly its three fact-turn SVO triples from BOTH extractors."""
     from entity_extraction_service_spark.operators.triples_ml import (
         dependency_triples_default,
+        dependency_triples_parsed,
     )
     from entity_extraction_service_spark.plans.pipeline import extract_mentions
     from entity_extraction_service_spark.sources.transcripts import (
@@ -451,10 +454,24 @@ def q_t2_dependency_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tr = transcripts_from_documents(spark, sf_dir)
-    out = dependency_triples_default(tr, extract_mentions(tr))
-    return out.select(
-        "conv_id", "turn_idx", "subj_id", "pred", "obj_id", "confidence", "evidence"
+    m = extract_mentions(tr)
+    cols = ["conv_id", "turn_idx", "subj_id", "pred", "obj_id", "confidence"]
+    # TWO T2 families against ONE oracle derivation (round 4): the shallow
+    # linear-order path and the full-tree parsed path (operators/depparse)
+    # must BOTH reproduce the fact-turn SVO triples — the corpus is all
+    # active SVO, where tree and linear order provably coincide (their
+    # divergence cases — passives, object relatives — are covered by
+    # tests/test_depparse.py's labeled fixture). Evidence formats differ
+    # by design (verb lemma vs BFS dep labels), so only the shallow
+    # family's evidence is hashed; the parsed family carries the ''
+    # sentinel on both sides.
+    shallow = dependency_triples_default(tr, m).select(
+        F.lit("shallow").alias("family"), *cols, "evidence"
     )
+    parsed = dependency_triples_parsed(tr, m).select(
+        F.lit("parsed").alias("family"), *cols, F.lit("").alias("evidence")
+    )
+    return shallow.unionByName(parsed)
 
 
 def q_entity_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1643,7 +1660,16 @@ SELECT node AS entity_id, CAST(min(hop) AS INT) AS hop FROM (
         "media_features": media_features,
         "e12_candidates": e12_candidates,
         "l1_candidate_pairs": l1_candidate_pairs,
-        "t2_dependency_triples": t2_dep_triples,
+        # two T2 families (shallow linear-order + full-tree parsed) against
+        # one derivation; evidence hashed only for the shallow family
+        "t2_dependency_triples": f"""
+SELECT 'shallow' AS family, conv_id, turn_idx, subj_id, pred, obj_id,
+       confidence, evidence
+FROM ({t2_dep_triples})
+UNION ALL
+SELECT 'parsed', conv_id, turn_idx, subj_id, pred, obj_id, confidence, ''
+FROM ({t2_dep_triples})
+""",
         "entity_embedding_topk": entity_embedding_topk,
         # S5 incremental merge must reproduce the full-corpus entity table
         "s5_merge_incremental": kg_entities,
