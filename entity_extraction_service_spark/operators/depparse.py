@@ -100,10 +100,15 @@ class DepParser:
 
     def __init__(self, verb_forms: dict[str, tuple[str, float]]):
         self.verb_forms = verb_forms
-        # past/participle forms license the be-passive reading
+        # past/participle forms license the be-passive reading: regular
+        # -ed forms plus irregular pasts, derived STRUCTURALLY (any table
+        # form that is neither the 3sg -s nor the -ing gerund nor the bare
+        # lemma is an irregular past — "ran", "wrote", "built"), so a
+        # grown verb table never silently misses its new irregulars
         self.past_forms = {
-            f for f in verb_forms
-            if f.endswith("ed") or f in {"ran", "wrote", "built"}
+            f for f, (lemma, _c) in verb_forms.items()
+            if f.endswith("ed")
+            or (f != lemma and not f.endswith(("s", "ing")))
         }
 
     # -- tagging ------------------------------------------------------------
@@ -236,6 +241,23 @@ class DepParser:
                 )
                 if subj is not None:
                     _attach(subj, v, subj_dep)
+                    # coordinated subjects ("Alice and Bob mentioned ..."):
+                    # NPs separated from the subject head only by CCONJ /
+                    # commas attach as conj — spaCy's coordination edge,
+                    # which the role classifier walks like compound
+                    lo = run_a[subj.i]
+                    for a, b in reversed(runs):
+                        if b >= lo:
+                            continue
+                        between = toks[b + 1 : lo]
+                        if not between or not all(
+                            x.pos == "CCONJ" or x.text == "," for x in between
+                        ):
+                            break
+                        if toks[b].head is not None:
+                            break
+                        _attach(toks[b], subj, "conj")
+                        lo = run_a[b]
 
             # right side: objects / prepositional phrases, up to the next
             # verb or relative pronoun (the next clause's territory). An
@@ -246,7 +268,7 @@ class DepParser:
             if v.i in relcl and inner_subj is not None and inner_subj.head is v:
                 continue
             j = v.i + 1
-            have_dobj = False
+            first_obj: Tok | None = None
             while j < len(toks):
                 t = toks[j]
                 if t.pos in ("VERB", "RELPRON"):
@@ -270,9 +292,15 @@ class DepParser:
                     j = k
                     continue
                 if j in run_head and run_head[j].head is None:
-                    _attach(run_head[j], v, "conj" if have_dobj else "dobj")
-                    have_dobj = True
-                    j = next(b for a, b in runs if toks[b] is run_head[j]) + 1
+                    head = run_head[j]
+                    if first_obj is None:
+                        _attach(head, v, "dobj")
+                        first_obj = head
+                    else:
+                        # coordinated objects attach to the FIRST object
+                        # (spaCy conj shape) so the role walk inherits dobj
+                        _attach(head, first_obj, "conj")
+                    j = next(b for a, b in runs if toks[b] is head) + 1
                     continue
                 j += 1
 
@@ -386,9 +414,12 @@ def grammatical_role(head: Tok, verb: Tok) -> str | None:
             return None
         if t.head is not None and t.head.head is verb and t.dep == "pobj":
             return "actor" if t.head.dep == "agent" else "patient"
-        # only compound edges connect a mention-internal token to its NP
-        # head — walking any other edge would cross clause boundaries
-        if t.dep != "compound" or t.head is None:
+        # compound edges connect a mention-internal token to its NP head;
+        # conj edges connect a coordinated NP to the role-bearing head
+        # ("Alice and Bob mentioned ..." — Bob carries nsubj, Alice rides
+        # the conj edge). Walking any OTHER edge would cross clause
+        # boundaries.
+        if t.dep not in ("compound", "conj") or t.head is None:
             return None
         t = t.head
     return None

@@ -204,3 +204,27 @@ def test_partitioning_invariance(spark):
     )
     assert one == many
     assert len(one) == 10
+
+
+def test_coordination_roles():
+    """Coordinated subjects/objects ride conj edges (spaCy shape): every
+    coordinated NP inherits the role of the head it conjoins to, and the
+    coordinated peers themselves yield NO role pair (no spurious triple
+    between 'Alice and Bob')."""
+    p = DepParser(DEP_VERB_FORMS)
+
+    def role_of(text, span, vlemma):
+        sents = p.parse(text)
+        heads = map_entities_to_tokens(sents, [span])
+        toks = [t for s in sents for t in s]
+        verb = next(t for t in toks if t.pos == "VERB" and t.lemma == vlemma)
+        return grammatical_role(heads[0][1], verb)
+
+    t1 = "Alice Kim and Bob Li mentioned Carol Diaz."
+    assert role_of(t1, (0, 9), "mention") == "actor"
+    assert role_of(t1, (14, 20), "mention") == "actor"
+    assert role_of(t1, (31, 41), "mention") == "patient"
+
+    t2 = "Maria Lopez mentioned Alice Kim and Bob Li."
+    assert role_of(t2, (22, 31), "mention") == "patient"
+    assert role_of(t2, (36, 42), "mention") == "patient"
