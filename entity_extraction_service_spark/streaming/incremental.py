@@ -452,3 +452,118 @@ def write_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming as-of join (stateful twin of operators/asof.py)
+
+ASOF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType(), False),
+        T.StructField("last_seq", T.LongType(), False),
+        T.StructField("last_value", T.DoubleType(), False),
+        T.StructField("has_right", T.BooleanType(), False),
+    ]
+)
+
+
+def streaming_asof(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+    side_col: str = "side",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Custom STATEFUL operator: streaming backward as-of join — the
+    ``applyInPandasWithState`` twin of ``operators.asof.asof_join``
+    (direction='backward').
+
+    The batch kernel's whole design is O(1) reducer state (one "most
+    recent right row" carried through the per-key scan); that same O(1)
+    is literally the streaming state here: per key, state = the single
+    latest reference ('right') row (ts, seq, value). Probe ('left') rows
+    emit their nearest at-or-before right row the moment they are
+    processed. Total state ~ |distinct keys| x 3 scalars — independent of
+    stream length, the smallest state any as-of can carry.
+
+    Ordering contract: rows WITHIN a micro-batch are sorted here by
+    (ts, side, seq) — exactly the batch kernel's window order, so
+    intra-batch disorder is repaired for free. ACROSS micro-batches the
+    operator assumes per-key arrival respects event-time order (the
+    standard streaming trade: a right row arriving after a later left
+    row was already emitted cannot retroactively re-answer it; bound the
+    exposure with a source watermark upstream). Under that contract the
+    accumulated left output over ANY stream prefix equals
+    ``asof_join(lefts, rights)`` over the same prefix row for row
+    (tests/test_streaming_asof.py, incl. multi-micro-batch).
+
+    ``side_col`` tags each row 'left' (probe) or 'right' (reference) —
+    the caller derives it (e.g. purchase vs click on one event stream).
+    Equal-timestamp ties follow ``inclusive``: the co-timed right row is
+    visible to the left row iff inclusive, and among co-timed right rows
+    the max-``seq_col`` one wins — the batch kernel's exact tiebreak.
+    """
+    right_rank, left_rank = (0, 1) if inclusive else (1, 0)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField(seq_col, T.LongType(), False),
+            T.StructField("ts_us", T.LongType(), False),
+            T.StructField(value_col, T.DoubleType(), True),
+            T.StructField("asof_seq", T.LongType(), True),
+            T.StructField("asof_value", T.DoubleType(), True),
+            T.StructField("asof_ts_us", T.LongType(), True),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state):
+        (k,) = key
+        if state.exists:
+            last_ts, last_seq, last_val, has_right = state.get
+        else:
+            last_ts, last_seq, last_val, has_right = -1, -1, 0.0, False
+        out = []
+        rows = []
+        for pdf in pdfs:
+            ts_us = (pdf[ts_col].astype("int64") // 1000).astype("int64")
+            for t_us, side, seq, val in zip(
+                ts_us, pdf[side_col], pdf[seq_col], pdf[value_col]
+            ):
+                rows.append(
+                    (
+                        int(t_us),
+                        right_rank if side == "right" else left_rank,
+                        int(seq),
+                        float(val),
+                        side,
+                    )
+                )
+        rows.sort()                      # (ts, side, seq): the batch order
+        for t_us, _rank, seq, val, side in rows:
+            if side == "right":
+                if (t_us, seq) >= (last_ts, last_seq):
+                    last_ts, last_seq, last_val, has_right = t_us, seq, val, True
+            else:
+                out.append(
+                    (
+                        k, seq, t_us, val,
+                        last_seq if has_right else None,
+                        last_val if has_right else None,
+                        last_ts if has_right else None,
+                    )
+                )
+        state.update((last_ts, last_seq, last_val, has_right))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        ASOF_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
