@@ -1957,19 +1957,27 @@ SELECT query_id, vec_id, cosine, rank FROM (
         f"round({fdot('t.embedding', 'k.kvec')}"
         f" / ({fnorm('t.embedding')} * {fnorm('k.kvec')}), 6)"
     )
+    # bucket_n mirrors the operator's max_bucket viral-content guard
+    # (default 10,000): a bucket above the cap is excluded from dedup on
+    # BOTH sides, so the twin cannot silently diverge at a scale factor
+    # where a coarse bucket outgrows the cap
     semantic_dedup = f"""
 WITH sig AS (
     SELECT vec_id AS id, embedding, {" || ".join(sd_bits)} AS bucket
     FROM embeddings
 ), tagged AS (
-    SELECT id, embedding, bucket, min(id) OVER (PARTITION BY bucket) AS keeper_id
+    SELECT id, embedding, bucket,
+           min(id) OVER (PARTITION BY bucket) AS keeper_id,
+           count(*) OVER (PARTITION BY bucket) AS bucket_n
     FROM sig
+), bounded AS (
+    SELECT * FROM tagged WHERE bucket_n <= 10000
 ), keep AS (
-    SELECT bucket, embedding AS kvec FROM tagged WHERE id = keeper_id
+    SELECT bucket, embedding AS kvec FROM bounded WHERE id = keeper_id
 )
 SELECT vec_id, keeper_id, cosine FROM (
     SELECT t.id AS vec_id, t.keeper_id, {sd_cos} AS cosine
-    FROM tagged t JOIN keep k USING (bucket)
+    FROM bounded t JOIN keep k USING (bucket)
     WHERE t.id != t.keeper_id
 ) WHERE cosine >= 0.2
 """

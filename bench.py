@@ -47,13 +47,11 @@ def _materialize(df) -> int:
     return 0
 
 
-def _probe_burn(n: int) -> int:
-    # same CPU-bound kernel as scripts/scaling_bench.py::_burn — keep in
-    # sync so bench probes and scaling-pair ceilings are comparable
-    s = 0
-    for i in range(n):
-        s += i * i % 7
-    return s
+# the probe kernel is scripts/scaling_bench.py::_burn ITSELF (imported,
+# not copied) so bench probes and scaling-pair ceilings are comparable by
+# construction — a drifted copy can't silently break cross-file reads
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from scaling_bench import _burn as _probe_burn  # noqa: E402
 
 
 def host_probe(n_procs: int = 8, per_proc: int = 4_000_000) -> dict:

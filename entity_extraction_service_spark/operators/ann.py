@@ -314,28 +314,32 @@ def quantized_dot_pairs(
         if max_rows is not None
         else (config or DEFAULT_CONFIG).allpairs_max_rows
     )
-    # cheap size guard FIRST, on the raw input: an over-cap corpus must be
-    # refused before any full-corpus work happens (limit(cap+1).count()
-    # stops scanning after cap+1 rows; materializing first would pay a
-    # full checkpoint write just to learn the call is refused)
-    n = corpus.limit(cap + 1).count()
-    if n > cap:
-        raise ValueError(
-            f"quantized_dot_pairs refused: corpus has > {cap} rows "
-            f"(max_rows={cap}); route candidates through lsh_topk/ivf_topk "
-            "and use this only on the bounded re-rank set"
-        )
-    # then materialize the quantized projection: both sides of the
-    # self-join read the checkpoint instead of recomputing the corpus's
-    # upstream lineage twice (round-3 review finding — the documented use
-    # case feeds a DERIVED plan, e.g. an LSH re-rank set, whose subtree
-    # Catalyst will not deduplicate)
+    # Guard-vs-materialize ordering (round-4 advice + review, settled):
+    # the guard's job is to prevent the O(n^2) PAIR JOIN, and it always
+    # does — the join below never runs on an over-cap corpus. The order
+    # question is only which LINEAR work each path pays. A
+    # limit(cap+1).count() on the raw input is NOT cheap here: the
+    # documented input is a DERIVED plan (an LSH re-rank set) whose
+    # upstream shuffles execute in full for the count, so guard-first
+    # makes the COMMON under-cap path execute that lineage twice (count +
+    # materialize) to save the RARE refusal path one linear checkpoint
+    # write. Materialize-first pays the lineage exactly once, counts the
+    # (tiny, column-pruned) checkpoint for the guard, and the refusal
+    # path's extra cost is one linear projection write — bounded, one
+    # pass, and far from the quadratic blowup the cap exists to stop.
     q = F.transform(F.col(vec_col), lambda x: F.round(x * scale).cast("long"))
     c = materialize_df(
         corpus.select(F.col(id_col).alias("id"), q.alias("qv")),
         config or DEFAULT_CONFIG,
         tag="qdot-vectors",
     )
+    n = c.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"quantized_dot_pairs refused: corpus has > {cap} rows "
+            f"(max_rows={cap}); route candidates through lsh_topk/ivf_topk "
+            "and use this only on the bounded re-rank set"
+        )
     a, b = c.alias("a"), c.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
@@ -402,7 +406,9 @@ def semantic_dedup(
 
     if n_planes is None:
         n = corpus.count()
-        n_planes = max(6, math.ceil(math.log2(max(n, 1) / 256 + 1)))
+        # ceil(log2(n/256)): 2^k buckets targeting ~256 rows each; the
+        # max(6, ...) floor also absorbs n < 256 (negative log2)
+        n_planes = max(6, math.ceil(math.log2(max(n, 1) / 256)))
     planes = _hyperplanes(dim, n_planes, seed)
     rows = corpus.select(
         F.col(id_col).alias("id"),

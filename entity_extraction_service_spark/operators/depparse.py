@@ -207,12 +207,16 @@ class DepParser:
             passive = saw_be and is_past
             subj_dep = "nsubjpass" if passive else "nsubj"
 
-            # relative clause: NP_mod RELPRON [NP_inner] aux* VERB
+            # relative clause: NP_mod RELPRON [DET] [NP_inner] aux* VERB
             k = j
             inner_subj: Tok | None = None
             if k >= 0 and k in run_head:
                 inner_subj = run_head[k]
                 k = run_a[inner_subj.i] - 1
+                # the inner subject may carry its own determiner/adverbs
+                # ("the error that THE auth-service closed")
+                while k >= 0 and toks[k].pos in ("DET", "ADV"):
+                    k -= 1
             if k >= 0 and toks[k].pos == "RELPRON":
                 mod = next(
                     (toks[b] for a, b in reversed(runs) if b < k), None

@@ -260,8 +260,11 @@ def heuristic_mentions_py(
             sent = seg.strip()
             if len(sent) < 10:
                 continue
-            low = seg.lower()
-            found = [(k, ty) for k, ty in kw_table if k in low]
+            # WORD-boundary keyword lookup, not substring scan ("firm" must
+            # not fire inside "confirmed", "engineer" not inside
+            # "engineering") — the reference does a keyword lookup too
+            words = set(re.findall(r"[a-z]+", seg.lower()))
+            found = [(k, ty) for k, ty in kw_table if k in words]
             if not found:
                 continue
             etype = found[0][1]          # first table entry wins: deterministic

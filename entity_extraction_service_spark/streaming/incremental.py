@@ -504,6 +504,14 @@ def streaming_asof(
     Equal-timestamp ties follow ``inclusive``: the co-timed right row is
     visible to the left row iff inclusive, and among co-timed right rows
     the max-``seq_col`` one wins — the batch kernel's exact tiebreak.
+
+    Strict-mode (``inclusive=False``) caveat: the O(1) state keeps only
+    the LATEST right row, so when a co-timed right row arrives in an
+    EARLIER micro-batch than its left row, the older right row the batch
+    join would fall back to has already been discarded — the operator
+    then emits a conservative NULL match, never a wrong one (the
+    visibility check below). Full strict parity holds whenever no
+    co-timed (left, right) pair straddles a micro-batch boundary.
     """
     right_rank, left_rank = (0, 1) if inclusive else (1, 0)
     out_schema = T.StructType(
@@ -546,12 +554,20 @@ def streaming_asof(
                 if (t_us, seq) >= (last_ts, last_seq):
                     last_ts, last_seq, last_val, has_right = t_us, seq, val, True
             else:
+                # visibility must ALSO hold against state carried from a
+                # PRIOR micro-batch: in strict mode a co-timed right row
+                # from an earlier batch is in state but must stay hidden
+                # (intra-batch the sort already hides it — right ranks
+                # after left — but state crosses the boundary)
+                visible = has_right and (
+                    last_ts <= t_us if inclusive else last_ts < t_us
+                )
                 out.append(
                     (
                         k, seq, t_us, val,
-                        last_seq if has_right else None,
-                        last_val if has_right else None,
-                        last_ts if has_right else None,
+                        last_seq if visible else None,
+                        last_val if visible else None,
+                        last_ts if visible else None,
                     )
                 )
         state.update((last_ts, last_seq, last_val, has_right))

@@ -228,3 +228,17 @@ def test_coordination_roles():
     t2 = "Maria Lopez mentioned Alice Kim and Bob Li."
     assert role_of(t2, (22, 31), "mention") == "patient"
     assert role_of(t2, (36, 42), "mention") == "patient"
+
+
+def test_object_relative_with_determiner():
+    """Round-4 review fix: a determiner on the inner subject ('the error
+    that THE auth-service closed') must still parse as an object
+    relative — before the fix this fell through to a plain clause and
+    emitted a factually wrong triple toward the outer clause."""
+    p = DepParser(DEP_VERB_FORMS)
+    sents = p.parse("The error that the auth-service closed broke the checkout-service.")
+    toks = {t.text: t for t in sents[0]}
+    assert toks["closed"].dep == "relcl" and toks["closed"].head is toks["error"]
+    assert toks["auth-service"].dep == "nsubj" and toks["auth-service"].head is toks["closed"]
+    # the outer clause's NP must NOT be captured by the relative verb
+    assert toks["checkout-service"].head is not toks["closed"]

@@ -224,3 +224,24 @@ def test_round4_generators_confidence_below_pattern_floor():
     )
     assert rows
     assert all(r[4] <= 0.8 for r in rows)
+
+
+def test_context_keywords_match_whole_words_only():
+    """Round-4 review fix: 'firm' must not fire inside 'confirmed',
+    'engineer' not inside 'engineering' — keyword lookup is by word,
+    not substring."""
+    got = heuristic_mentions_py(
+        "Alice confirmed the rollout with Bob yesterday.",
+        generators=("context_typed",),
+    )
+    assert got == []
+    got2 = heuristic_mentions_py(
+        "The engineering team shipped Atlas to production.",
+        generators=("context_typed",),
+    )
+    assert got2 == []
+    # the genuine whole-word keyword still fires
+    got3 = heuristic_mentions_py(
+        "Our vendor Redpanda handles ingestion.", generators=("context_typed",)
+    )
+    assert ("ORG", "Redpanda") in {(m[0], m[1]) for m in got3}

@@ -107,3 +107,42 @@ def test_streaming_asof_matches_batch_across_micro_batches(spark, tmp_path):
     assert any(
         k[1] in lefts_post and v[0] in rights_pre for k, v in got.items()
     ), "split produced no cross-batch match; fixture needs adjusting"
+
+
+def test_strict_mode_cotimed_right_from_earlier_batch_hidden(spark, tmp_path):
+    """Round-4 review fix (inclusive=False): a co-timed right row carried
+    in state from an EARLIER micro-batch must stay hidden; the operator
+    emits a conservative NULL (the older right row its O(1) state
+    discarded is unrecoverable — documented), never the co-timed row."""
+    import time
+
+    base = datetime(2024, 1, 1)
+    b1 = [("u0", 1, base, "right", 1.0), ("u0", 2, base + timedelta(seconds=5), "right", 2.0)]
+    b2 = [("u0", 3, base + timedelta(seconds=5), "left", 9.0),
+          ("u0", 4, base + timedelta(seconds=7), "left", 9.5)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, E_DDL).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, E_DDL).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(E_DDL).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_asof(stream, inclusive=False)
+        .writeStream.format("memory")
+        .queryName("asof_strict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: (r["asof_seq"], r["asof_value"])
+        for r in spark.table("asof_strict").collect()
+    }
+    # left@5s: co-timed right(2) hidden; right(1) was discarded -> NULL
+    assert got[3] == (None, None)
+    # left@7s: right(2) at 5s < 7s is strictly earlier -> visible
+    assert got[4] == (2, 2.0)
