@@ -339,21 +339,18 @@ def q_t8_conf_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_d5_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 position-overlap range join: intervals [value, value+5] per user,
-    overlap predicate a.s < b.e AND a.e > b.s."""
+    overlap predicate a.s < b.e AND a.e > b.s — via the BINNED interval
+    join (operators/interval.py, round 4): equi-join on (user, bin) so a
+    hot user's quadratic residual work shards across its value range; the
+    oracle below is the naive residual-predicate SQL, so the hash match
+    proves the binned plan byte-equivalent."""
+    from entity_extraction_service_spark.operators.interval import interval_overlap_join
+
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", F.col("value").alias("s"), (F.col("value") + 5).alias("e")
     )
-    a, b = e.alias("a"), e.alias("b")
-    return a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("a.event_id") < F.col("b.event_id"))
-        & (F.col("a.s") < F.col("b.e"))
-        & (F.col("a.e") > F.col("b.s")),
-    ).select(
-        F.col("a.user_id").alias("user_id"),
-        F.col("a.event_id").alias("id_a"),
-        F.col("b.event_id").alias("id_b"),
+    return interval_overlap_join(
+        e, key_cols=["user_id"], id_col="event_id", bin_width=5.0
     )
 
 

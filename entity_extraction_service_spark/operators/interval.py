@@ -1,0 +1,76 @@
+"""Binned interval-overlap join — the scale-safe D5 range join.
+
+Reference analog: D5 position-overlap merging (overlap predicate
+`a.start < b.end AND a.end > b.start` over same-document mention spans,
+src/core/extraction_orchestrator.py cross-source merge). The naive Spark
+plan is an equi-join on the partition key with the range predicate as a
+RESIDUAL filter — correct, but per-key work is quadratic in that key's
+interval count: one hot key (the skew knob plants entities in 30% of
+conversations; an event key at 10^12 rows can hold 10^8 intervals) turns
+into a single task doing 10^16 residual comparisons.
+
+The standard fix (the same binning Databricks' range-join hint and
+every interval-join engine use): quantize each interval into the
+fixed-width bins it covers, equi-join on (key, bin) — Catalyst now
+hashes on a FINER key, so a hot key's work splits across its value
+range — and keep each overlapping pair exactly once via BIN OWNERSHIP:
+the pair is emitted only from the bin containing the overlap's start
+(`floor(greatest(a.s, b.s) / w)`), a pure predicate, no dedup shuffle.
+
+Choosing ``bin_width``: ~ the typical interval span. Every interval
+lands in span/width + 1 bins (the explode factor), and a bin's
+candidate set is the intervals overlapping that width — width >> span
+degenerates toward the unbinned quadratic; width << span explodes the
+bin fan-out. Both ends stay linear; the sweet spot is flat and wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_overlap_join(
+    intervals: DataFrame,
+    key_cols: list[str],
+    id_col: str = "event_id",
+    s_col: str = "s",
+    e_col: str = "e",
+    bin_width: float = 5.0,
+) -> DataFrame:
+    """Self-join: all pairs (id_a < id_b) within the same ``key_cols``
+    whose [s, e) intervals overlap (``a.s < b.e AND a.e > b.s``) —
+    byte-identical to the naive residual-predicate join (the d5 driver
+    oracle hashes this operator against the naive SQL), but keyed on
+    (key, bin) so hot keys shard across their value range.
+    """
+    w = float(bin_width)
+    binned = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(s_col) / w).cast("long"),
+                F.floor(F.col(e_col) / w).cast("long"),
+            )
+        ),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    on = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    on.append(F.col("a._bin") == F.col("b._bin"))
+    on.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # overlap
+    on.append(F.col(f"a.{s_col}") < F.col(f"b.{e_col}"))
+    on.append(F.col(f"a.{e_col}") > F.col(f"b.{s_col}"))
+    # bin ownership: exactly one bin (the overlap start's) emits the pair
+    on.append(
+        F.col("a._bin")
+        == F.floor(F.greatest(F.col(f"a.{s_col}"), F.col(f"b.{s_col}")) / w).cast("long")
+    )
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    return a.join(b, cond, "inner").select(
+        *[F.col(f"a.{k}").alias(k) for k in key_cols],
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )

@@ -1,0 +1,64 @@
+"""Binned interval-overlap join (operators/interval.py): byte-equivalence
+to the naive residual-predicate join, bin-ownership single-emission, and
+the finer (key, bin) join key in the plan."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.interval import interval_overlap_join
+
+DDL = "user_id string, event_id long, s double, e double"
+
+
+def _naive(iv):
+    a, b = iv.alias("a"), iv.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.s") < F.col("b.e"))
+        & (F.col("a.e") > F.col("b.s")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_matches_naive_on_adversarial_intervals(spark):
+    """Edge cases: exact-touch (no overlap), containment, identical
+    intervals, negative coordinates, spans straddling many bins, and a
+    pair whose overlap region crosses a bin boundary (single emission)."""
+    rows = [
+        ("u1", 1, 0.0, 5.0),
+        ("u1", 2, 5.0, 10.0),      # touches 1 exactly: NOT an overlap
+        ("u1", 3, 4.9, 6.0),       # overlaps 1 and 2
+        ("u1", 4, -3.0, 27.0),     # long span, negative start, many bins
+        ("u1", 5, 4.0, 4.1),       # contained in 1 and 4
+        ("u1", 6, 4.0, 4.1),       # identical to 5
+        ("u2", 7, 0.0, 5.0),       # other key: never pairs with u1
+        ("u2", 8, 2.5, 7.5),       # overlap region [2.5, 5) crosses bin edge
+    ]
+    iv = spark.createDataFrame(rows, DDL)
+    for w in (5.0, 2.0, 13.0):
+        got = _rows(interval_overlap_join(iv, ["user_id"], bin_width=w))
+        want = _rows(_naive(iv))
+        assert got == want, f"bin_width={w}: {got} != {want}"
+    # single emission despite multi-bin overlap regions
+    assert len(got) == len(set(got))
+
+
+def test_plan_joins_on_key_and_bin(spark):
+    """The whole point: the hash key is (user_id, _bin), not user_id
+    alone — a hot key's residual work shards across its value range."""
+    iv = spark.createDataFrame([("u1", 1, 0.0, 5.0)], DDL)
+    plan = (
+        interval_overlap_join(iv, ["user_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_bin" in plan.split("Join")[1].split("\n")[0], plan
