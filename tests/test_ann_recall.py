@@ -98,3 +98,35 @@ def test_simhash_hamming_lsh_matches_brute_force(spark):
         .collect()
     }
     assert via_lsh == brute
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ ADC shortlist + exact re-rank: recall@k vs brute force must
+    clear the IVF-class floor, and the codebooks are seeded so the
+    result set is identical across runs."""
+    from entity_extraction_service_spark.operators.ann import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=K).persist()
+    pq = pq_topk(emb, queries, k=K, shortlist_mult=8)
+    r = _recall(spark, pq, exact)
+    # near-orthogonal corpus = the hardest case; sweep: 0.93 at defaults
+    assert r >= 0.8, f"PQ recall@{K} {r:.2f}"
+    pq2 = pq_topk(emb, queries, k=K, shortlist_mult=8)
+    assert pq.select("query_id", "vec_id").exceptAll(
+        pq2.select("query_id", "vec_id")
+    ).isEmpty()
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from entity_extraction_service_spark.operators.ann import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(emb, queries, m=7)
