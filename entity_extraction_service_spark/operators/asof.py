@@ -20,9 +20,13 @@ equal-timestamp right rows the max-seq row (min-seq for forward).
 
 At 100 TB both inputs arrive partitioned by arbitrary keys; the one
 shuffle is unavoidable (the semantics are per-key order-dependent).
-Bucketing both tables by the join key turns it into a shuffle-free
-sort-merge — the plan is AQE/bucket-friendly because the only exchange
-is a plain hash repartition on ``on``.
+Eliminating even that shuffle requires storing the two sides PRE-TAGGED
+in ONE table bucketed by the key: Spark does not propagate bucket
+partitioning through a Union, so two separately-bucketed tables still
+pay the single exchange (measured: 1 Exchange), while the windowed scan
+of a single bucketed tagged table compiles with ZERO exchanges
+(measured; tests/test_asof.py::test_bucketed_pretagged_zero_exchange
+pins both facts).
 """
 
 from __future__ import annotations

@@ -204,3 +204,51 @@ def test_payload_prefix_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="collision.*asof_rid"):
         asof_join(left, right, on=["user"], ts_col="ts", right_seq="rid")
+
+
+def test_bucketed_pretagged_zero_exchange(spark, tmp_path):
+    """Docstring claims, plan-asserted: (a) two separately-bucketed side
+    tables still pay ONE exchange (Spark drops bucket partitioning
+    through the Union), (b) the shuffle-free shape is ONE pre-tagged
+    table bucketed by the key — its windowed scan has ZERO exchanges."""
+    from pyspark.sql import Window
+
+    ev = spark.range(500).select(
+        (F.col("id") % 17).cast("string").alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") * 10).cast("timestamp_ntz").alias("ts"),
+        F.when(F.col("id") % 3 == 0, "right").otherwise("left").alias("side"),
+        (F.col("id") / 4.0).alias("value"),
+    )
+    # (a) two bucketed tables -> union kernel keeps its one exchange
+    l = ev.where(F.col("side") == "left").select("user_id", "event_id", "ts", "value")
+    r = ev.where(F.col("side") == "right").select("user_id", "ts", "event_id", "value")
+    spark.sql("DROP TABLE IF EXISTS asof_lb")
+    spark.sql("DROP TABLE IF EXISTS asof_rb")
+    l.write.bucketBy(4, "user_id").sortBy("user_id", "ts").saveAsTable("asof_lb")
+    r.write.bucketBy(4, "user_id").sortBy("user_id", "ts").saveAsTable("asof_rb")
+    two = asof_join(
+        spark.table("asof_lb"), spark.table("asof_rb"),
+        on=["user_id"], ts_col="ts", right_seq="event_id",
+    )
+    assert two._jdf.queryExecution().executedPlan().toString().count("Exchange") == 1
+
+    # (b) one pre-tagged bucketed table -> zero exchanges
+    spark.sql("DROP TABLE IF EXISTS asof_evb")
+    ev.write.bucketBy(4, "user_id").sortBy("user_id", "ts").saveAsTable("asof_evb")
+    t = spark.table("asof_evb")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = t.withColumn(
+        "m",
+        F.last(
+            F.when(F.col("side") == "right", F.col("value")), ignorenulls=True
+        ).over(w),
+    ).where(F.col("side") == "left")
+    assert out._jdf.queryExecution().executedPlan().toString().count("Exchange") == 0
+    assert out.count() > 0
+    for tbl in ("asof_lb", "asof_rb", "asof_evb"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
