@@ -161,9 +161,23 @@ def q_confidence_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entity_extraction_service_spark.operators.dedup_corpus import exact_duplicates
+    """TWO exact-dedup granularities as tagged families (round 4): whole-
+    document fingerprints AND 20-word passage fingerprints (the C4/
+    RefinedWeb line-dedup analog, operators/dedup_corpus.py
+    passage_duplicates — boilerplate passages surface as hot fps)."""
+    from entity_extraction_service_spark.operators.dedup_corpus import (
+        exact_duplicates,
+        passage_duplicates,
+    )
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    doc = exact_duplicates(d).select(
+        F.lit("doc").alias("family"), "fp", "keeper_id", "n_docs"
+    )
+    passage = passage_duplicates(d).select(
+        F.lit("passage").alias("family"), "fp", "keeper_id", "n_docs"
+    )
+    return doc.unionByName(passage)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2203,10 +2217,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'keyed', user_id, event_id, key, antecedent
             FROM r WHERE kind = 1
         """,
+        # two granularities (round 4): whole-doc fp + 20-word passage fp
         "exact_dedup_docs": """
-            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+            SELECT 'doc' AS family,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
                    min(doc_id) AS keeper_id, count(*) AS n_docs
             FROM documents GROUP BY fp
+            UNION ALL
+            SELECT 'passage', md5(passage), min(doc_id), count(*)
+            FROM (
+                WITH wt AS (
+                    SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\\s+') AS w
+                    FROM documents
+                )
+                SELECT doc_id,
+                       array_to_string(w[pi * 20 + 1 : pi * 20 + 20], ' ') AS passage
+                FROM wt, unnest(range(CAST(ceil(len(w) / 20.0) AS INT))) AS t(pi)
+            ) WHERE length(passage) > 0
+            GROUP BY md5(passage)
         """,
         "jaccard_pairs": """
             WITH t AS (

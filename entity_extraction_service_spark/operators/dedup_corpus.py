@@ -76,6 +76,72 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _passages(text_col: str, words_per_passage: int) -> F.Column:
+    """Array of fixed-window word passages (non-overlapping). Structured
+    corpora would segment on paragraph breaks; the driver docs are
+    single-line token streams, so the window IS the segmentation — the
+    same fallback real line/passage dedup uses on structure-less text."""
+    wt = F.split(F.lower(F.trim(text_col)), r"\s+")
+    w = words_per_passage
+    n = F.ceil(F.size(wt) / F.lit(w)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda p: F.concat_ws(" ", F.slice(wt, p * w + 1, w)),
+    )
+
+
+def passage_duplicates(
+    docs: DataFrame,
+    words_per_passage: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-granular exact dedup (the C4/RefinedWeb line-dedup step):
+    one row per distinct passage fingerprint with keeper doc + occurrence
+    count. Scale shape = exact_duplicates': explode + hash-groupBy, pure
+    map-side combine, no joins; a passage repeated across 10^9 docs is
+    one reducer key with a count, never a pair stream."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(_passages(text_col, words_per_passage)).alias("p")
+        )
+        .where(F.length("p") > 0)
+        .select(F.md5("p").alias("fp"), id_col)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def strip_duplicate_passages(
+    docs: DataFrame,
+    min_docs: int = 2,
+    words_per_passage: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate removal: rebuild each doc's text WITHOUT passages whose
+    fingerprint occurs in >= ``min_docs`` docs corpus-wide (headers,
+    footers, licence blocks — the passages exact-dedup finds hot).
+
+    Scale shape: the hot-passage set is |distinct passages over the
+    cap| — tiny relative to the corpus — broadcast into an array_contains
+    filter; the corpus is scanned once and never shuffled.
+    """
+    hot = (
+        passage_duplicates(docs, words_per_passage, id_col, text_col)
+        .where(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    with_p = docs.withColumn("_ps", _passages(text_col, words_per_passage))
+    joined = with_p.join(
+        F.broadcast(hot.agg(F.collect_set("fp").alias("_hot"))).hint("broadcast")
+    )
+    kept = F.filter(
+        F.col("_ps"), lambda p: ~F.array_contains(F.col("_hot"), F.md5(p))
+    )
+    return joined.withColumn(text_col, F.concat_ws(" ", kept)).drop("_ps", "_hot")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     block_col: str = "source",

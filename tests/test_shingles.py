@@ -69,3 +69,20 @@ def test_shingle_minhash_pipeline_finds_planted_pairs(spark):
     planted = {(2 * k, 2 * k + 1) for k in range(100)}
     assert got <= planted
     assert len(got) >= 80
+
+
+def test_strip_duplicate_passages_removes_boilerplate(spark):
+    """Boilerplate removal: a 20-word passage planted at the head of many
+    docs disappears from every one; unique content survives verbatim."""
+    from entity_extraction_service_spark.operators.dedup_corpus import (
+        strip_duplicate_passages,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    rows = [(i, "hot", f"{boiler} unique tail {i} alpha beta") for i in range(5)]
+    rows.append((99, "hot", "completely unique document body here"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["text"] for r in strip_duplicate_passages(docs, min_docs=3).collect()}
+    assert all(not t.startswith("b0 ") for t in out.values())
+    assert "unique tail 2 alpha beta" in out[2]
+    assert out[99] == "completely unique document body here"
