@@ -583,3 +583,76 @@ def streaming_asof(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming exact-dedup registry (stateful twin of dedup_corpus.exact_duplicates)
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("is_keeper", T.BooleanType(), False),
+        T.StructField("keeper_id", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keeper_id", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+    ]
+)
+
+
+def streaming_exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Custom STATEFUL operator: incremental exact dedup over a document
+    stream — the ``applyInPandasWithState`` twin of
+    ``dedup_corpus.exact_duplicates`` for ingestion pipelines that must
+    admit only first-seen content.
+
+    Input needs a precomputed ``fp`` column (``dedup_corpus.fingerprint``
+    — stateless, streaming-legal). Per fingerprint the state is TWO
+    scalars (keeper id, running count): total state ~ |distinct content|,
+    independent of stream length. Every incoming doc emits a row with
+    ``is_keeper`` — downstream keeps the keepers and drops/link-counts
+    the rest. Within a micro-batch, rows process in ``id_col`` order, so
+    the keeper among same-batch duplicates is the min-id row — and when
+    per-key arrival is id-ordered (the append-only ingestion case), the
+    latest (fp, keeper_id, n_docs) per key equals
+    ``exact_duplicates`` over the same prefix exactly
+    (tests/test_streaming_dedup.py, incl. multi-micro-batch)."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state):
+        (fp,) = key
+        if state.exists:
+            keeper_id, n_docs = state.get
+        else:
+            keeper_id, n_docs = None, 0
+        out = []
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf[id_col])
+        ids.sort()
+        for did in ids:
+            n_docs += 1
+            if keeper_id is None:
+                keeper_id = did
+                out.append((fp, did, True, keeper_id, n_docs))
+            else:
+                out.append((fp, did, False, keeper_id, n_docs))
+        if keeper_id is None:
+            return
+        state.update((keeper_id, n_docs))
+        yield pd.DataFrame(out, columns=[f.name for f in DEDUP_OUT_SCHEMA.fields])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return docs.groupBy("fp").applyInPandasWithState(
+        update,
+        DEDUP_OUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,78 @@
+"""Streaming exact-dedup registry (streaming/incremental.py
+streaming_exact_dedup): stream==batch parity vs
+dedup_corpus.exact_duplicates over any prefix, keeper stability across
+micro-batches, and first-seen admission semantics."""
+
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.dedup_corpus import (
+    exact_duplicates,
+    fingerprint,
+)
+from entity_extraction_service_spark.streaming.incremental import streaming_exact_dedup
+
+DDL = "doc_id long, source string, text string"
+
+
+def _docs(spark, lo, hi):
+    """Deterministic docs where every third doc repeats content 'dup-K'."""
+    rows = []
+    for i in range(lo, hi):
+        text = f"dup content block {i % 7}" if i % 3 == 0 else f"unique body {i}"
+        rows.append((i, "s", text))
+    return spark.createDataFrame(rows, DDL)
+
+
+def _run(spark, src, ckpt, name):
+    stream = (
+        spark.readStream.schema(DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("fp", fingerprint(F.col("text")))
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_stream_matches_batch_exact_duplicates(spark, tmp_path):
+    import time
+
+    src = str(tmp_path / "src")
+    _docs(spark, 0, 60).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    _docs(spark, 60, 120).coalesce(1).write.mode("append").parquet(src)
+
+    out = _run(spark, src, str(tmp_path / "ckpt"), "dedup_reg")
+    # latest row per fp (max n_docs) == batch exact_duplicates over all docs
+    got = {
+        (r["fp"], r["keeper_id"], r["n_docs"])
+        for r in out.groupBy("fp")
+        .agg(F.max_by(F.struct("fp", "keeper_id", "n_docs"), "n_docs").alias("r"))
+        .select("r.*")
+        .collect()
+    }
+    want = {
+        (r["fp"], r["keeper_id"], r["n_docs"])
+        for r in exact_duplicates(_docs(spark, 0, 120)).collect()
+    }
+    assert got == want
+
+    # first-seen admission: keepers == the batch keeper set; every doc row
+    # appears exactly once with a verdict
+    keepers = {r["doc_id"] for r in out.where("is_keeper").collect()}
+    want_keepers = {r["keeper_id"] for r in exact_duplicates(_docs(spark, 0, 120)).collect()}
+    assert keepers == want_keepers
+    assert out.count() == 120
+    # a duplicate arriving in a LATER batch than its keeper is rejected
+    # with the ORIGINAL keeper id (state crossed the boundary)
+    late_dups = out.where((F.col("doc_id") >= 60) & ~F.col("is_keeper"))
+    assert late_dups.where(F.col("keeper_id") < 60).count() > 0
