@@ -172,10 +172,11 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     doc = exact_duplicates(d).select(
-        F.lit("doc").alias("family"), "fp", "keeper_id", "n_docs"
+        F.lit("doc").alias("family"), "fp", "keeper_id", "n_docs",
+        F.col("n_docs").alias("n_occurrences"),
     )
     passage = passage_duplicates(d).select(
-        F.lit("passage").alias("family"), "fp", "keeper_id", "n_docs"
+        F.lit("passage").alias("family"), "fp", "keeper_id", "n_docs", "n_occurrences"
     )
     return doc.unionByName(passage)
 
@@ -2217,14 +2218,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'keyed', user_id, event_id, key, antecedent
             FROM r WHERE kind = 1
         """,
-        # two granularities (round 4): whole-doc fp + 20-word passage fp
+        # two granularities (round 4): whole-doc fp + 20-word passage fp;
+        # passage n_docs counts DISTINCT docs, n_occurrences raw windows
         "exact_dedup_docs": """
             SELECT 'doc' AS family,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-                   min(doc_id) AS keeper_id, count(*) AS n_docs
+                   min(doc_id) AS keeper_id, count(*) AS n_docs,
+                   count(*) AS n_occurrences
             FROM documents GROUP BY fp
             UNION ALL
-            SELECT 'passage', md5(passage), min(doc_id), count(*)
+            SELECT 'passage', md5(passage), min(doc_id),
+                   count(DISTINCT doc_id), count(*)
             FROM (
                 WITH wt AS (
                     SELECT doc_id,

@@ -199,6 +199,11 @@ def ivf_topk(
         ],
         dtype="float64",
     )
+    if train.size == 0:
+        raise ValueError(
+            "ivf_topk: empty training sample (no corpus row has "
+            f"{id_col} % {sample_every} == 0); adjust sample_every"
+        )
     cents = _kmeans_centroids(train, n_centroids, seed=seed)
 
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
@@ -485,11 +490,13 @@ def pq_topk(
     Train: the vector space splits into ``m`` subspaces; each gets a
     ``ksub``-codeword k-means codebook from a driver-bounded sample (the
     IVF pattern: deterministic, <= ``max_train`` rows ever collected).
-    Encode: every corpus vector becomes ``m`` small ints — at 100 TB the
-    code table is dim*8/m bytes-per-float smaller than the raw vectors
-    (64-dim float64 -> 8 bytes: 64x), and encoding is one pure-Catalyst
-    pass (argmin over subvector-to-codeword distances), embarrassingly
-    parallel, no shuffle. Score: asymmetric distance (ADC) — each query
+    Encode: every corpus vector becomes ``m`` small ints. Compression at
+    the defaults (64-dim float64 = 512 B raw): 16 codes of ceil(log2 32)
+    = 5 bits pack to 10 B (~51x) in a byte-packed store; THIS DataFrame
+    materializes them as 4-byte ints (64 B, 8x) — the honest number for
+    the demo layout, the packed number for a production code table.
+    Encoding is one pure-Catalyst pass (argmin over subvector-to-codeword
+    distances), embarrassingly parallel, no shuffle. Score: asymmetric distance (ADC) — each query
     precomputes its m x ksub lookup table ONCE (Catalyst, on the tiny
     query side), and per candidate the distance is m table lookups + a
     sum, no float-vector math on the corpus side. The ADC shortlist
@@ -515,6 +522,11 @@ def pq_topk(
         ],
         dtype="float64",
     )
+    if train.size == 0:
+        raise ValueError(
+            "pq_topk: empty training sample (no corpus row has "
+            f"{id_col} % {sample_every} == 0); adjust sample_every"
+        )
     dim = train.shape[1]
     if dim % m != 0:
         raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")

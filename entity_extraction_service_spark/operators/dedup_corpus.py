@@ -97,10 +97,12 @@ def passage_duplicates(
     text_col: str = "text",
 ) -> DataFrame:
     """Passage-granular exact dedup (the C4/RefinedWeb line-dedup step):
-    one row per distinct passage fingerprint with keeper doc + occurrence
-    count. Scale shape = exact_duplicates': explode + hash-groupBy, pure
-    map-side combine, no joins; a passage repeated across 10^9 docs is
-    one reducer key with a count, never a pair stream."""
+    one row per distinct passage fingerprint with keeper doc, DISTINCT-doc
+    count (``n_docs`` — a window-aligned internal repetition within one
+    doc counts once) and raw occurrence count. Scale shape =
+    exact_duplicates': explode + hash-groupBy, pure map-side combine, no
+    joins; a passage repeated across 10^9 docs is one reducer key with a
+    count, never a pair stream."""
     return (
         docs.select(
             F.col(id_col), F.explode(_passages(text_col, words_per_passage)).alias("p")
@@ -108,7 +110,11 @@ def passage_duplicates(
         .where(F.length("p") > 0)
         .select(F.md5("p").alias("fp"), id_col)
         .groupBy("fp")
-        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_docs"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
     )
 
 
@@ -120,24 +126,40 @@ def strip_duplicate_passages(
     text_col: str = "text",
 ) -> DataFrame:
     """Boilerplate removal: rebuild each doc's text WITHOUT passages whose
-    fingerprint occurs in >= ``min_docs`` docs corpus-wide (headers,
-    footers, licence blocks — the passages exact-dedup finds hot).
+    fingerprint occurs in >= ``min_docs`` DISTINCT docs corpus-wide
+    (headers, footers, licence blocks — the passages exact-dedup finds
+    hot; an internal repetition within a single doc never qualifies).
+
+    The rebuilt text keeps the ORIGINAL casing of surviving words (the
+    fingerprint is computed on the lowercased window, but the window
+    content is taken from the raw text — splitting on whitespace is
+    case-blind, so the windows align); inter-word whitespace collapses to
+    single spaces, the unavoidable cost of window-level rebuild.
 
     Scale shape: the hot-passage set is |distinct passages over the
-    cap| — tiny relative to the corpus — broadcast into an array_contains
-    filter; the corpus is scanned once and never shuffled.
+    cap| — tiny relative to the corpus — broadcast as a 1-row set into an
+    array_contains filter (explicit crossJoin); the corpus is scanned
+    once and never shuffled.
     """
     hot = (
         passage_duplicates(docs, words_per_passage, id_col, text_col)
         .where(F.col("n_docs") >= min_docs)
         .select("fp")
     )
-    with_p = docs.withColumn("_ps", _passages(text_col, words_per_passage))
-    joined = with_p.join(
-        F.broadcast(hot.agg(F.collect_set("fp").alias("_hot"))).hint("broadcast")
+    # original-case windows: same boundaries as the fingerprint windows
+    wt = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = words_per_passage
+    n = F.ceil(F.size(wt) / F.lit(w)).cast("int")
+    orig_ps = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda p: F.concat_ws(" ", F.slice(wt, p * w + 1, w)),
+    )
+    with_p = docs.withColumn("_ps", orig_ps)
+    joined = with_p.crossJoin(
+        F.broadcast(hot.agg(F.collect_set("fp").alias("_hot")))
     )
     kept = F.filter(
-        F.col("_ps"), lambda p: ~F.array_contains(F.col("_hot"), F.md5(p))
+        F.col("_ps"), lambda p: ~F.array_contains(F.col("_hot"), F.md5(F.lower(p)))
     )
     return joined.withColumn(text_col, F.concat_ws(" ", kept)).drop("_ps", "_hot")
 

@@ -45,6 +45,8 @@ def interval_overlap_join(
     (key, bin) so hot keys shard across their value range.
     """
     w = float(bin_width)
+    if w <= 0:
+        raise ValueError(f"interval_overlap_join: bin_width must be > 0, got {w}")
     binned = intervals.withColumn(
         "_bin",
         F.explode(

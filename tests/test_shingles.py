@@ -73,16 +73,23 @@ def test_shingle_minhash_pipeline_finds_planted_pairs(spark):
 
 def test_strip_duplicate_passages_removes_boilerplate(spark):
     """Boilerplate removal: a 20-word passage planted at the head of many
-    docs disappears from every one; unique content survives verbatim."""
+    docs disappears from every one; unique content survives with its
+    ORIGINAL casing; a window-aligned repetition INSIDE one doc is not
+    boilerplate (n_docs counts distinct docs, not occurrences)."""
     from entity_extraction_service_spark.operators.dedup_corpus import (
         strip_duplicate_passages,
     )
 
     boiler = " ".join(f"b{i}" for i in range(20))
-    rows = [(i, "hot", f"{boiler} unique tail {i} alpha beta") for i in range(5)]
-    rows.append((99, "hot", "completely unique document body here"))
+    chorus = " ".join(f"c{i}" for i in range(20))
+    rows = [(i, "hot", f"{boiler} Unique Tail {i} Alpha BETA") for i in range(5)]
+    rows.append((99, "hot", "Completely Unique Document Body Here"))
+    rows.append((100, "hot", f"{chorus} {chorus}"))  # internal repetition only
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     out = {r["doc_id"]: r["text"] for r in strip_duplicate_passages(docs, min_docs=3).collect()}
-    assert all(not t.startswith("b0 ") for t in out.values())
-    assert "unique tail 2 alpha beta" in out[2]
-    assert out[99] == "completely unique document body here"
+    assert all(not t.startswith("b0 ") for t in out.values() if t)
+    # original case preserved (round-4 review fix: no silent lowercasing)
+    assert out[2] == "Unique Tail 2 Alpha BETA"
+    assert out[99] == "Completely Unique Document Body Here"
+    # the single-doc chorus survives: occurrences != docs
+    assert out[100] == f"{chorus} {chorus}"

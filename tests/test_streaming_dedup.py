@@ -44,12 +44,19 @@ def _run(spark, src, ckpt, name):
 
 
 def test_stream_matches_batch_exact_duplicates(spark, tmp_path):
-    import time
+    import glob
+    import os
 
     src = str(tmp_path / "src")
     _docs(spark, 0, 60).coalesce(1).write.mode("overwrite").parquet(src)
-    time.sleep(1.1)
+    first = set(glob.glob(f"{src}/part-*.parquet"))
     _docs(spark, 60, 120).coalesce(1).write.mode("append").parquet(src)
+    # deterministic micro-batch order: pin mtimes explicitly (the file
+    # source orders by modification time; a sleep-based gap is flaky on
+    # coarse-mtime filesystems)
+    now = 1_700_000_000
+    for f in sorted(glob.glob(f"{src}/part-*.parquet")):
+        os.utime(f, (now, now) if f in first else (now + 10, now + 10))
 
     out = _run(spark, src, str(tmp_path / "ckpt"), "dedup_reg")
     # latest row per fp (max n_docs) == batch exact_duplicates over all docs
