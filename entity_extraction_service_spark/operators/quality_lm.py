@@ -1,0 +1,95 @@
+"""Self-trained bigram-LM perplexity scoring — the CCNet-style quality
+filter (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data"): score every document by a language
+model's perplexity and bucket the corpus into head/middle/tail terciles;
+downstream keeps the head (or head+middle) for training.
+
+CCNet uses a pretrained KenLM; no model ships in this container, so the
+deterministic stand-in is a bigram LM trained ON THE CORPUS ITSELF
+(add-k smoothing) — self-perplexity, which ranks boilerplate-ish and
+repetitive documents low and incoherent token soup high, the same
+ordering role. A real KenLM drops into the same bucket machinery via the
+``scores`` seam of ``perplexity_buckets``.
+
+Scale shape (100 TB): the LM is |distinct bigrams| rows built by one
+explode + hash-groupBy (map-side combine); scoring joins each document's
+bigram stream against it on the (prev, w) key — a plain shuffle join
+that AQE broadcasts when the vocabulary is small. The tercile bucketing
+uses an exact global sort (ntile) here for oracle parity; at cluster
+scale swap the documented approx-quantile thresholds (one aggregation,
+no global sort) — a documented trade, not a silent default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bigrams(text_col: str) -> F.Column:
+    """Array of (prev, w) structs over lowercased whitespace tokens."""
+    wt = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(wt)
+    return F.zip_with(
+        F.slice(wt, 1, n - 1),
+        F.slice(wt, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+    )
+
+
+def perplexity_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document self-perplexity under the corpus bigram LM.
+
+    p(w|prev) = (c(prev,w) + k) / (c(prev) + k*V) with V = |vocab|;
+    nll = mean(-ln p) over the doc's bigrams, ppl = exp(nll). Documents
+    with < 1 bigram score NULL (too short to rate).
+    Returns (id, n_bigrams, nll, ppl), nll/ppl rounded to 6 dp.
+    """
+    bg = docs.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("bg")
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+
+    c2 = bg.groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("prev").agg(F.count("*").alias("c1"))
+    v = bg.select(F.countDistinct("w").alias("v"))
+
+    scored = (
+        bg.join(c2, ["prev", "w"])          # every observed bigram is in the LM
+        .join(c1, ["prev"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col,
+            (-F.log((F.col("c2") + k) / (F.col("c1") + k * F.col("v")))).alias("nll1"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll1"), 6).alias("nll"),
+        F.round(F.exp(F.avg("nll1")), 6).alias("ppl"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail terciles by ascending perplexity (head =
+    most fluent third). ``scores`` injects an external LM's
+    (id, ppl) — e.g. real KenLM — into the same bucketing."""
+    s = scores if scores is not None else perplexity_scores(docs, id_col, text_col, k)
+    w = Window.orderBy(F.col("ppl"), F.col(id_col))
+    tile = F.ntile(3).over(w)
+    return s.select(
+        id_col, "ppl",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
+        ).alias("bucket"),
+    )

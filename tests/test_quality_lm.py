@@ -1,0 +1,88 @@
+"""Bigram-LM self-perplexity (operators/quality_lm.py): in-test DuckDB
+parity for the smoothed scores (the sampling-test pattern — no driver
+registry slot needed), ordering sanity (repetitive text beats token
+soup), and the CCNet tercile bucketing."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extraction_service_spark.operators.quality_lm import (
+    perplexity_buckets,
+    perplexity_scores,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_duckdb_parity_on_driver_corpus(spark):
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"], r["ppl"])
+        for r in perplexity_scores(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            """
+            WITH wt AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, w[i] AS prev, w[i + 1] AS tok
+                FROM wt, unnest(range(1, len(w))) AS t(i)
+            ), c2 AS (
+                SELECT prev, tok, count(*) AS c2 FROM bg GROUP BY prev, tok
+            ), c1 AS (
+                SELECT prev, count(*) AS c1 FROM bg GROUP BY prev
+            ), v AS (SELECT count(DISTINCT tok) AS v FROM bg)
+            SELECT bg.doc_id, count(*) AS n_bigrams,
+                   round(avg(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS nll,
+                   round(exp(avg(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)))), 6) AS ppl
+            FROM bg JOIN c2 USING (prev, tok) JOIN c1 USING (prev) CROSS JOIN v
+            GROUP BY bg.doc_id
+            """
+        ).fetchall()
+    }
+    assert len(got) == len(want) > 0
+    mismatches = {
+        d: (got[d], want[d])
+        for d in got
+        if got[d][0] != want[d][0]
+        or abs(got[d][1] - want[d][1]) > 1e-6
+        or abs(got[d][2] - want[d][2]) > 1e-4
+    }
+    assert not mismatches, list(mismatches.items())[:3]
+
+
+def test_ordering_and_buckets(spark):
+    """A repetitive (predictable) doc must out-rank unique token soup,
+    and the terciles split 9 docs into 3/3/3 deterministically."""
+    rows = [(i, "s", "alpha beta " * 30) for i in range(3)]           # fluent
+    rows += [(i + 3, "s", " ".join(f"w{i}x{j}" for j in range(60))) for i in range(3)]  # soup
+    rows += [(i + 6, "s", "alpha beta gamma delta " * 15) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    b = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(docs).collect()}
+    assert len(b) == 9 and sorted(b.values()).count("head") == 3
+    # the pure-repetition docs are the most predictable -> head
+    assert all(b[i] == "head" for i in range(3))
+    # unique soup is the least predictable -> tail
+    assert all(b[i + 3] == "tail" for i in range(3))
+    # determinism across runs
+    b2 = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(docs).collect()}
+    assert b == b2
+
+
+def test_short_docs_unrated(spark):
+    docs = spark.createDataFrame(
+        [(1, "s", "single"), (2, "s", ""), (3, "s", "two words")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r["n_bigrams"] for r in perplexity_scores(docs).collect()}
+    assert 1 not in got and 2 not in got   # no bigram -> no row
+    assert got[3] == 1
