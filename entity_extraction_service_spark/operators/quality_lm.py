@@ -25,10 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text_stats import _lower_words
+
 
 def _bigrams(text_col: str) -> F.Column:
-    """Array of (prev, w) structs over lowercased whitespace tokens."""
-    wt = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    """Array of (prev, w) structs over lowercased whitespace tokens —
+    the SHARED tokenizer (functions/text_stats._lower_words), so every
+    quality signal (Gopher rules, stats, this LM) reads one token
+    definition."""
+    wt = _lower_words(F.col(text_col))
     n = F.size(wt)
     return F.zip_with(
         F.slice(wt, 1, n - 1),
@@ -47,7 +52,8 @@ def perplexity_scores(
 
     p(w|prev) = (c(prev,w) + k) / (c(prev) + k*V) with V = |vocab|;
     nll = mean(-ln p) over the doc's bigrams, ppl = exp(nll). Documents
-    with < 1 bigram score NULL (too short to rate).
+    with < 1 bigram produce NO ROW (unrated — ``perplexity_buckets``
+    labels externally-NULL scores 'unrated' for the same reason).
     Returns (id, n_bigrams, nll, ppl), nll/ppl rounded to 6 dp.
     """
     bg = docs.select(
@@ -55,8 +61,11 @@ def perplexity_scores(
     ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
 
     c2 = bg.groupBy("prev", "w").agg(F.count("*").alias("c2"))
-    c1 = bg.groupBy("prev").agg(F.count("*").alias("c1"))
-    v = bg.select(F.countDistinct("w").alias("v"))
+    # c1 and V derive from the TINY |distinct bigrams| table — never from
+    # a second scan of the corpus (sum of c2 per prev == count per prev;
+    # distinct w of c2 == corpus bigram vocabulary)
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v = c2.select(F.countDistinct("w").alias("v"))
 
     scored = (
         bg.join(c2, ["prev", "w"])          # every observed bigram is in the LM
@@ -85,11 +94,20 @@ def perplexity_buckets(
     most fluent third). ``scores`` injects an external LM's
     (id, ppl) — e.g. real KenLM — into the same bucketing."""
     s = scores if scores is not None else perplexity_scores(docs, id_col, text_col, k)
+    # NULL ppl (external scorer couldn't rate the doc) must NEVER land in
+    # 'head' — Spark's ascending sort is NULLS FIRST, so tiling the raw
+    # column would crown the unscorable docs most fluent. Rate only the
+    # scored rows; the rest are labeled explicitly.
+    rated = s.where(F.col("ppl").isNotNull())
     w = Window.orderBy(F.col("ppl"), F.col(id_col))
     tile = F.ntile(3).over(w)
-    return s.select(
+    buckets = rated.select(
         id_col, "ppl",
         F.element_at(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
         ).alias("bucket"),
     )
+    unrated = s.where(F.col("ppl").isNull()).select(
+        id_col, "ppl", F.lit("unrated").alias("bucket")
+    )
+    return buckets.unionByName(unrated)

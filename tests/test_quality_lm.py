@@ -86,3 +86,17 @@ def test_short_docs_unrated(spark):
     got = {r["doc_id"]: r["n_bigrams"] for r in perplexity_scores(docs).collect()}
     assert 1 not in got and 2 not in got   # no bigram -> no row
     assert got[3] == 1
+
+
+def test_external_null_scores_never_head(spark):
+    """Round-4 review fix: the external-scores seam (real KenLM) may
+    carry NULL ppl for unscorable docs — they must come back 'unrated',
+    never 'head' (Spark's NULLS FIRST ascending sort would otherwise
+    crown them most fluent)."""
+    s = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 15.0), (4, None)],
+        "doc_id long, ppl double",
+    )
+    got = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(None, scores=s).collect()}
+    assert got[4] == "unrated"
+    assert got[1] == "head" and got[3] == "tail"
