@@ -617,3 +617,32 @@ def stratified_sample(
         10,
     ).cast("bigint")
     return docs.where(bucket < (rate_col * F.lit(float(1 << 32))).cast("bigint"))
+
+
+def temperature_mixture_rates(
+    counts: dict[str, int], tau: float = 0.7, cap: float = 1.0
+) -> dict[str, float]:
+    """Temperature-reweighted domain mixture -> per-stratum KEEP RATES for
+    ``stratified_sample`` (the multilingual-LM / data-mix recipe: sample
+    domain i with probability proportional to its share to the power
+    ``tau``; tau=1 keeps natural proportions, tau->0 uniform — upweights
+    small domains, downweights dominant ones).
+
+    Driver-side pure arithmetic on the tiny per-domain count dict (get it
+    from ``docs.groupBy(strata_col).count()``). Rates are scaled so the
+    LARGEST implied rate equals ``cap`` (never oversample past 1.0 — this
+    is a filter, not a replicator): rate_i = cap * (q_i / n_i) /
+    max_j(q_j / n_j) with q_i ∝ n_i^tau. Deterministic, so the composed
+    ``stratified_sample(docs, temperature_mixture_rates(...))`` stays
+    content-addressed and incrementally stable end to end.
+    """
+    if not counts:
+        return {}
+    if tau < 0:
+        raise ValueError(f"temperature_mixture_rates: tau must be >= 0, got {tau}")
+    total = sum(counts.values())
+    q = {k: (n / total) ** tau for k, n in counts.items() if n > 0}
+    qs = sum(q.values())
+    per_doc = {k: (q[k] / qs) / counts[k] for k in q}   # target share / supply
+    peak = max(per_doc.values())
+    return {k: round(cap * per_doc[k] / peak, 9) for k in per_doc}

@@ -75,3 +75,46 @@ def test_plan_is_one_scan_no_shuffle(spark):
     )
     assert "Exchange" not in plan, "sampling must not shuffle"
     assert "EvalPython" not in plan, "sampling must stay JVM-side"
+
+
+def test_temperature_mixture_rates_math():
+    """tau=1 keeps natural proportions (all rates equal -> cap); tau=0 is
+    uniform target shares (small domains keep everything, big ones
+    downsample by their size ratio); intermediate tau lands between."""
+    from entity_extraction_service_spark.operators.dedup_corpus import (
+        temperature_mixture_rates,
+    )
+
+    counts = {"web": 900, "code": 90, "books": 10}
+    r1 = temperature_mixture_rates(counts, tau=1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in r1.values())
+    r0 = temperature_mixture_rates(counts, tau=0.0)
+    assert abs(r0["books"] - 1.0) < 1e-9
+    assert abs(r0["code"] - 10 / 90) < 1e-9
+    assert abs(r0["web"] - 10 / 900) < 1e-9
+    r7 = temperature_mixture_rates(counts, tau=0.7)
+    assert r0["web"] < r7["web"] < r1["web"]
+    import pytest
+
+    with pytest.raises(ValueError, match="tau"):
+        temperature_mixture_rates(counts, tau=-1)
+
+
+def test_temperature_mixture_composed_with_sampler(spark):
+    """End to end: tau=0 on a skewed corpus roughly equalizes the kept
+    per-domain counts, and the composition stays deterministic."""
+    from entity_extraction_service_spark.operators.dedup_corpus import (
+        stratified_sample,
+        temperature_mixture_rates,
+    )
+
+    rows = [(i, "web" if i < 2000 else "code", f"doc {i}") for i in range(2200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    counts = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    rates = temperature_mixture_rates(counts, tau=0.0)
+    kept = stratified_sample(docs, rates)
+    by = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert by["code"] == 200                      # small domain fully kept
+    assert abs(by["web"] - 200) < 60              # big domain ~equalized
+    kept2 = stratified_sample(docs, rates)
+    assert kept.exceptAll(kept2).isEmpty() and kept2.exceptAll(kept).isEmpty()
