@@ -412,10 +412,18 @@ def q_l9_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis suite in ONE document scan: token counts
     (len//4 heuristic + whitespace), md5 fingerprint, quality composite,
-    and heuristic language ID. (r2 ran these as four separate driver
-    entries — doc_fingerprint/doc_quality/doc_lang_id/token_stats; merged
-    so each text-stat function stays oracle-checked at a quarter of the
-    scan cost and the registry stays within the harness budget.)"""
+    and heuristic language ID, plus (round 5) the CCNet bigram-LM
+    perplexity family (operators/quality_lm.py; Wenzek et al. 2020):
+    per-doc n_bigrams / nll / ppl under the corpus-trained add-k bigram
+    LM and the head/middle/tail tercile bucket. The LM shares the
+    tokenizer (functions/text_stats._lower_words) with every other
+    quality signal, and scores are computed ONCE and reused for the
+    buckets (no second corpus scan). Docs with <1 bigram come back with
+    NULL scores and lm_bucket='unrated'. (r2 ran the stats as four
+    separate driver entries — doc_fingerprint/doc_quality/doc_lang_id/
+    token_stats; merged so each text-stat function stays oracle-checked
+    at a quarter of the scan cost and the registry stays within the
+    harness budget.)"""
     from entity_extraction_service_spark.functions.text_stats import (
         alpha_word_ratio,
         dup_unigram_ratio,
@@ -429,8 +437,13 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws_token_count,
     )
 
+    from entity_extraction_service_spark.operators.quality_lm import (
+        perplexity_buckets,
+        perplexity_scores,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    stats = d.select(
         "doc_id",
         token_count_heuristic(F.col("text")).alias("n_tokens_heuristic"),
         ws_token_count(F.col("text")).alias("n_ws_tokens"),
@@ -444,6 +457,15 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbol_word_ratio(F.col("text")).alias("symbol_word_ratio"),
         dup_unigram_ratio(F.col("text")).alias("dup_unigram_ratio"),
         gopher_pass(F.col("text")).alias("gopher_pass"),
+    )
+    lm = perplexity_scores(d)
+    lm_b = perplexity_buckets(None, scores=lm).select(
+        "doc_id", F.col("bucket").alias("lm_bucket")
+    )
+    return (
+        stats.join(lm, "doc_id", "left")
+        .join(lm_b, "doc_id", "left")
+        .withColumn("lm_bucket", F.coalesce(F.col("lm_bucket"), F.lit("unrated")))
     )
 
 
@@ -2175,6 +2197,31 @@ def oracle_sql() -> dict[str, str]:
                        len(wt) AS n_words
                 FROM gw
             )
+            -- round-5 family: CCNet bigram-LM self-perplexity + terciles
+            -- (operators/quality_lm.py; same tokenizer as gw above).
+            -- add-k smoothing k=0.5; c1/V derive from the c2 table, as in
+            -- perplexity_scores.
+            , bg AS (
+                SELECT doc_id, wt[i] AS prev, wt[i + 1] AS tok
+                FROM gw, unnest(range(1, len(wt))) AS t(i)
+            ), c2 AS (
+                SELECT prev, tok, count(*) AS c2 FROM bg GROUP BY prev, tok
+            ), c1 AS (
+                SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev
+            ), vv AS (SELECT count(DISTINCT tok) AS v FROM c2
+            ), lm AS (
+                SELECT bg.doc_id, count(*) AS n_bigrams,
+                       round(avg(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vv.v))), 6) AS nll,
+                       round(exp(avg(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vv.v)))), 6) AS ppl
+                FROM bg JOIN c2 USING (prev, tok) JOIN c1 USING (prev) CROSS JOIN vv
+                GROUP BY bg.doc_id
+            ), lmb AS (
+                SELECT doc_id,
+                       CASE ntile(3) OVER (ORDER BY ppl, doc_id)
+                            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                            ELSE 'tail' END AS lm_bucket
+                FROM lm
+            )
             SELECT tok.doc_id, tok.n_tokens_heuristic, tok.n_ws_tokens, tok.fp,
                    q.quality, l.lang_pred,
                    g.mean_word_len, g.alpha_word_ratio, g.symbol_word_ratio,
@@ -2183,11 +2230,15 @@ def oracle_sql() -> dict[str, str]:
                     AND g.mean_word_len BETWEEN 3.0 AND 10.0
                     AND g.alpha_word_ratio >= 0.8
                     AND g.symbol_word_ratio <= 0.1
-                    AND g.stop_hits >= 2) AS gopher_pass
+                    AND g.stop_hits >= 2) AS gopher_pass,
+                   lm.n_bigrams, lm.nll, lm.ppl,
+                   coalesce(lmb.lm_bucket, 'unrated') AS lm_bucket
             FROM tok
             JOIN q ON q.doc_id = tok.doc_id
             JOIN l ON l.doc_id = tok.doc_id
             JOIN g ON g.doc_id = tok.doc_id
+            LEFT JOIN lm ON lm.doc_id = tok.doc_id
+            LEFT JOIN lmb ON lmb.doc_id = tok.doc_id
         """,
         "l7_antecedents": """
             WITH b AS (

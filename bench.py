@@ -78,6 +78,46 @@ def host_probe(n_procs: int = 8, per_proc: int = 4_000_000) -> dict:
     }
 
 
+# Probe gate (VERDICT r4 item 1): a pre-probe below these floors means the
+# host window is degraded (steal/frequency), and any timings captured in it
+# would enshrine drift — not code — as the round's record (it happened to
+# BENCH_r03 AND BENCH_r04).  Healthy readings on this box are ~13 Mops
+# single-core and eff_x8 >= 0.9 (see BENCH.md probe history).
+PROBE_MIN_EFF = float(os.environ.get("SPARK_GRAFT_PROBE_MIN_EFF", "0.85"))
+PROBE_MIN_MOPS = float(os.environ.get("SPARK_GRAFT_PROBE_MIN_MOPS", "11.0"))
+PROBE_MAX_TRIES = int(os.environ.get("SPARK_GRAFT_PROBE_MAX_TRIES", "6"))
+PROBE_RETRY_SLEEP = float(os.environ.get("SPARK_GRAFT_PROBE_RETRY_SLEEP", "45"))
+
+
+def _probe_ok(p: dict) -> bool:
+    return p.get("eff_x8", 0.0) >= PROBE_MIN_EFF and p.get("single_mops", 0.0) >= PROBE_MIN_MOPS
+
+
+def gated_probe() -> tuple[dict, list]:
+    """Retry host_probe until the window is clean or attempts run out.
+
+    Returns (final_probe, all_probes_tried).  If every attempt reads
+    degraded, the LAST probe is used and the JSON still carries the full
+    attempt list — the artifact then self-documents that no clean window
+    was available, instead of silently recording a drifted one.
+    """
+    tried = []
+    for attempt in range(PROBE_MAX_TRIES):
+        p = host_probe()
+        tried.append(p)
+        if _probe_ok(p):
+            return p, tried
+        if attempt < PROBE_MAX_TRIES - 1:
+            print(
+                f"# probe-gate: degraded window {p} (floor eff>={PROBE_MIN_EFF}, "
+                f"mops>={PROBE_MIN_MOPS}); sleeping {PROBE_RETRY_SLEEP}s "
+                f"({attempt + 1}/{PROBE_MAX_TRIES})",
+                file=sys.stderr,
+            )
+            time.sleep(PROBE_RETRY_SLEEP)
+    return tried[-1], tried
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -88,7 +128,7 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    probe_pre = host_probe()
+    probe_pre, probes_tried = gated_probe()
 
     cfg = DEFAULT_CONFIG
     spark = build_session(
@@ -244,6 +284,15 @@ def main() -> None:
         # across BENCH_r{N}.json files before reading timing deltas as code
         "host_probe_pre": probe_pre,
         "host_probe_post": probe_post,
+        # probe-gate evidence (VERDICT r4 item 1): every pre-probe attempted
+        # before the timed suite started; len > 1 means degraded windows were
+        # seen and waited out rather than recorded
+        "host_probes_attempted": probes_tried,
+        "probe_gate": {
+            "min_eff_x8": PROBE_MIN_EFF,
+            "min_single_mops": PROBE_MIN_MOPS,
+            "passed": _probe_ok(probe_pre),
+        },
     }
     print(json.dumps(out))
     spark.stop()
