@@ -412,6 +412,18 @@ def semantic_dedup(
     from .checkpoint import materialize_df
 
     if n_planes is None:
+        # round-5 advisory: this count is a FULL ACTION at what looks
+        # like lazy plan-construction time (it executes the corpus'
+        # entire lineage for derived inputs) — warn so call sites that
+        # compose plans without executing them see why a job just fired;
+        # pass n_planes explicitly to stay lazy
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "semantic_dedup: n_planes=None derives the plane count from "
+            "corpus.count() — running a full Spark action NOW; pass "
+            "n_planes explicitly to keep plan construction lazy"
+        )
         n = corpus.count()
         # ceil(log2(n/256)): 2^k buckets targeting ~256 rows each; the
         # max(6, ...) floor also absorbs n < 256 (negative log2)

@@ -201,8 +201,17 @@ class DepParser:
                 _attach(toks[j], v, "aux")
                 j -= 1
             w = v.text.lower()
-            is_past = w in self.past_forms or (
-                w not in self.verb_forms and w.endswith("ed")
+            is_past = (
+                w in self.past_forms
+                or (w not in self.verb_forms and w.endswith("ed"))
+                # zero-derivation irregulars (set/put/cut/read, and
+                # lemma-equal participles like "run"): past_forms' f!=lemma
+                # derivation can't see them, so a be-auxiliary immediately
+                # licensing any table verb that is not the -ing gerund or
+                # the 3sg -s inflection reads as passive even when the
+                # surface equals the lemma — growing the verb table with
+                # such verbs can never silently invert actor/patient
+                or (saw_be and w in self.verb_forms and not w.endswith(("ing", "s")))
             )
             passive = saw_be and is_past
             subj_dep = "nsubjpass" if passive else "nsubj"

@@ -37,23 +37,50 @@ def interval_overlap_join(
     s_col: str = "s",
     e_col: str = "e",
     bin_width: float = 5.0,
+    max_fanout: int = 4096,
 ) -> DataFrame:
     """Self-join: all pairs (id_a < id_b) within the same ``key_cols``
     whose [s, e) intervals overlap (``a.s < b.e AND a.e > b.s``) —
     byte-identical to the naive residual-predicate join (the d5 driver
     oracle hashes this operator against the naive SQL), but keyed on
     (key, bin) so hot keys shard across their value range.
+
+    ``max_fanout`` bounds the per-interval bin explosion: a row whose
+    span covers more than ``max_fanout`` bins (span/width way above the
+    operator's design point, i.e. corrupt data or a mis-sized
+    ``bin_width``) fails the job LOUDLY with a row-identifying message,
+    instead of silently exploding span/width+1 rows — or hard-erroring
+    deep inside ``F.sequence`` past Spark's array-length cap with no
+    hint which input row did it.
     """
     w = float(bin_width)
     if w <= 0:
         raise ValueError(f"interval_overlap_join: bin_width must be > 0, got {w}")
+    if max_fanout <= 0:
+        raise ValueError(f"interval_overlap_join: max_fanout must be > 0, got {max_fanout}")
+    lo = F.floor(F.col(s_col) / w).cast("long")
+    hi = F.floor(F.col(e_col) / w).cast("long")
+    # the guard lives INSIDE the exploded expression (a pruned side
+    # column would be optimized away before it ever evaluated)
     binned = intervals.withColumn(
         "_bin",
         F.explode(
-            F.sequence(
-                F.floor(F.col(s_col) / w).cast("long"),
-                F.floor(F.col(e_col) / w).cast("long"),
-            )
+            F.when(
+                hi - lo >= F.lit(int(max_fanout)),
+                F.raise_error(
+                    F.concat(
+                        F.lit("interval_overlap_join: bin fan-out "),
+                        (hi - lo + 1).cast("string"),
+                        F.lit(f" exceeds max_fanout={int(max_fanout)} for {id_col}="),
+                        F.col(id_col).cast("string"),
+                        F.lit(f" [{s_col}="),
+                        F.col(s_col).cast("string"),
+                        F.lit(f", {e_col}="),
+                        F.col(e_col).cast("string"),
+                        F.lit(f") at bin_width={w}; raise bin_width or max_fanout"),
+                    )
+                ),
+            ).otherwise(F.sequence(lo, hi))
         ),
     )
     a, b = binned.alias("a"), binned.alias("b")

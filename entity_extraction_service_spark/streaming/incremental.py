@@ -505,13 +505,21 @@ def streaming_asof(
     visible to the left row iff inclusive, and among co-timed right rows
     the max-``seq_col`` one wins — the batch kernel's exact tiebreak.
 
-    Strict-mode (``inclusive=False``) caveat: the O(1) state keeps only
-    the LATEST right row, so when a co-timed right row arrives in an
-    EARLIER micro-batch than its left row, the older right row the batch
-    join would fall back to has already been discarded — the operator
-    then emits a conservative NULL match, never a wrong one (the
-    visibility check below). Full strict parity holds whenever no
-    co-timed (left, right) pair straddles a micro-batch boundary.
+    Strict-mode (``inclusive=False``) caveat (round-5 advisory: scoped
+    to the FULL behavior, not just the co-timed case): the O(1) state
+    keeps only the LATEST right row, so ANY right row that is older than
+    the retained state when it arrives in a later micro-batch — whether
+    it is co-timed with a pending left row or simply an out-of-event-
+    time straggler — is rejected by the state update and can never
+    answer a subsequent left probe the batch join would have matched
+    (the batch kernel keeps the whole ordered history; strict mode needs
+    the PREVIOUS right row whenever the latest one is hidden by the
+    strict tiebreak). The operator then emits a conservative NULL match,
+    never a wrong one (the visibility check below). Full strict parity
+    therefore holds when per-key right-side arrival respects event-time
+    order AND no co-timed (left, right) pair straddles a micro-batch
+    boundary; a bounded buffer of recent right rows (keyed by the source
+    watermark) would close the gap at the cost of O(buffer) state.
     """
     right_rank, left_rank = (0, 1) if inclusive else (1, 0)
     out_schema = T.StructType(

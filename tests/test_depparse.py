@@ -51,6 +51,27 @@ def test_passive_tree_shape():
     assert toks["Rivera"].dep == "pobj" and toks["Rivera"].head is toks["by"]
 
 
+def test_zero_derivation_irregular_passive():
+    """Round-5 advisory fix: a grown verb table containing a
+    zero-derivation irregular past (surface == lemma, e.g. "set") must
+    still parse "was set by X" as PASSIVE — the structural f != lemma
+    past-form derivation can't see such forms, so the be-auxiliary cue
+    carries them. Progressives ("is setting") stay active."""
+    grown = dict(DEP_VERB_FORMS)
+    grown.update({"set": ("set", 0.8), "sets": ("set", 0.8), "setting": ("set", 0.8)})
+    p = DepParser(grown)
+    toks = {t.text: t for t in p.parse("The flag was set by auth-service.")[0]}
+    assert toks["flag"].dep == "nsubjpass"
+    assert toks["by"].dep == "agent"
+    toks = {t.text: t for t in p.parse("auth-service is setting the flag.")[0]}
+    assert toks["auth-service"].dep == "nsubj"   # progressive stays active
+    # and the CURRENT table is unchanged by the new cue: bare lemmas are
+    # not table forms, so no existing parse flips
+    p0 = DepParser(DEP_VERB_FORMS)
+    toks = {t.text: t for t in p0.parse("The pipeline was built by Dana.")[0]}
+    assert toks["pipeline"].dep == "nsubjpass"
+
+
 def test_object_relative_tree_shape():
     p = DepParser(DEP_VERB_FORMS)
     sents = p.parse("The error that auth-service closed broke checkout.")

@@ -62,3 +62,23 @@ def test_plan_joins_on_key_and_bin(spark):
         .toString()
     )
     assert "_bin" in plan.split("Join")[1].split("\n")[0], plan
+
+
+def test_fanout_guard_fails_loudly(spark):
+    """Round-5 advisory: a span covering more than max_fanout bins
+    (corrupt data or a mis-sized bin_width) must fail the job with a
+    row-identifying message, not silently explode span/width+1 rows or
+    hard-error inside F.sequence with no culprit named."""
+    import pytest
+
+    iv = spark.createDataFrame(
+        [("u1", 1, 0.0, 5.0), ("u1", 2, 0.0, 1e6)], DDL
+    )
+    with pytest.raises(Exception, match="event_id=2"):
+        interval_overlap_join(iv, ["user_id"], bin_width=5.0, max_fanout=100).collect()
+    # same data passes when the cap accommodates the span
+    ok = interval_overlap_join(iv, ["user_id"], bin_width=5.0, max_fanout=300_000)
+    assert _rows(ok) == _rows(_naive(iv))
+    # invalid cap rejected eagerly
+    with pytest.raises(ValueError):
+        interval_overlap_join(iv, ["user_id"], max_fanout=0)
