@@ -23,6 +23,14 @@ structures that flip or break linear order:
 - object relatives:    "the error that auth-service raised"
 - agentless passives:  "The pipeline was deployed." (no actor -> no triple
                        instead of a wrong one)
+- subject control:     "the team agreed to migrate the db" (round 5:
+                       xcomp — the matrix subject is the embedded verb's
+                       actor; bare infinitives and gerund complements)
+- appositives:         "checkout-service, an Acme Corp tool, crashed"
+                       (round 5: the appositive NP attaches appos to the
+                       NP it renames, so the clause subject is the OUTER
+                       NP — linear order would crown the appositive's
+                       last mention)
 
 tests/test_depparse.py measures the P/R delta on a labeled fixture set
 of exactly these shapes.
@@ -59,6 +67,36 @@ PRONS = {
     "him", "them", "us", "me", "itself", "themselves",
 }
 NEGS = {"not", "never"}
+
+# subject-control matrix verbs (reference analog: spaCy xcomp arcs feed
+# the same BFS path the (dep, lemma) table classifies,
+# relationship_extractor.py:600-630 — "X agreed to acquire Y" matches
+# through the xcomp edge). Deliberately NOT in the triple lemma table:
+# they license structure ("agreed to migrate"), never predicates — the
+# embedded verb carries the relation. Subject control only; object
+# control ("asked Y to deploy") is excluded, so a control subject is
+# always the embedded verb's actor.
+CONTROL_VERBS = {
+    form: lemma
+    for lemma, forms in {
+        "agree": ("agree", "agrees", "agreed", "agreeing"),
+        "plan": ("plan", "plans", "planned", "planning"),
+        "decide": ("decide", "decides", "decided", "deciding"),
+        "want": ("want", "wants", "wanted", "wanting"),
+        "try": ("try", "tries", "tried", "trying"),
+        "attempt": ("attempt", "attempts", "attempted", "attempting"),
+        "start": ("start", "starts", "started", "starting"),
+        "begin": ("begin", "begins", "began", "begun", "beginning"),
+        "continue": ("continue", "continues", "continued", "continuing"),
+        "intend": ("intend", "intends", "intended", "intending"),
+        "offer": ("offer", "offers", "offered", "offering"),
+        "promise": ("promise", "promises", "promised", "promising"),
+        "refuse": ("refuse", "refuses", "refused", "refusing"),
+        "fail": ("fail", "fails", "failed", "failing"),
+    }.items()
+    for form in forms
+}
+CONTROL_LEMMAS = set(CONTROL_VERBS.values())
 
 _TOKEN_RE = re.compile(r"\w+(?:[-'.]\w+)*|[^\w\s]")
 _SENT_BOUND_RE = re.compile(r"[.!?\n]")
@@ -110,6 +148,10 @@ class DepParser:
             if f.endswith("ed")
             or (f != lemma and not f.endswith(("s", "ing")))
         }
+        # bare lemmas license the to-infinitive reading after a control
+        # verb ("agreed to migrate") — they are not inflected table FORMS,
+        # so they need their own lookup set
+        self.lemma_set = {lemma for lemma, _c in verb_forms.values()}
 
     # -- tagging ------------------------------------------------------------
 
@@ -122,6 +164,11 @@ class DepParser:
             tok.lemma = self.verb_forms[w][0]
         elif w in AUX_BE or w in AUX_OTHER:
             tok.pos = "AUX"
+        elif w in CONTROL_VERBS and (prev is None or prev.pos not in ("DET", "ADP")):
+            # control matrix verb — unless a determiner/preposition marks
+            # the noun reading ("the plan", "their attempts", "on offer")
+            tok.pos = "VERB"
+            tok.lemma = CONTROL_VERBS[w]
         elif w in REL_PRONS and prev is not None and prev.pos in ("NOUN", "PRON"):
             # "that" heading a relative clause follows a noun; sentence-
             # initial or post-verb "that" stays DET
@@ -187,17 +234,52 @@ class DepParser:
             for k in range(a, b + 1):
                 run_head[k] = head
 
+        # appositives (round 5): NP1 , (DET|ADV)+ NP2 [PP] [,] — the
+        # appositive renames NP1, so NP2 attaches appos and can never be
+        # picked as the clause subject ("checkout-service, an Acme Corp
+        # tool, uses redis" — the subject is checkout-service; linear
+        # order would crown the appositive's LAST mention). The
+        # determiner gate keeps plain lists ("redis, kafka, postgres")
+        # as coordination, and the internal PP ("a subsidiary OF X")
+        # attaches inside the appositive so its object is off the
+        # subject path too.
+        for (a1, b1), (a2, b2) in zip(runs, runs[1:]):
+            between = toks[b1 + 1 : a2]
+            if not between or between[0].text != ",":
+                continue
+            rest = between[1:]
+            if not rest or not all(x.pos in ("DET", "ADV") for x in rest):
+                continue
+            np1, np2 = toks[b1], toks[b2]
+            if np2.head is not None or np1.pos == "PRON":
+                continue
+            k = b2 + 1
+            if k < len(toks) and toks[k].pos not in ("ADP", "PUNCT"):
+                continue                         # appositives close with , or PP
+            _attach(np2, np1, "appos")
+            if k < len(toks) and toks[k].pos == "ADP" and toks[k].head is None:
+                _attach(toks[k], np2, "prep")
+                k2 = k + 1
+                while k2 < len(toks) and toks[k2].pos in ("DET", "ADV"):
+                    k2 += 1
+                if k2 < len(toks) and k2 in run_head and run_head[k2].head is None:
+                    _attach(run_head[k2], toks[k], "pobj")
+
         verbs = [t for t in toks if t.pos == "VERB"]
         root: Tok | None = None
         relcl: set[int] = set()
 
         for v in verbs:
-            # auxiliaries / negation / adverbs immediately left of the verb
+            # auxiliaries / negation / adverbs / infinitival 'to'
+            # immediately left of the verb
             j = v.i - 1
             saw_be = False
-            while j >= 0 and toks[j].pos in ("AUX", "NEG", "ADV"):
+            saw_part = False
+            while j >= 0 and toks[j].pos in ("AUX", "NEG", "ADV", "PART"):
                 if toks[j].text.lower() in AUX_BE:
                     saw_be = True
+                if toks[j].pos == "PART":
+                    saw_part = True
                 _attach(toks[j], v, "aux")
                 j -= 1
             w = v.text.lower()
@@ -216,17 +298,34 @@ class DepParser:
             passive = saw_be and is_past
             subj_dep = "nsubjpass" if passive else "nsubj"
 
+            # subject control (round 5): CONTROL [to] V — the embedded
+            # verb attaches xcomp to the matrix control verb and takes NO
+            # subject of its own (the matrix subject is its actor, via
+            # grammatical_role's xcomp rule). Covers the to-infinitive
+            # ("agreed to migrate") and the gerund complement ("started
+            # migrating"); the matrix verb never carries a table lemma,
+            # so the path classifier always predicates on the EMBEDDED
+            # verb.
+            inner_subj: Tok | None = None
+            is_xcomp = (
+                j >= 0
+                and toks[j].pos == "VERB"
+                and toks[j].lemma in CONTROL_LEMMAS
+                and (saw_part or w.endswith("ing"))
+            )
+            if is_xcomp:
+                _attach(v, toks[j], "xcomp")
+
             # relative clause: NP_mod RELPRON [DET] [NP_inner] aux* VERB
             k = j
-            inner_subj: Tok | None = None
-            if k >= 0 and k in run_head:
+            if not is_xcomp and k >= 0 and k in run_head:
                 inner_subj = run_head[k]
                 k = run_a[inner_subj.i] - 1
                 # the inner subject may carry its own determiner/adverbs
                 # ("the error that THE auth-service closed")
                 while k >= 0 and toks[k].pos in ("DET", "ADV"):
                     k -= 1
-            if k >= 0 and toks[k].pos == "RELPRON":
+            if not is_xcomp and k >= 0 and toks[k].pos == "RELPRON":
                 mod = next(
                     (toks[b] for a, b in reversed(runs) if b < k), None
                 )                                       # NP the clause modifies
@@ -241,7 +340,7 @@ class DepParser:
                     _attach(inner_subj, v, subj_dep)
                 # subject relative ("the service that crashed"): no inner
                 # NP; the modified NP is the subject via the relcl edge
-            else:
+            elif not is_xcomp:
                 # plain clause: subject = RIGHTMOST still-unattached NP head
                 # left of the verb. Attached ones are skipped, which walks
                 # THROUGH relative clauses to the NP they modify ("the
@@ -317,7 +416,8 @@ class DepParser:
                     continue
                 j += 1
 
-            if v.i not in relcl:
+            if v.i not in relcl and v.head is None:
+                # xcomp verbs already hang off their matrix verb
                 if root is None:
                     root = v
                 else:
@@ -351,6 +451,30 @@ class DepParser:
                 self._tag(t, prev)
                 if t.pos != "PUNCT":
                     prev = t
+            # to-infinitive retag (round 5, subject control): CONTROL to
+            # BARE-LEMMA — "agreed to migrate the db". Bare lemmas are not
+            # inflected table forms, so without this pass the embedded
+            # verb would tag NOUN and the clause would have no structure.
+            # Gated on the control verb so "listened to close friends"
+            # ('close' is a table lemma) keeps its prepositional reading.
+            for idx in range(len(toks) - 1):
+                t, nxt = toks[idx], toks[idx + 1]
+                if t.pos != "ADP" or t.text.lower() != "to":
+                    continue
+                p = next(
+                    (toks[k] for k in range(idx - 1, -1, -1)
+                     if toks[k].pos != "PUNCT"),
+                    None,
+                )
+                if (
+                    p is not None and p.pos == "VERB"
+                    and p.lemma in CONTROL_LEMMAS
+                    and nxt.pos != "VERB"
+                    and nxt.text.lower() in self.lemma_set
+                ):
+                    t.pos = "PART"
+                    nxt.pos = "VERB"
+                    nxt.lemma = nxt.text.lower()
             self._parse_sentence(toks)
             if toks:
                 sents.append(toks)
@@ -411,9 +535,20 @@ def grammatical_role(head: Tok, verb: Tok) -> str | None:
     - pobj under a plain ``prep``          -> patient
     - NP modified by the verb as a relcl   -> patient if the clause has an
       internal subject (object relative), else actor (subject relative)
+    - nsubj of the MATRIX verb of an xcomp -> actor (subject control:
+      "X agreed to migrate Y" — X acts through the embedded verb; the
+      appositive edge, by contrast, deliberately STOPS the walk, so an
+      entity inside "Y, an Acme tool," never inherits Y's role)
     """
     t = head
     for _ in range(8):                    # bounded: compounds chains are short
+        if (
+            verb.dep == "xcomp"
+            and verb.head is not None
+            and t.head is verb.head
+            and t.dep == "nsubj"
+        ):
+            return "actor"
         if verb.head is t and verb.dep == "relcl":
             has_inner_subj = any(
                 c.dep in ("nsubj", "nsubjpass") for c in verb.children

@@ -82,6 +82,76 @@ def test_object_relative_tree_shape():
     assert toks["checkout"].head is not toks["closed"]
 
 
+def test_xcomp_tree_shape():
+    """Round 5: subject control — the embedded verb hangs xcomp off the
+    matrix control verb, 'to' is its aux, and the matrix subject is the
+    embedded verb's actor."""
+    p = DepParser(DEP_VERB_FORMS)
+    toks = {t.text: t for t in p.parse("The team agreed to migrate the database.")[0]}
+    assert toks["migrate"].pos == "VERB" and toks["migrate"].lemma == "migrate"
+    assert toks["migrate"].dep == "xcomp" and toks["migrate"].head is toks["agreed"]
+    assert toks["to"].dep == "aux" and toks["to"].head is toks["migrate"]
+    assert toks["team"].dep == "nsubj" and toks["team"].head is toks["agreed"]
+    assert toks["database"].dep == "dobj" and toks["database"].head is toks["migrate"]
+    from entity_extraction_service_spark.operators.depparse import grammatical_role
+
+    assert grammatical_role(toks["team"], toks["migrate"]) == "actor"
+    assert grammatical_role(toks["database"], toks["migrate"]) == "patient"
+
+
+def test_gerund_complement_tree_shape():
+    p = DepParser(DEP_VERB_FORMS)
+    toks = {t.text: t for t in p.parse("Dana Rivera started using Terraform.")[0]}
+    assert toks["using"].dep == "xcomp" and toks["using"].head is toks["started"]
+    assert toks["Rivera"].dep == "nsubj" and toks["Rivera"].head is toks["started"]
+    assert grammatical_role(toks["Rivera"], toks["using"]) == "actor"
+
+
+def test_control_noun_reading_guarded():
+    """'the plan'/'their attempts' stay NOUN (determiner-gated), so
+    control-verb homographs never split NP runs."""
+    p = DepParser(DEP_VERB_FORMS)
+    toks = {t.text: t for t in p.parse("The plan uses redis.")[0]}
+    assert toks["plan"].pos == "NOUN" and toks["plan"].dep == "nsubj"
+
+
+def test_appositive_tree_shape():
+    """Round 5: ', DET ... NP ,' attaches appos to the NP it renames —
+    the clause subject is the OUTER NP, and an entity inside the
+    appositive (or its internal PP) never inherits a role."""
+    p = DepParser(DEP_VERB_FORMS)
+    toks = {
+        t.text: t
+        for t in p.parse("checkout-service, an Acme Corporation tool, uses redis.")[0]
+    }
+    assert toks["tool"].dep == "appos" and toks["tool"].head is toks["checkout-service"]
+    assert toks["checkout-service"].dep == "nsubj"
+    assert grammatical_role(toks["checkout-service"], toks["uses"]) == "actor"
+    assert grammatical_role(toks["Corporation"], toks["uses"]) is None
+    # internal PP: the pobj is off the subject path too
+    toks = {
+        t.text: t
+        for t in p.parse(
+            "billing-service, a tool of Acme Corporation, was closed by payments-service."
+        )[0]
+    }
+    assert toks["tool"].dep == "appos"
+    assert toks["of"].dep == "prep" and toks["of"].head is toks["tool"]
+    assert toks["Corporation"].dep == "pobj"
+    assert toks["billing-service"].dep == "nsubjpass"
+    assert grammatical_role(toks["payments-service"], toks["closed"]) == "actor"
+    assert grammatical_role(toks["Corporation"], toks["closed"]) is None
+
+
+def test_plain_list_is_not_appositive():
+    """No determiner after the comma -> coordination, exactly as before."""
+    p = DepParser(DEP_VERB_FORMS)
+    toks = {t.text: t for t in p.parse("The stack uses redis, kafka, and postgres.")[0]}
+    assert toks["redis"].dep == "dobj"
+    assert toks["kafka"].dep == "conj" and toks["kafka"].head is toks["redis"]
+    assert toks["postgres"].dep == "conj"
+
+
 def test_bfs_path_matches_reference_semantics():
     p = DepParser(DEP_VERB_FORMS)
     sents = p.parse("Bob was mentioned by Alice.")
@@ -133,6 +203,44 @@ FIXTURE = [
             ("ERROR_CODE", "E504", 42, 46, "e504"),
         ],
         set(),  # agentless passive: no actor, no triple
+    ),
+    (
+        # round 5: subject control through a to-infinitive — the bare
+        # lemma is not an inflected table form, so the shallow regex
+        # never sees a verb here (recall delta)
+        "Alice Kim agreed to mention Bob Li.",
+        [("PERSON", "Alice Kim", 0, 9, "alice"), ("PERSON", "Bob Li", 28, 34, "bob")],
+        {("alice", "mentions", "bob")},
+    ),
+    (
+        # round 5: gerund complement — both paths see 'using', parity
+        "Dana Rivera started using Terraform.",
+        [
+            ("PERSON", "Dana Rivera", 0, 11, "dana"),
+            ("TOOL", "Terraform", 26, 35, "terraform"),
+        ],
+        {("dana", "uses_tool", "terraform")},
+    ),
+    (
+        # round 5: appositive between subject and verb — linear order
+        # crowns the appositive's mention as subject (precision delta)
+        "checkout-service, an Acme Corporation tool, uses redis.",
+        [
+            ("SERVICE", "checkout-service", 0, 16, "checkout"),
+            ("ORG", "Acme Corporation", 21, 37, "acme"),
+            ("TOOL", "redis", 49, 54, "redis"),
+        ],
+        {("checkout", "uses_tool", "redis")},
+    ),
+    (
+        # round 5: appositive with internal PP + passive by-agent
+        "billing-service, a tool of Acme Corporation, was closed by payments-service.",
+        [
+            ("SERVICE", "billing-service", 0, 15, "billing"),
+            ("ORG", "Acme Corporation", 27, 43, "acme"),
+            ("SERVICE", "payments-service", 59, 75, "pay"),
+        ],
+        {("pay", "depends_on", "billing")},
     ),
     (
         "The model that Maria Santos trained was published by Acme Corporation.",
