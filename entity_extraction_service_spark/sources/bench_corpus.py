@@ -51,3 +51,34 @@ def synthesize_rich_documents(
     return ids.select(
         "doc_id", F.lit("bench").alias("source"), text.alias("text")
     )
+
+
+def synthesize_rich_embeddings(
+    spark: SparkSession,
+    n_vecs: int = 5_000,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, embedding[dim] float): component i of vec v is md5-hash
+    noise in [-1, 1). Vecs are paired (2k, 2k+1) like the rich documents:
+    the odd vec reuses the even vec's seed except at every 8th component,
+    planting one near-duplicate pair (cosine ~0.85-0.9) per even id —
+    so semantic-dedup growth runs measure the operator at a controlled,
+    scale-proportional true-pair rate. Pure column arithmetic, no RNG
+    state, identical on any partitioning; scale by raising ``n_vecs``."""
+    ids = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    pair_base = (F.floor(F.col("vec_id") / 2) * 2).cast("long")
+
+    def comp(i: F.Column) -> F.Column:
+        own = (F.col("vec_id") % 2 == 1) & (i % 8 == 0)
+        seed_vec = F.when(own, F.col("vec_id")).otherwise(pair_base)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", seed_vec.cast("string"), i.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        return ((F.pmod(h, F.lit(2000)).cast("double") / 1000.0) - 1.0).cast("float")
+
+    emb = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+    return ids.select("vec_id", emb.alias("embedding"))

@@ -1,0 +1,137 @@
+"""Scale-realism growth bench (VERDICT r4 item 3): measure, don't argue.
+
+Every corpus-dedup / quality operator's near-linearity claim was
+design-argued (bucketed joins, broadcast verifies, no all-pairs paths);
+this script MEASURES it: run each operator on the deterministic
+rich-vocab corpus at N and 10N docs (same planted near-dup rate, so true
+work scales with rows) and report
+
+    growth = wall(10N) / wall(N)          (linear == 10)
+    growth_vs_linear = growth / 10        (<= ~1.3 is the pass bar)
+
+Host probes (bench.host_probe — the shared scaling_bench kernel) run
+before and after so a drifted window is self-evident in the artifact,
+and the pre-probe is GATED like bench.py's.
+
+Usage: python scripts/growth_bench.py [N] [mult]   (default 5000 10)
+Prints one JSON line; BENCH.md carries the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import bench  # probe gate + probe kernel shared with the official bench
+
+    from entity_extraction_service_spark.config import DEFAULT_CONFIG
+    from entity_extraction_service_spark.operators.ann import semantic_dedup
+    from entity_extraction_service_spark.operators.dedup_corpus import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+    from entity_extraction_service_spark.operators.quality_lm import (
+        perplexity_buckets,
+    )
+    from entity_extraction_service_spark.session import build_session
+    from entity_extraction_service_spark.sources.bench_corpus import (
+        synthesize_rich_documents,
+        synthesize_rich_embeddings,
+    )
+
+    probe_pre, probes_tried = bench.gated_probe()
+
+    spark = build_session(
+        app_name="growth-bench",
+        master=f"local[{cpus}]",
+        config=DEFAULT_CONFIG,
+        extra={"spark.sql.shuffle.partitions": str(max(cpus, 16))},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # same untimed warmup as bench.py: fork every Python worker once
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda v: v, "long")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.range(10_000).repartition(n_parts).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    import math
+
+    def auto_planes(n: int) -> int:
+        # semantic_dedup's own n_planes=None formula, computed here so the
+        # timed run never pays (or warns about) the implicit count job
+        return max(6, math.ceil(math.log2(max(n, 1) / 256)))
+
+    OPS = {
+        "minhash_lsh_rich_fast": lambda docs, emb, n: minhash_near_duplicates(
+            docs, threshold=0.8, n_hashes=16, n_bands=4, portable=False
+        ),
+        "ngram_lsh_rich_fast": lambda docs, emb, n: minhash_near_duplicates(
+            docs, threshold=0.5, n_hashes=16, n_bands=8, portable=False, ngram=3
+        ),
+        "simhash_near_dups": lambda docs, emb, n: simhash_near_duplicates(docs),
+        "quality_lm": lambda docs, emb, n: perplexity_buckets(docs),
+        "semantic_dedup": lambda docs, emb, n: semantic_dedup(
+            emb, n_planes=auto_planes(n)
+        ),
+    }
+
+    # untimed per-operator warm pass at a token scale: the smoke run
+    # showed the FIRST execution of an operator absorbing seconds of
+    # one-time cost (checkpoint-seam dirs, codegen, broadcast infra)
+    # that would corrupt the base-scale wall
+    w_docs = synthesize_rich_documents(spark, n_docs=200).localCheckpoint(eager=True)
+    w_emb = synthesize_rich_embeddings(spark, n_vecs=200).localCheckpoint(eager=True)
+    for fn in OPS.values():
+        _materialize(fn(w_docs, w_emb, 200))
+
+    results: dict[str, dict] = {name: {} for name in OPS}
+    for scale_name, n in (("base", n_base), (f"x{mult}", n_base * mult)):
+        docs = synthesize_rich_documents(spark, n_docs=n).localCheckpoint(eager=True)
+        emb = synthesize_rich_embeddings(spark, n_vecs=n).localCheckpoint(eager=True)
+        for name, fn in OPS.items():
+            t0 = time.perf_counter()
+            _materialize(fn(docs, emb, n))
+            results[name][scale_name] = round(time.perf_counter() - t0, 3)
+
+    probe_post = bench.host_probe()
+    xkey = f"x{mult}"
+    for name, r in results.items():
+        growth = r[xkey] / r["base"] if r["base"] > 0 else None
+        r["growth"] = round(growth, 2) if growth else None
+        r["growth_vs_linear"] = round(growth / mult, 3) if growth else None
+
+    out = {
+        "metric": "corpus_operator_growth",
+        "n_base": n_base,
+        "mult": mult,
+        "cpus": cpus,
+        "operators": results,
+        "host_probe_pre": probe_pre,
+        "host_probe_post": probe_post,
+        "host_probes_attempted": probes_tried,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
