@@ -523,6 +523,16 @@ def pq_topk(
     the hardest case, all cosine margins tiny: recall@3 reads 0.47 at
     (8,16), 0.93 at (16,32), 0.97 at (16,32, shortlist 16x). Vectors are
     unit-normalized before coding (cosine == monotone L2 on the sphere).
+
+    Round-5 second-shape sweep (clustered corpus, 20 centroids + noise,
+    tests/test_ann_recall.py): cluster members quantize to nearly the
+    same codes, so ADC cannot rank WITHIN a cluster — recall@3 at a
+    narrow shortlist sits at the quantization floor (0.43 at
+    (16,32,x4)) and is recovered by either exposed lever: codeword
+    capacity (ksub 64: 0.83) or a shortlist covering the cluster size
+    (x16: 0.97). Tuning guidance: size ``shortlist_mult * k`` to the
+    expected near-duplicate cluster size, or raise ``ksub`` when
+    queries must resolve intra-cluster neighbors.
     """
     train = np.array(
         [
