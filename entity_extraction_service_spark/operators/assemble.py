@@ -167,7 +167,9 @@ def chunk_turns(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG)
 
 
 def route_chunk_turns(
-    transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    semantic_for_large: bool = False,
 ) -> DataFrame:
     """R2-CONSUMING chunker: the strategy column picks the chunk
     granularity, and SKIP_* conversations never reach extraction.
@@ -177,13 +179,29 @@ def route_chunk_turns(
       the strategy's whole point for tiny documents)
     - THREE_WAVE / FOUR_WAVE: standard K-turn chunks
     - THREE_WAVE_CHUNKED: half-K chunks (bounded prompt size for LARGE
-      conversations, smart_chunker's >50K-char trigger analog)
+      conversations, smart_chunker's >50K-char trigger analog) — or,
+      with ``semantic_for_large`` (round 5), topic-shift boundaries via
+      chunk_turns_semantic: LARGE conversations are exactly where
+      semantic grouping pays (smaller documents fit one prompt anyway),
+      mirroring the reference router's semantic-chunker dispatch for
+      big documents. Off by default; turn-aligned corpora are served
+      by turn-count chunking either way (extraction is chunk-invariant,
+      tested).
 
     Turn-local extraction semantics are chunk-size invariant, so routing
     only changes prompt composition and task granularity, never the
     mention set (tested)."""
     routed = with_routing(transcripts, config)
     kept = routed.where(~F.col("strategy").startswith("SKIP_"))
+    if semantic_for_large:
+        large = kept.where(F.col("strategy") == "THREE_WAVE_CHUNKED")
+        rest = kept.where(F.col("strategy") != "THREE_WAVE_CHUNKED")
+        sem = chunk_turns_semantic(
+            large.select(*transcripts.columns), config
+        )
+        return route_chunk_turns(
+            rest.select(*transcripts.columns), config, semantic_for_large=False
+        ).unionByName(sem)
     k = config.turns_per_chunk
     chunked_k: F.Column | int = max(k // 2, 1)
     if config.use_complexity_sizing:
@@ -307,4 +325,80 @@ def dedup_chunks(chunks: DataFrame) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_content_key", "_rn")
+    )
+
+
+def chunk_turns_semantic(
+    transcripts: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    sim_threshold: float = 0.15,
+    budget_chars: int = 4096,
+) -> DataFrame:
+    """Semantic-boundary chunker (reference semantic_chunker.py analog,
+    round 5 — the C1 strategy for NON-turn-aligned prose, where turn
+    boundaries aren't natural topic units).
+
+    The reference cuts where sentence-to-sentence similarity drops below
+    0.3 over spaCy vectors (semantic_chunker.py:152-170 topic-shift
+    rule), layered over heuristic pattern boundaries. No model ships in
+    this sandbox, so the deterministic featurizer is the shared
+    bag-of-words tokenizer (functions/text_stats._lower_words — the same
+    token definition every quality signal reads): a boundary opens
+    BEFORE turn t when the lexical Jaccard overlap with the previous
+    turn drops below ``sim_threshold`` — vocabulary turnover IS the
+    topic shift a hash-free deterministic signal can see, and a real
+    encoder drops into the same column seam. A ``budget_chars`` guard
+    re-cuts inside topic-coherent spans so one coherent 10^4-turn
+    conversation can never become a single unbounded prompt (the
+    reference's max_chunk_size backstop).
+
+    Scale shape: every window below partitions on conv_id only (one
+    exchange, shared with with_global_offsets' window; the extra
+    orderings are sort-only) and carries O(1) running state per row —
+    no per-document sequential scan, no driver loop. Same output
+    contract as chunk_turns / chunk_turns_budget: (conv_id, chunk_idx,
+    turns sorted by turn_idx), turns never split, so turn-local
+    extraction is chunk-invariant (tested) exactly like every other C1
+    strategy.
+    """
+    from ..functions.text_stats import _lower_words
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    toks = F.array_remove(F.array_distinct(_lower_words(F.col("text"))), "")
+    d = with_global_offsets(transcripts).withColumn("_toks", toks)
+    d = d.withColumn("_prev", F.lag("_toks").over(w))
+    inter = F.size(F.array_intersect(F.col("_toks"), F.col("_prev")))
+    union = F.size(F.array_union(F.col("_toks"), F.col("_prev")))
+    sim = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    # boundary BEFORE this turn: previous turn exists and overlap dropped
+    d = d.withColumn(
+        "_bnd",
+        (F.col("_prev").isNotNull() & (sim < F.lit(float(sim_threshold)))).cast("int"),
+    )
+    d = d.withColumn("_sem", F.sum("_bnd").over(wrun))
+    # budget guard: running offset of the CURRENT semantic span's first
+    # turn (max-over-prefix of boundary-row offsets — O(1) state, no
+    # second partitioning key), sub-chunk = chars into the span / budget
+    span_start = F.max(
+        F.when(
+            (F.col("_bnd") == 1) | F.col("_prev").isNull(), F.col("turn_offset")
+        )
+    ).over(wrun)
+    d = d.withColumn(
+        "_sub",
+        F.floor((F.col("turn_offset") - span_start) / F.lit(int(budget_chars))),
+    )
+    d = d.withColumn(
+        "chunk_idx",
+        (F.dense_rank().over(w.orderBy("_sem", "_sub")) - 1).cast("int"),
+    )
+    return (
+        d.groupBy("conv_id", "chunk_idx")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("turn_idx", "role", "text", "turn_offset"))
+            ).alias("turns")
+        )
     )

@@ -138,3 +138,112 @@ def test_dedup_chunks_keeps_first_exact_copy(spark):
     kept = dedup_chunks(chunks)
     got = {(r["conv_id"], r["chunk_idx"]) for r in kept.collect()}
     assert got == {("d1", 0), ("d1", 2), ("d2", 0)}
+
+
+def test_semantic_chunker_topic_shift_boundary(spark):
+    """Round 5 (C1 semantic strategy): a vocabulary turnover between
+    adjacent turns opens a chunk boundary; overlapping-vocabulary spans
+    stay together."""
+    from entity_extraction_service_spark.operators.assemble import (
+        chunk_turns_semantic,
+    )
+
+    rows = [
+        ("c1", 0, "the payment gateway retries the payment request"),
+        ("c1", 1, "payment gateway request retries exceeded the limit"),
+        ("c1", 2, "gateway payment retries now succeed after the fix"),
+        ("c1", 3, "kubernetes cluster autoscaler scaled down nodes"),
+        ("c1", 4, "cluster nodes autoscaler kubernetes scaling events"),
+        ("c2", 0, "single topic only"),
+    ]
+    got = {
+        (r["conv_id"], r["chunk_idx"]): [t["turn_idx"] for t in r["turns"]]
+        for r in chunk_turns_semantic(_turns(spark, rows)).collect()
+    }
+    assert got[("c1", 0)] == [0, 1, 2]
+    assert got[("c1", 1)] == [3, 4]
+    assert got[("c2", 0)] == [0]
+
+
+def test_semantic_chunker_budget_guard(spark):
+    """A topic-coherent span still re-cuts at the char budget, so no
+    conversation can become one unbounded prompt."""
+    from entity_extraction_service_spark.operators.assemble import (
+        chunk_turns_semantic,
+    )
+
+    rows = [("c3", i, "same topic words repeat here always " * 3) for i in range(6)]
+    chunks = chunk_turns_semantic(
+        _turns(spark, rows), DEFAULT_CONFIG, budget_chars=250
+    ).collect()
+    assert len(chunks) == 3
+    covered = sorted(t["turn_idx"] for r in chunks for t in r["turns"])
+    assert covered == list(range(6))
+
+
+def test_semantic_chunking_is_extraction_invariant(spark, corpus):
+    """Same invariant as every other C1 strategy: the mention set does
+    not depend on where chunk boundaries fall."""
+    from entity_extraction_service_spark.operators.assemble import (
+        chunk_turns_semantic,
+    )
+    from entity_extraction_service_spark.operators.extract_model import (
+        extract_all_fused,
+    )
+
+    transcripts, _ = corpus
+    sample = transcripts.where(F.crc32("conv_id") % 10 == 0)
+    proj = ["conv_id", "turn_idx", "entity_type", "text", "start", "end"]
+
+    def mentions_of(chunks):
+        rows = extract_all_fused(
+            chunks, None, DEFAULT_CONFIG, gen_triples=False, emit_verbs=False
+        )
+        return {
+            tuple(r[c] for c in proj)
+            for r in rows.where(F.col("kind") == "mention").select(*proj).collect()
+        }
+
+    a = mentions_of(chunk_turns(sample, DEFAULT_CONFIG))
+    b = mentions_of(chunk_turns_semantic(sample, DEFAULT_CONFIG))
+    assert a == b and len(a) > 0
+
+
+def test_routed_semantic_for_large(spark, corpus):
+    """semantic_for_large routes only THREE_WAVE_CHUNKED conversations
+    through the semantic chunker; every kept conversation still appears
+    with full turn coverage, and mentions stay invariant vs the default
+    routing."""
+    from entity_extraction_service_spark.operators.assemble import (
+        route_chunk_turns,
+        with_routing,
+    )
+    from entity_extraction_service_spark.operators.extract_model import (
+        extract_all_fused,
+    )
+
+    transcripts, _ = corpus
+    default = route_chunk_turns(transcripts, DEFAULT_CONFIG)
+    semantic = route_chunk_turns(transcripts, DEFAULT_CONFIG, semantic_for_large=True)
+
+    def turnset(chunks):
+        return {
+            (r["conv_id"], t["turn_idx"])
+            for r in chunks.collect()
+            for t in r["turns"]
+        }
+
+    assert turnset(default) == turnset(semantic)
+
+    proj = ["conv_id", "turn_idx", "entity_type", "text", "start", "end"]
+
+    def mentions_of(chunks):
+        rows = extract_all_fused(
+            chunks, None, DEFAULT_CONFIG, gen_triples=False, emit_verbs=False
+        )
+        return {
+            tuple(r[c] for c in proj)
+            for r in rows.where(F.col("kind") == "mention").select(*proj).collect()
+        }
+
+    assert mentions_of(default) == mentions_of(semantic)
