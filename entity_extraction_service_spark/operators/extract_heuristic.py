@@ -288,18 +288,161 @@ def heuristic_mentions_py(
     return deduped
 
 
+# --- round-5: reference filter/score/overlap policy (VERDICT r4 item 8) ---
+# entity_candidates.py:786-876 — the dispatch semantics applied AFTER the
+# generator pool: validity gate, confidence recalculation, greedy
+# overlap resolution keeping the higher-confidence candidate, and the
+# min_confidence floor (generator default 0.3 at :192). Opt-in
+# (``calibrate=True`` below) so the oracle-checked default pool stays
+# byte-identical; the LRU cache and async handler plumbing are the
+# skipped non-semantic parts.
+
+# the reference's confidence-reducing common-word list (:768-778)
+COMMON_WORDS_LOWER = frozenset(
+    {
+        "the", "and", "or", "but", "in", "on", "at", "to", "for", "of", "with",
+        "by", "from", "up", "about", "into", "through", "during", "before",
+        "after", "above", "below", "between", "among", "under", "over",
+        "this", "that", "these", "those", "such", "some", "any", "all",
+    }
+)
+
+# generators whose candidates may be all-lowercase (:851-855: quoted_text
+# and context_driven are exempt from the lowercase rejection)
+LOWERCASE_OK_GENERATORS = frozenset({"quoted", "context", "context_typed"})
+
+CANDIDATE_MIN_CONFIDENCE = 0.3  # :192 min_confidence default
+
+
+def _has_common_words_py(surface: str) -> bool:
+    """:768-778 — any word of the candidate is in the common-word set."""
+    return bool(set(surface.lower().split()) & COMMON_WORDS_LOWER)
+
+
+def calibrate_candidates_py(
+    cands: list[tuple],
+    text: str,
+    min_confidence: float = CANDIDATE_MIN_CONFIDENCE,
+) -> list[tuple]:
+    """Reference _filter_and_score_candidates (:786-806) over tagged
+    candidate rows [(etype, surface, s, e, conf, gen)]:
+
+    1. validity (:836-856): >=2 chars, special-char ratio <= 0.3,
+       <= 6 words, no all-lowercase candidates except from the
+       quoted/context generators;
+    2. recalculation: proper-noun boost x1.1 (:601-603), common-word
+       penalty x0.9 (:606-608), edge-position damping x0.95 on the outer
+       10% of the text (:862-865), punctuation-boundary boost x1.05
+       (:867-872), capped at 1.0;
+    3. overlap resolution (:807-834): position-sorted greedy pass that
+       keeps the higher-confidence of any overlapping pair (ties keep
+       the earlier candidate, exactly the reference's comparison);
+    4. the ``min_confidence`` floor, then the reference's
+       confidence-descending sort (:804) made fully deterministic with a
+       position tiebreak.
+    """
+    n = len(text)
+    scored: list[tuple] = []
+    for etype, surface, s, e, conf, gen in cands:
+        if len(surface.strip()) < 2:
+            continue
+        special = sum(1 for ch in surface if not ch.isalnum() and ch != " ")
+        if special > len(surface) * 0.3:
+            continue
+        if len(surface.split()) > 6:
+            continue
+        if surface.islower() and gen not in LOWERCASE_OK_GENERATORS:
+            continue
+        c = conf
+        if surface and surface[0].isupper():
+            c *= 1.1
+        if _has_common_words_py(surface):
+            c *= 0.9
+        if n > 0:
+            tp = s / n
+            if tp < 0.1 or tp > 0.9:
+                c *= 0.95
+        before = text[s - 1] if s > 0 else " "
+        after = text[e] if e < n else " "
+        if before in ".,;:" or after in ".,;:":
+            c *= 1.05
+        c = min(1.0, round(c, 6))
+        if c >= min_confidence:
+            scored.append((etype, surface, s, e, c, gen))
+
+    scored.sort(key=lambda r: (r[2], r[3]))
+    filtered: list[tuple] = []
+    for cand in scored:
+        overlaps = False
+        for existing in filtered:
+            if cand[2] < existing[3] and cand[3] > existing[2]:
+                if cand[4] > existing[4]:
+                    filtered.remove(existing)
+                    break                 # reference removes ONE then appends
+                overlaps = True
+                break
+        if not overlaps:
+            filtered.append(cand)
+    filtered.sort(key=lambda r: (-r[4], r[2], r[3], r[0]))
+    return filtered
+
+
+def heuristic_mentions_tagged_py(
+    text: str,
+    generators: tuple[str, ...] = (
+        "capitalized", "quoted", "context", "noun_phrase",
+        "title_person", "parenthetical", "context_typed",
+    ),
+) -> list[tuple]:
+    """The generator pool with provenance: [(etype, surface, s, e, conf,
+    gen)] — the shape ``calibrate_candidates_py`` consumes (the
+    reference's EntityCandidate carries candidate_type for exactly the
+    lowercase-exemption and stats at :33-43). Runs each generator family
+    through the oracle-checked ``heuristic_mentions_py`` so the two
+    entry points can never drift."""
+    out: list[tuple] = []
+    for g in generators:
+        for row in heuristic_mentions_py(text, generators=(g,)):
+            out.append((*row, g))
+    return out
+
+
+def heuristic_mentions_calibrated_py(
+    text: str,
+    generators: tuple[str, ...] = (
+        "capitalized", "quoted", "context", "noun_phrase",
+        "title_person", "parenthetical", "context_typed",
+    ),
+    min_confidence: float = CANDIDATE_MIN_CONFIDENCE,
+) -> list[tuple]:
+    """Generator pool -> reference filter/score/overlap policy ->
+    MENTION-shaped rows [(etype, surface, s, e, conf)] — the full
+    entity_candidates.py dispatch pipeline (:272-321 generate ->
+    :786-806 filter_and_score) minus the cache/handler plumbing."""
+    rows = calibrate_candidates_py(
+        heuristic_mentions_tagged_py(text, generators), text, min_confidence
+    )
+    return [r[:5] for r in rows]
+
+
 def extract_mentions_heuristic(
     chunks: DataFrame,
     config: PipelineConfig = DEFAULT_CONFIG,
     ner_fn: Callable[[str], list[tuple]] | None = None,
+    calibrate: bool = False,
 ) -> DataFrame:
     """Standalone heuristic stream over chunked turns (MENTION_SCHEMA rows,
     method='heuristic'). ``ner_fn`` is the loader seam: inject a real
     model-backed extractor (spaCy et al.) with the same signature and the
-    plumbing — batching, offsets, ids — is unchanged."""
+    plumbing — batching, offsets, ids — is unchanged. ``calibrate``
+    (round 5) routes through the reference's candidate filter/score/
+    overlap policy instead of the raw pool (opt-in: the raw pool is what
+    the e12/e13 driver oracles replay)."""
     from .mentions import MENTION_SCHEMA
 
-    fn = ner_fn or heuristic_mentions_py
+    fn = ner_fn or (
+        heuristic_mentions_calibrated_py if calibrate else heuristic_mentions_py
+    )
     cols = [f.name for f in MENTION_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

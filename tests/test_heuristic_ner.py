@@ -245,3 +245,124 @@ def test_context_keywords_match_whole_words_only():
         "Our vendor Redpanda handles ingestion.", generators=("context_typed",)
     )
     assert ("ORG", "Redpanda") in {(m[0], m[1]) for m in got3}
+
+
+# --- round-5 calibration fixtures (entity_candidates.py:786-876 policy) ---
+
+
+def test_calibration_validity_gate():
+    """:836-856 — length, special-char ratio, word count, and the
+    lowercase rejection with its quoted/context exemption."""
+    from entity_extraction_service_spark.operators.extract_heuristic import (
+        calibrate_candidates_py,
+    )
+
+    text = "x" * 100
+    rows = [
+        ("CONCEPT", "a", 10, 11, 0.9, "capitalized"),            # <2 chars
+        ("CONCEPT", "$$-token-$$", 20, 31, 0.9, "capitalized"),  # >30% special
+        ("CONCEPT", "one two three four five six seven", 40, 73, 0.9, "quoted"),
+        ("CONCEPT", "lowercase phrase", 80, 96, 0.9, "noun_phrase"),
+    ]
+    assert calibrate_candidates_py(rows, text) == []
+    # the same lowercase surface SURVIVES from an exempt generator
+    kept = calibrate_candidates_py(
+        [("CONCEPT", "lowercase phrase", 50, 66, 0.9, "quoted")], text
+    )
+    assert len(kept) == 1
+
+
+def test_calibration_confidence_adjustments():
+    """Hand-computed :601-608 + :858-874 ladder: proper-noun x1.1,
+    common-word x0.9, edge-position x0.95, punctuation boundary x1.05."""
+    from entity_extraction_service_spark.operators.extract_heuristic import (
+        calibrate_candidates_py,
+    )
+
+    text = ("pad " * 10) + "Acme Systems works." + (" pad" * 10)
+    s = text.index("Acme")
+    # mid-text, proper noun, no common words, no adjacent punctuation
+    got = calibrate_candidates_py([("ORG", "Acme Systems", s, s + 12, 0.6, "capitalized")], text)
+    assert got[0][4] == round(0.6 * 1.1, 6)
+    # common word inside the surface: x0.9 on top
+    got = calibrate_candidates_py(
+        [("ORG", "Acme and Sons", s, s + 13, 0.6, "capitalized")], text
+    )
+    assert got[0][4] == round(0.6 * 1.1 * 0.9, 6)
+    # edge position (<10% into the text): x0.95
+    t2 = "Acme Systems ships." + (" pad" * 40)
+    got = calibrate_candidates_py([("ORG", "Acme Systems", 0, 12, 0.6, "capitalized")], t2)
+    assert got[0][4] == round(0.6 * 1.1 * 0.95, 6)
+    # punctuation boundary right after the span: x1.05
+    t3 = ("pad " * 10) + "met Acme Systems, twice" + (" pad" * 10)
+    s3 = t3.index("Acme")
+    got = calibrate_candidates_py([("ORG", "Acme Systems", s3, s3 + 12, 0.6, "capitalized")], t3)
+    assert got[0][4] == round(0.6 * 1.1 * 1.05, 6)
+
+
+def test_calibration_overlap_keeps_higher_confidence():
+    """:807-834 — overlapping candidates resolve to the higher
+    confidence; equal confidence keeps the earlier (the reference's
+    strict > comparison)."""
+    from entity_extraction_service_spark.operators.extract_heuristic import (
+        calibrate_candidates_py,
+    )
+
+    text = ("pad " * 10) + "Dr Maria Santos spoke" + (" pad" * 10)
+    s = text.index("Maria")
+    rows = [
+        ("PERSON", "Maria Santos", s, s + 12, 0.6, "capitalized"),
+        ("PERSON", "Maria Santos", s, s + 12, 0.8, "title_person"),
+    ]
+    got = calibrate_candidates_py(rows, text)
+    assert len(got) == 1 and got[0][4] == round(0.8 * 1.1, 6)
+    # equal confidence -> earlier-position candidate survives
+    rows = [
+        ("PERSON", "Maria Santos", s, s + 12, 0.6, "capitalized"),
+        ("PERSON", "Santos spoke", s + 6, s + 18, 0.6, "capitalized"),
+    ]
+    got = calibrate_candidates_py(rows, text)
+    assert len(got) == 1 and got[0][1] == "Maria Santos"
+
+
+def test_calibrated_pipeline_end_to_end():
+    """The full calibrated entry point: pool -> policy. '(Redis)' keeps
+    its capitalized parenthetical (0.4 x0.8 wc, then x1.1 proper-noun
+    ...), '(redis)' dies on the lowercase rule, and the raw
+    oracle-checked pool is UNCHANGED by all of this."""
+    from entity_extraction_service_spark.operators.extract_heuristic import (
+        heuristic_mentions_calibrated_py,
+        heuristic_mentions_py,
+    )
+
+    text = ("pad " * 10) + "We cache with (Redis) and also (redis) daily" + (" pad" * 10)
+    got = heuristic_mentions_calibrated_py(text, generators=("parenthetical",))
+    assert [g[1] for g in got] == ["Redis"]
+    # raw pool still emits both (dedup/priority is downstream's job there)
+    raw = heuristic_mentions_py(text, generators=("parenthetical",))
+    assert {r[1] for r in raw} == {"Redis", "redis"}
+
+
+def test_calibrated_operator_runs(spark):
+    from entity_extraction_service_spark.sources.transcripts import (
+        synthesize_transcripts,
+    )
+
+    t, _ = synthesize_transcripts(spark, n_convs=6, seed=3, mean_turns=6)
+    chunks = chunk_turns(t, DEFAULT_CONFIG)
+    raw = extract_mentions_heuristic(chunks, DEFAULT_CONFIG)
+    cal = extract_mentions_heuristic(chunks, DEFAULT_CONFIG, calibrate=True)
+    n_raw, n_cal = raw.count(), cal.count()
+    assert n_cal > 0
+    # the policy only ever FILTERS the pool (plus rescoring): calibrated
+    # candidates are a subset of raw spans
+    raw_spans = {
+        (r["conv_id"], r["turn_idx"], r["start"], r["end"])
+        for r in raw.collect()
+    }
+    cal_spans = {
+        (r["conv_id"], r["turn_idx"], r["start"], r["end"])
+        for r in cal.collect()
+    }
+    assert cal_spans <= raw_spans
+    assert n_cal <= n_raw
