@@ -438,7 +438,6 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from entity_extraction_service_spark.operators.quality_lm import (
-        perplexity_buckets,
         perplexity_scores,
     )
 
@@ -458,15 +457,21 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_unigram_ratio(F.col("text")).alias("dup_unigram_ratio"),
         gopher_pass(F.col("text")).alias("gopher_pass"),
     )
-    lm = perplexity_scores(d)
-    lm_b = perplexity_buckets(None, scores=lm).select(
-        "doc_id", F.col("bucket").alias("lm_bucket")
+    # bucket computed on the SINGLE joined result (self-review finding:
+    # joining perplexity_buckets separately put the whole bigram-LM
+    # lineage in the plan twice). Partitioning the ntile window on the
+    # NULL flag keeps unrated docs out of the rated tiling — same
+    # semantics as perplexity_buckets' rated-only window, same
+    # exact-global-sort trade its docstring documents.
+    merged = stats.join(perplexity_scores(d), "doc_id", "left")
+    wb = Window.partitionBy(F.col("ppl").isNull()).orderBy("ppl", "doc_id")
+    bucket = F.when(F.col("ppl").isNull(), F.lit("unrated")).otherwise(
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(wb),
+        )
     )
-    return (
-        stats.join(lm, "doc_id", "left")
-        .join(lm_b, "doc_id", "left")
-        .withColumn("lm_bucket", F.coalesce(F.col("lm_bucket"), F.lit("unrated")))
-    )
+    return merged.withColumn("lm_bucket", bucket)
 
 
 def q_t2_dependency_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

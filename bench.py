@@ -90,7 +90,10 @@ PROBE_RETRY_SLEEP = float(os.environ.get("SPARK_GRAFT_PROBE_RETRY_SLEEP", "45"))
 
 
 def _probe_ok(p: dict) -> bool:
-    return p.get("eff_x8", 0.0) >= PROBE_MIN_EFF and p.get("single_mops", 0.0) >= PROBE_MIN_MOPS
+    # host_probe emits a dynamic eff_x{n_procs} key — match it by prefix
+    # so a non-default fan-out can never make the gate read 0.0 forever
+    eff = next((v for k, v in p.items() if k.startswith("eff_x")), 0.0)
+    return eff >= PROBE_MIN_EFF and p.get("single_mops", 0.0) >= PROBE_MIN_MOPS
 
 
 def gated_probe() -> tuple[dict, list]:

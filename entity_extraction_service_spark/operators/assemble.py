@@ -145,24 +145,33 @@ def with_routing(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
     )
 
 
-def chunk_turns(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Group K consecutive turns into one chunk row.
-
-    Output: (conv_id, chunk_idx, turns: array<struct<turn_idx,role,text,
-    turn_offset>>) with turns sorted by turn_idx — the stable-ordering
-    invariant. One shuffle on (conv_id, chunk_idx); chunk groups are
-    bounded at K turns so no task sees an unbounded group.
-    """
-    k = config.turns_per_chunk
-    with_off = with_global_offsets(transcripts)
+def _collect_chunks(with_idx: DataFrame) -> DataFrame:
+    """Shared chunk-assembly tail of every C1 strategy: rows carrying a
+    ``chunk_idx`` column collapse to (conv_id, chunk_idx, turns:
+    array<struct<turn_idx,role,text,turn_offset>>) with turns sorted by
+    turn_idx — the stable-ordering invariant. ONE place defines the
+    chunk output contract for all four strategies."""
     return (
-        with_off.withColumn("chunk_idx", (F.col("turn_idx") / k).cast("int"))
-        .groupBy("conv_id", "chunk_idx")
+        with_idx.groupBy("conv_id", "chunk_idx")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("turn_idx", "role", "text", "turn_offset"))
             ).alias("turns")
         )
+    )
+
+
+def chunk_turns(transcripts: DataFrame, config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Group K consecutive turns into one chunk row.
+
+    Output: the ``_collect_chunks`` contract. One shuffle on (conv_id,
+    chunk_idx); chunk groups are bounded at K turns so no task sees an
+    unbounded group.
+    """
+    k = config.turns_per_chunk
+    with_off = with_global_offsets(transcripts)
+    return _collect_chunks(
+        with_off.withColumn("chunk_idx", (F.col("turn_idx") / k).cast("int"))
     )
 
 
@@ -194,14 +203,13 @@ def route_chunk_turns(
     routed = with_routing(transcripts, config)
     kept = routed.where(~F.col("strategy").startswith("SKIP_"))
     if semantic_for_large:
+        # the routing columns are computed ONCE and reused by both
+        # branches (self-review finding: recursing through
+        # route_chunk_turns re-ran the with_routing window scans over
+        # the whole non-large remainder)
         large = kept.where(F.col("strategy") == "THREE_WAVE_CHUNKED")
-        rest = kept.where(F.col("strategy") != "THREE_WAVE_CHUNKED")
-        sem = chunk_turns_semantic(
-            large.select(*transcripts.columns), config
-        )
-        return route_chunk_turns(
-            rest.select(*transcripts.columns), config, semantic_for_large=False
-        ).unionByName(sem)
+        sem = chunk_turns_semantic(large.select(*transcripts.columns), config)
+        kept = kept.where(F.col("strategy") != "THREE_WAVE_CHUNKED")
     k = config.turns_per_chunk
     chunked_k: F.Column | int = max(k // 2, 1)
     if config.use_complexity_sizing:
@@ -221,16 +229,10 @@ def route_chunk_turns(
         )
         .otherwise((F.col("turn_idx") / k).cast("int"))
     )
-    with_off = with_global_offsets(kept)
-    return (
-        with_off.withColumn("chunk_idx", chunk_of)
-        .groupBy("conv_id", "chunk_idx")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("turn_idx", "role", "text", "turn_offset"))
-            ).alias("turns")
-        )
+    out = _collect_chunks(
+        with_global_offsets(kept).withColumn("chunk_idx", chunk_of)
     )
+    return out.unionByName(sem) if semantic_for_large else out
 
 
 def assemble_documents(transcripts: DataFrame) -> DataFrame:
@@ -275,15 +277,9 @@ def chunk_turns_budget(
     sequential scan), so each chunk's content is <= budget + one turn.
     """
     with_off = with_global_offsets(transcripts)
-    return (
+    return _collect_chunks(
         with_off.withColumn(
             "chunk_idx", (F.col("turn_offset") / budget_chars).cast("int")
-        )
-        .groupBy("conv_id", "chunk_idx")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("turn_idx", "role", "text", "turn_offset"))
-            ).alias("turns")
         )
     )
 
@@ -366,7 +362,14 @@ def chunk_turns_semantic(
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
 
-    toks = F.array_remove(F.array_distinct(_lower_words(F.col("text"))), "")
+    # coalesce like every other chunker: a NULL text must yield an EMPTY
+    # token array, not a NULL one — a NULL _toks makes the NEXT turn's
+    # lag NULL, which resets the budget span-start without opening a
+    # boundary and scrambles chunk membership (self-review finding,
+    # regression-tested)
+    toks = F.array_remove(
+        F.array_distinct(_lower_words(F.coalesce(F.col("text"), F.lit("")))), ""
+    )
     d = with_global_offsets(transcripts).withColumn("_toks", toks)
     d = d.withColumn("_prev", F.lag("_toks").over(w))
     inter = F.size(F.array_intersect(F.col("_toks"), F.col("_prev")))
@@ -394,11 +397,4 @@ def chunk_turns_semantic(
         "chunk_idx",
         (F.dense_rank().over(w.orderBy("_sem", "_sub")) - 1).cast("int"),
     )
-    return (
-        d.groupBy("conv_id", "chunk_idx")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("turn_idx", "role", "text", "turn_offset"))
-            ).alias("turns")
-        )
-    )
+    return _collect_chunks(d)

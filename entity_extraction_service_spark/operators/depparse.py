@@ -164,11 +164,10 @@ class DepParser:
             tok.lemma = self.verb_forms[w][0]
         elif w in AUX_BE or w in AUX_OTHER:
             tok.pos = "AUX"
-        elif w in CONTROL_VERBS and (prev is None or prev.pos not in ("DET", "ADP")):
-            # control matrix verb — unless a determiner/preposition marks
-            # the noun reading ("the plan", "their attempts", "on offer")
-            tok.pos = "VERB"
-            tok.lemma = CONTROL_VERBS[w]
+            # control-verb homographs are retagged LATER (parse()'s frame
+            # pass) only when an infinitive/gerund complement actually
+            # follows — tagging on the homograph alone stole NP heads
+            # ("the backup plans used Terraform" must keep 'plans' a noun)
         elif w in REL_PRONS and prev is not None and prev.pos in ("NOUN", "PRON"):
             # "that" heading a relative clause follows a noun; sentence-
             # initial or post-verb "that" stays DET
@@ -367,6 +366,22 @@ class DepParser:
                         ):
                             break
                         if toks[b].head is not None:
+                            # an appositive NP is TRANSPARENT here: in
+                            # "Alice Kim, an engineer, and Bob Li
+                            # mentioned ..." the conjunct is the NP the
+                            # appositive renames, so the walk redirects
+                            # to its appos parent and keeps going
+                            # (self-review finding: breaking here lost
+                            # the first conjunct's actor role)
+                            parent = toks[b].head
+                            if (
+                                toks[b].dep == "appos"
+                                and parent.head is None
+                                and parent is not subj
+                            ):
+                                _attach(parent, subj, "conj")
+                                lo = run_a[parent.i]
+                                continue
                             break
                         _attach(toks[b], subj, "conj")
                         lo = run_a[b]
@@ -451,30 +466,53 @@ class DepParser:
                 self._tag(t, prev)
                 if t.pos != "PUNCT":
                     prev = t
-            # to-infinitive retag (round 5, subject control): CONTROL to
-            # BARE-LEMMA — "agreed to migrate the db". Bare lemmas are not
-            # inflected table forms, so without this pass the embedded
-            # verb would tag NOUN and the clause would have no structure.
-            # Gated on the control verb so "listened to close friends"
-            # ('close' is a table lemma) keeps its prepositional reading.
+            # control-verb retag (round 5, subject control), FRAME-GATED:
+            # a control homograph becomes a VERB only when its licensed
+            # complement frame actually follows — "to <bare-lemma>"
+            # ("agreed to migrate") or a table gerund ("started
+            # migrating"). Tagging on the homograph alone (round-5 first
+            # cut) stole NP heads: "the backup plans USED Terraform"
+            # tagged 'plans' VERB and the real verb lost its subject
+            # (self-review finding, regression-tested). The DET/ADP guard
+            # keeps noun-with-infinitive readings ("the plan to migrate")
+            # nominal. Bare lemmas are not inflected table forms, so the
+            # embedded infinitive is retagged VERB here too; "listened to
+            # close friends" ('close' is a table lemma) keeps its
+            # prepositional reading because 'listen' is not a control
+            # lemma.
             for idx in range(len(toks) - 1):
-                t, nxt = toks[idx], toks[idx + 1]
-                if t.pos != "ADP" or t.text.lower() != "to":
+                t = toks[idx]
+                w = t.text.lower()
+                # NOUN = the untagged homograph; VERB covers forms the
+                # morphological rule already caught ("was TRYING to
+                # migrate") whose control lemma still needs setting
+                if w not in CONTROL_VERBS or t.pos not in ("NOUN", "VERB"):
                     continue
                 p = next(
                     (toks[k] for k in range(idx - 1, -1, -1)
                      if toks[k].pos != "PUNCT"),
                     None,
                 )
-                if (
-                    p is not None and p.pos == "VERB"
-                    and p.lemma in CONTROL_LEMMAS
-                    and nxt.pos != "VERB"
-                    and nxt.text.lower() in self.lemma_set
-                ):
-                    t.pos = "PART"
-                    nxt.pos = "VERB"
-                    nxt.lemma = nxt.text.lower()
+                if p is not None and p.pos in ("DET", "ADP"):
+                    continue
+                nxt = toks[idx + 1]
+                to_inf = (
+                    nxt.text.lower() == "to"
+                    and idx + 2 < len(toks)
+                    and toks[idx + 2].pos != "VERB"
+                    and toks[idx + 2].text.lower() in self.lemma_set
+                )
+                gerund = nxt.pos == "VERB" and nxt.text.lower().endswith("ing")
+                if to_inf:
+                    t.pos = "VERB"
+                    t.lemma = CONTROL_VERBS[w]
+                    nxt.pos = "PART"
+                    emb = toks[idx + 2]
+                    emb.pos = "VERB"
+                    emb.lemma = emb.text.lower()
+                elif gerund:
+                    t.pos = "VERB"
+                    t.lemma = CONTROL_VERBS[w]
             self._parse_sentence(toks)
             if toks:
                 sents.append(toks)

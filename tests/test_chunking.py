@@ -181,6 +181,33 @@ def test_semantic_chunker_budget_guard(spark):
     assert covered == list(range(6))
 
 
+def test_semantic_chunker_null_text_turns(spark):
+    """Self-review regression: a NULL-text turn must not scramble chunk
+    membership (a NULL token array made the next turn's lag NULL, which
+    reset the budget span-start without opening a boundary). Chunks must
+    stay contiguous."""
+    from entity_extraction_service_spark.operators.assemble import (
+        chunk_turns_semantic,
+    )
+
+    rows = [
+        ("c1", i, "user", None if i == 5 else "same topic words repeat here always " * 2)
+        for i in range(10)
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    chunks = chunk_turns_semantic(t, DEFAULT_CONFIG, budget_chars=250).collect()
+    groups = sorted(
+        [sorted(x["turn_idx"] for x in r["turns"]) for r in chunks]
+    )
+    covered = sorted(i for g in groups for i in g)
+    assert covered == list(range(10))
+    # every chunk is a CONTIGUOUS turn range
+    for g in groups:
+        assert g == list(range(g[0], g[-1] + 1)), groups
+
+
 def test_semantic_chunking_is_extraction_invariant(spark, corpus):
     """Same invariant as every other C1 strategy: the mention set does
     not depend on where chunk boundaries fall."""

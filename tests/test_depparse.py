@@ -115,6 +115,42 @@ def test_control_noun_reading_guarded():
     assert toks["plan"].pos == "NOUN" and toks["plan"].dep == "nsubj"
 
 
+def test_control_homograph_in_compound_np_stays_noun():
+    """Self-review regression: a control homograph heading a compound NP
+    with NO complement frame ('the backup plans USED Terraform') must
+    stay a noun — the frame gate (to-infinitive or table gerund) is what
+    licenses the verb reading, not the homograph alone."""
+    p = DepParser(DEP_VERB_FORMS)
+    toks = {t.text: t for t in p.parse("The backup plans used Terraform.")[0]}
+    assert toks["plans"].pos == "NOUN"
+    assert toks["plans"].dep == "nsubj" and toks["plans"].head is toks["used"]
+    assert toks["Terraform"].dep == "dobj"
+    # and the morphological-rule path still gets its control lemma:
+    # "was trying to migrate" -> trying carries lemma 'try', xcomp works
+    toks = {t.text: t for t in p.parse("The team was trying to migrate the db.")[0]}
+    assert toks["trying"].lemma == "try"
+    assert toks["migrate"].dep == "xcomp" and toks["migrate"].head is toks["trying"]
+    assert grammatical_role(toks["team"], toks["migrate"]) == "actor"
+
+
+def test_appositive_transparent_to_conjunct_walk():
+    """Self-review regression: 'Alice Kim, an engineer, and Bob Li
+    mentioned Acme Corporation.' — the conj walk must redirect through
+    the appositive to the NP it renames, so the FIRST conjunct keeps its
+    actor role."""
+    p = DepParser(DEP_VERB_FORMS)
+    toks = {
+        t.text: t
+        for t in p.parse("Alice Kim, an engineer, and Bob Li mentioned Acme Corporation.")[0]
+    }
+    assert toks["engineer"].dep == "appos" and toks["engineer"].head is toks["Kim"]
+    assert toks["Li"].dep == "nsubj"
+    assert toks["Kim"].dep == "conj" and toks["Kim"].head is toks["Li"]
+    assert grammatical_role(toks["Kim"], toks["mentioned"]) == "actor"
+    assert grammatical_role(toks["Li"], toks["mentioned"]) == "actor"
+    assert grammatical_role(toks["engineer"], toks["mentioned"]) is None
+
+
 def test_appositive_tree_shape():
     """Round 5: ', DET ... NP ,' attaches appos to the NP it renames —
     the clause subject is the OUTER NP, and an entity inside the
