@@ -31,6 +31,11 @@ structures that flip or break linear order:
                        NP it renames, so the clause subject is the OUTER
                        NP — linear order would crown the appositive's
                        last mention)
+- that-clauses (ccomp): "Maria said that auth-service closed E7"
+                       (round 5: the complementizer tags MARK so the
+                       embedded clause parses as a plain clause — its
+                       triple is extracted, and the REPORTER gets no
+                       role in it)
 
 tests/test_depparse.py measures the P/R delta on a labeled fixture set
 of exactly these shapes.
@@ -97,6 +102,31 @@ CONTROL_VERBS = {
     for form in forms
 }
 CONTROL_LEMMAS = set(CONTROL_VERBS.values())
+
+# report verbs licensing a that-clause complement (ccomp — the last
+# reference-implied path shape from relationship_extractor.py:600-630's
+# generic (dep, lemma) matcher over real spaCy trees): "Maria SAID THAT
+# auth-service closed E7". Not in the triple lemma table — the embedded
+# verb carries the relation; the report verb only shapes the tree so the
+# embedded clause parses as a plain clause instead of a mangled
+# relative. Frame-gated like CONTROL_VERBS: the verb reading needs the
+# literal "that" right after it, and a DET/ADP before the homograph
+# keeps the noun reading ("the report that the service closed ..." is
+# an object relative, not a ccomp).
+REPORT_VERBS = {
+    form: lemma
+    for lemma, forms in {
+        "say": ("say", "says", "said", "saying"),
+        "report": ("report", "reports", "reported", "reporting"),
+        "claim": ("claim", "claims", "claimed", "claiming"),
+        "state": ("state", "states", "stated", "stating"),
+        "confirm": ("confirm", "confirms", "confirmed", "confirming"),
+        "note": ("note", "notes", "noted", "noting"),
+        "explain": ("explain", "explains", "explained", "explaining"),
+        "announce": ("announce", "announces", "announced", "announcing"),
+    }.items()
+    for form in forms
+}
 
 _TOKEN_RE = re.compile(r"\w+(?:[-'.]\w+)*|[^\w\s]")
 _SENT_BOUND_RE = re.compile(r"[.!?\n]")
@@ -398,7 +428,10 @@ class DepParser:
             first_obj: Tok | None = None
             while j < len(toks):
                 t = toks[j]
-                if t.pos in ("VERB", "RELPRON"):
+                # MARK (ccomp 'that') opens the embedded clause's
+                # territory: the report verb must not reach past it and
+                # steal the embedded subject as its dobj
+                if t.pos in ("VERB", "RELPRON", "MARK"):
                     break
                 if t.pos in ("ADV", "NEG", "DET", "CCONJ", "PUNCT"):
                     if t.head is None:
@@ -513,6 +546,29 @@ class DepParser:
                 elif gerund:
                     t.pos = "VERB"
                     t.lemma = CONTROL_VERBS[w]
+            # report-verb retag (round 5, ccomp): REPORT "that" CLAUSE —
+            # same frame-gate discipline as control verbs. The "that"
+            # becomes MARK (complementizer), so the relcl machinery never
+            # sees it and the embedded clause parses as a plain clause:
+            # "Maria said that auth-service closed E7" yields
+            # (auth-service, closed, E7) and — deliberately — NO role for
+            # Maria relative to 'closed' (she reported it, didn't do it).
+            for idx in range(len(toks) - 1):
+                t = toks[idx]
+                w = t.text.lower()
+                if w not in REPORT_VERBS or t.pos not in ("NOUN", "VERB"):
+                    continue
+                p = next(
+                    (toks[k] for k in range(idx - 1, -1, -1)
+                     if toks[k].pos != "PUNCT"),
+                    None,
+                )
+                if p is not None and p.pos in ("DET", "ADP"):
+                    continue
+                if toks[idx + 1].text.lower() == "that":
+                    t.pos = "VERB"
+                    t.lemma = REPORT_VERBS[w]
+                    toks[idx + 1].pos = "MARK"
             self._parse_sentence(toks)
             if toks:
                 sents.append(toks)

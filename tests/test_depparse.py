@@ -179,6 +179,33 @@ def test_appositive_tree_shape():
     assert grammatical_role(toks["Corporation"], toks["closed"]) is None
 
 
+def test_ccomp_tree_shape():
+    """Round 5: a that-clause after a report verb parses as a plain
+    embedded clause — the complementizer is MARK, the report verb takes
+    no object past it, and the reporter holds no role in the embedded
+    relation."""
+    p = DepParser(DEP_VERB_FORMS)
+    toks = {
+        t.text: t
+        for t in p.parse("Maria Santos said that auth-service closed the ticket.")[0]
+    }
+    assert toks["said"].pos == "VERB" and toks["that"].pos == "MARK"
+    assert toks["Santos"].dep == "nsubj" and toks["Santos"].head is toks["said"]
+    assert toks["auth-service"].dep == "nsubj"
+    assert toks["auth-service"].head is toks["closed"]
+    assert toks["ticket"].dep == "dobj" and toks["ticket"].head is toks["closed"]
+    assert grammatical_role(toks["auth-service"], toks["closed"]) == "actor"
+    assert grammatical_role(toks["Santos"], toks["closed"]) is None
+    # the noun reading survives the frame gate: "the report that the
+    # service closed X" is still an object relative
+    toks = {
+        t.text: t
+        for t in p.parse("The report that auth-service closed broke checkout-service.")[0]
+    }
+    assert toks["report"].pos == "NOUN"
+    assert toks["closed"].dep == "relcl" and toks["closed"].head is toks["report"]
+
+
 def test_plain_list_is_not_appositive():
     """No determiner after the comma -> coordination, exactly as before."""
     p = DepParser(DEP_VERB_FORMS)
@@ -277,6 +304,17 @@ FIXTURE = [
             ("SERVICE", "payments-service", 59, 75, "pay"),
         ],
         {("pay", "depends_on", "billing")},
+    ),
+    (
+        # round 5: ccomp — the embedded clause's triple is extracted and
+        # the reporter gets NO role in it (no false maria triple)
+        "Maria Santos said that Dana Rivera uses Terraform.",
+        [
+            ("PERSON", "Maria Santos", 0, 12, "maria"),
+            ("PERSON", "Dana Rivera", 23, 34, "dana"),
+            ("TOOL", "Terraform", 40, 49, "terraform"),
+        ],
+        {("dana", "uses_tool", "terraform")},
     ),
     (
         "The model that Maria Santos trained was published by Acme Corporation.",
