@@ -98,6 +98,11 @@ CONTROL_VERBS = {
         "promise": ("promise", "promises", "promised", "promising"),
         "refuse": ("refuse", "refuses", "refused", "refusing"),
         "fail": ("fail", "fails", "failed", "failing"),
+        # subject-RAISING verbs ride the same xcomp machinery ("E7 seems
+        # to depend on redis" — the raised subject is the embedded
+        # verb's actor, exactly the subject-control geometry)
+        "seem": ("seem", "seems", "seemed", "seeming"),
+        "appear": ("appear", "appears", "appeared", "appearing"),
     }.items()
     for form in forms
 }

@@ -107,6 +107,17 @@ def test_gerund_complement_tree_shape():
     assert grammatical_role(toks["Rivera"], toks["using"]) == "actor"
 
 
+def test_raising_verb_xcomp():
+    """'seems to' / 'appears to' raise the subject into the embedded
+    clause via the same xcomp geometry as subject control."""
+    p = DepParser(DEP_VERB_FORMS)
+    toks = {t.text: t for t in p.parse("checkout-service seems to depend on redis.")[0]}
+    assert toks["depend"].dep == "xcomp" and toks["depend"].head is toks["seems"]
+    assert toks["checkout-service"].dep == "nsubj"
+    assert grammatical_role(toks["checkout-service"], toks["depend"]) == "actor"
+    assert grammatical_role(toks["redis"], toks["depend"]) == "patient"
+
+
 def test_control_noun_reading_guarded():
     """'the plan'/'their attempts' stay NOUN (determiner-gated), so
     control-verb homographs never split NP runs."""
