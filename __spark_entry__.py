@@ -424,39 +424,16 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     token_stats; merged so each text-stat function stays oracle-checked
     at a quarter of the scan cost and the registry stays within the
     harness budget.)"""
-    from entity_extraction_service_spark.functions.text_stats import (
-        alpha_word_ratio,
-        dup_unigram_ratio,
-        fingerprint,
-        gopher_pass,
-        lang_id,
-        mean_word_length,
-        quality_score,
-        symbol_word_ratio,
-        token_count_heuristic,
-        ws_token_count,
-    )
-
+    from entity_extraction_service_spark.functions.text_stats import doc_stats
     from entity_extraction_service_spark.operators.quality_lm import (
         perplexity_scores,
     )
 
     d = _t(spark, sf_dir, "documents")
-    stats = d.select(
-        "doc_id",
-        token_count_heuristic(F.col("text")).alias("n_tokens_heuristic"),
-        ws_token_count(F.col("text")).alias("n_ws_tokens"),
-        fingerprint(F.col("text")).alias("fp"),
-        quality_score(F.col("text")).alias("quality"),
-        lang_id(F.col("text")).alias("lang_pred"),
-        # Gopher-style quality rules (text_stats.py; Rae et al. 2021
-        # §A1.1 shape) — rounded metrics + the boolean gate
-        mean_word_length(F.col("text")).alias("mean_word_len"),
-        alpha_word_ratio(F.col("text")).alias("alpha_word_ratio"),
-        symbol_word_ratio(F.col("text")).alias("symbol_word_ratio"),
-        dup_unigram_ratio(F.col("text")).alias("dup_unigram_ratio"),
-        gopher_pass(F.col("text")).alias("gopher_pass"),
-    )
+    # the canonical 11-column projection, shared with bench.py's pinned
+    # wall entry (functions/text_stats.doc_stats — one definition);
+    # Gopher-style rules per Rae et al. 2021 §A1.1
+    stats = doc_stats(d)
     # bucket computed on the SINGLE joined result (self-review finding:
     # joining perplexity_buckets separately put the whole bigram-LM
     # lineage in the plan twice). Partitioning the ntile window on the

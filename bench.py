@@ -210,35 +210,12 @@ def main() -> None:
     # stats-only scan, and the full LM entry is timed separately below,
     # outside the frozen wall
     def _text_stats_only(s, d):
-        from pyspark.sql import functions as SF
+        # the SHARED canonical projection (functions/text_stats.doc_stats)
+        # — the same definition the driver's text_analysis entry selects,
+        # so the pinned wall entry can never drift from it
+        from entity_extraction_service_spark.functions.text_stats import doc_stats
 
-        from entity_extraction_service_spark.functions.text_stats import (
-            alpha_word_ratio,
-            dup_unigram_ratio,
-            fingerprint,
-            gopher_pass,
-            lang_id,
-            mean_word_length,
-            quality_score,
-            symbol_word_ratio,
-            token_count_heuristic,
-            ws_token_count,
-        )
-
-        doc = s.read.parquet(os.path.join(d, "documents.parquet"))
-        return doc.select(
-            "doc_id",
-            token_count_heuristic(SF.col("text")).alias("n_tokens_heuristic"),
-            ws_token_count(SF.col("text")).alias("n_ws_tokens"),
-            fingerprint(SF.col("text")).alias("fp"),
-            quality_score(SF.col("text")).alias("quality"),
-            lang_id(SF.col("text")).alias("lang_pred"),
-            mean_word_length(SF.col("text")).alias("mean_word_len"),
-            alpha_word_ratio(SF.col("text")).alias("alpha_word_ratio"),
-            symbol_word_ratio(SF.col("text")).alias("symbol_word_ratio"),
-            dup_unigram_ratio(SF.col("text")).alias("dup_unigram_ratio"),
-            gopher_pass(SF.col("text")).alias("gopher_pass"),
-        )
+        return doc_stats(s.read.parquet(os.path.join(d, "documents.parquet")))
 
     local_queries = {
         "simhash_fingerprints": lambda s, d: _simhash_fp(

@@ -168,3 +168,25 @@ def gopher_pass(text: Column) -> Column:
             >= F.lit(GOPHER_MIN_STOPWORD_HITS)
         )
     )
+
+
+def doc_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """The canonical 11-column text-stats projection — ONE definition
+    shared by the driver's text_analysis entry and bench.py's pinned
+    r1-comparable wall entry, so the two can never silently drift
+    (second review round: the bench copy was a hand-duplicated select).
+    """
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        token_count_heuristic(t).alias("n_tokens_heuristic"),
+        ws_token_count(t).alias("n_ws_tokens"),
+        fingerprint(t).alias("fp"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        mean_word_length(t).alias("mean_word_len"),
+        alpha_word_ratio(t).alias("alpha_word_ratio"),
+        symbol_word_ratio(t).alias("symbol_word_ratio"),
+        dup_unigram_ratio(t).alias("dup_unigram_ratio"),
+        gopher_pass(t).alias("gopher_pass"),
+    )

@@ -129,6 +129,11 @@ REPORT_VERBS = {
         "note": ("note", "notes", "noted", "noting"),
         "explain": ("explain", "explains", "explained", "explaining"),
         "announce": ("announce", "announces", "announced", "announcing"),
+        # expletive that-frames ("It SEEMS that X closed Y") ride the
+        # same MARK machinery: the raised clause parses plainly and the
+        # expletive holds no role (second review round)
+        "seem": ("seem", "seems", "seemed"),
+        "appear": ("appear", "appears", "appeared"),
     }.items()
     for form in forms
 }
@@ -163,6 +168,17 @@ def _attach(child: Tok, head: Tok, dep: str) -> None:
     child.head = head
     child.dep = dep
     head.children.append(child)
+
+
+def _left_nonpunct(toks: list[Tok], idx: int) -> Tok | None:
+    """Nearest non-punctuation token left of ``idx`` — the shared
+    left-context probe of both homograph retag gates (control + report),
+    factored so a gate fix can never apply to one class and silently
+    miss the other."""
+    return next(
+        (toks[k] for k in range(idx - 1, -1, -1) if toks[k].pos != "PUNCT"),
+        None,
+    )
 
 
 class DepParser:
@@ -526,11 +542,7 @@ class DepParser:
                 # migrate") whose control lemma still needs setting
                 if w not in CONTROL_VERBS or t.pos not in ("NOUN", "VERB"):
                     continue
-                p = next(
-                    (toks[k] for k in range(idx - 1, -1, -1)
-                     if toks[k].pos != "PUNCT"),
-                    None,
-                )
+                p = _left_nonpunct(toks, idx)
                 if p is not None and p.pos in ("DET", "ADP"):
                     continue
                 nxt = toks[idx + 1]
@@ -538,7 +550,13 @@ class DepParser:
                     nxt.text.lower() == "to"
                     and idx + 2 < len(toks)
                     and toks[idx + 2].pos != "VERB"
-                    and toks[idx + 2].text.lower() in self.lemma_set
+                    and (
+                        toks[idx + 2].text.lower() in self.lemma_set
+                        # "agreed to CONFIRM that ..." — the embedded
+                        # infinitive may itself be a report verb whose
+                        # that-clause the next pass will open
+                        or toks[idx + 2].text.lower() in REPORT_VERBS
+                    )
                 )
                 gerund = nxt.pos == "VERB" and nxt.text.lower().endswith("ing")
                 if to_inf:
@@ -552,28 +570,45 @@ class DepParser:
                     t.pos = "VERB"
                     t.lemma = CONTROL_VERBS[w]
             # report-verb retag (round 5, ccomp): REPORT "that" CLAUSE —
-            # same frame-gate discipline as control verbs. The "that"
-            # becomes MARK (complementizer), so the relcl machinery never
-            # sees it and the embedded clause parses as a plain clause:
-            # "Maria said that auth-service closed E7" yields
-            # (auth-service, closed, E7) and — deliberately — NO role for
-            # Maria relative to 'closed' (she reported it, didn't do it).
+            # the "that" becomes MARK (complementizer), so the relcl
+            # machinery never sees it and the embedded clause parses as a
+            # plain clause: "Maria said that auth-service closed E7"
+            # yields (auth-service, closed, E7) and — deliberately — NO
+            # role for Maria relative to 'closed' (she reported it,
+            # didn't do it). The NOUN-homograph gate (second review
+            # round) requires a SUBJECT-looking left neighbor — a
+            # pronoun, or a capitalized non-possessive noun (a proper-
+            # noun subject): "the incident REPORT that Maria wrote ..."
+            # (compound noun), "Maria's REPORT that ..." (possessive),
+            # and bare sentence-initial "REPORTS that ..." all keep
+            # their noun reading and the object-relative parse. An
+            # already-VERB token (morph rule "was SAYING that", or a
+            # control-embedded "agreed to CONFIRM that") skips the gate
+            # — it was disambiguated by its own licensed frame. A
+            # lowercase common-noun subject ("the team said that ...")
+            # is deliberately NOT retagged — precision over recall.
             for idx in range(len(toks) - 1):
                 t = toks[idx]
                 w = t.text.lower()
                 if w not in REPORT_VERBS or t.pos not in ("NOUN", "VERB"):
                     continue
-                p = next(
-                    (toks[k] for k in range(idx - 1, -1, -1)
-                     if toks[k].pos != "PUNCT"),
-                    None,
-                )
-                if p is not None and p.pos in ("DET", "ADP"):
+                if toks[idx + 1].text.lower() != "that":
                     continue
-                if toks[idx + 1].text.lower() == "that":
-                    t.pos = "VERB"
-                    t.lemma = REPORT_VERBS[w]
-                    toks[idx + 1].pos = "MARK"
+                if t.pos == "NOUN":
+                    p = _left_nonpunct(toks, idx)
+                    subjectish = p is not None and (
+                        p.pos == "PRON"
+                        or (
+                            p.pos == "NOUN"
+                            and p.text[0].isupper()
+                            and not p.text.endswith(("'s", "’s"))
+                        )
+                    )
+                    if not subjectish:
+                        continue
+                t.pos = "VERB"
+                t.lemma = REPORT_VERBS[w]
+                toks[idx + 1].pos = "MARK"
             self._parse_sentence(toks)
             if toks:
                 sents.append(toks)

@@ -98,7 +98,11 @@ def run_pair() -> dict:
         "triples_per_sec_4n": big["triples_per_sec"],
         "n_triples_n": small["n_triples"],
         "n_triples_4n": big["n_triples"],
-        "efficiency": round(eff, 3),
+        # 4 decimals, and the gate reads THIS raw-ish value: at 3
+        # decimals a raw 0.7996 rounded to 0.800 and read as gate-met
+        # (second review round) — the displayed number and the gated
+        # number must carry the same information
+        "efficiency": round(eff, 4),
         "ceiling": round(ceiling, 3),
     }
 
@@ -157,9 +161,12 @@ def main() -> None:
         f"| {i} | {p['wall_4n']} | {p['wall_n']} | {p['efficiency']} | {p['ceiling']} |"
         for i, p in enumerate(pairs)
     )
-    with open(os.path.join(REPO, "BENCH_scaling.md"), "w") as f:
+    # APPEND a dated section — an open(..., 'w') here once clobbered the
+    # hand-curated multi-round history other docs cite (second review
+    # round); the report file is a log, not a scratch buffer
+    with open(os.path.join(REPO, "BENCH_scaling.md"), "a") as f:
         f.write(
-            "# Scaling run report (paired protocol)\n\n"
+            "\n## Scaling run (paired protocol, auto-appended)\n\n"
             f"Input: {N_CONVS/1e6:.1f}M convs / ~{N_CONVS*24/1e6:.0f}M turns; "
             f"pair local[{N_SMALL}] -> local[{N_BIG}]; each pair back-to-back, "
             "fresh JVM per level, identical configs except master.\n\n"

@@ -217,6 +217,57 @@ def test_ccomp_tree_shape():
     assert toks["closed"].dep == "relcl" and toks["closed"].head is toks["report"]
 
 
+def test_report_noun_gate_second_review():
+    """Second-review regressions: compound-noun, bare-plural, and
+    possessive uses of report homographs keep their noun reading (and
+    the object-relative parse); expletive and control-embedded frames
+    now route through MARK."""
+    p = DepParser(DEP_VERB_FORMS)
+    # compound noun: 'incident report that ...' is an object relative —
+    # the outer clause verb takes no role from the embedded one
+    toks = {
+        t.text: t
+        for t in p.parse(
+            "The incident report that Maria Santos wrote broke checkout-service."
+        )[0]
+    }
+    assert toks["report"].pos == "NOUN"
+    assert toks["wrote"].dep == "relcl"
+    assert grammatical_role(toks["checkout-service"], toks["wrote"]) is None
+    # bare sentence-initial plural stays a noun
+    toks = {
+        t.text: t
+        for t in p.parse("Reports that auth-service closed the ticket worried Maria Santos.")[0]
+    }
+    assert toks["Reports"].pos == "NOUN"
+    assert grammatical_role(toks["Santos"], toks["closed"]) is None
+    # possessive stays a noun
+    toks = {
+        t.text: t
+        for t in p.parse("Maria's report that auth-service closed the ticket broke checkout.")[0]
+    }
+    assert toks["report"].pos == "NOUN"
+    # expletive frame: "It appears that ..." opens the embedded clause
+    toks = {
+        t.text: t
+        for t in p.parse("It appears that auth-service closed the ticket.")[0]
+    }
+    assert toks["that"].pos == "MARK"
+    assert grammatical_role(toks["auth-service"], toks["closed"]) == "actor"
+    assert grammatical_role(toks["ticket"], toks["closed"]) == "patient"
+    # control-embedded report verb: "agreed to confirm that ..."
+    toks = {
+        t.text: t
+        for t in p.parse(
+            "Maria Santos agreed to confirm that auth-service closed the ticket."
+        )[0]
+    }
+    assert toks["confirm"].dep == "xcomp" and toks["that"].pos == "MARK"
+    assert grammatical_role(toks["auth-service"], toks["closed"]) == "actor"
+    assert grammatical_role(toks["ticket"], toks["closed"]) == "patient"
+    assert grammatical_role(toks["Santos"], toks["closed"]) is None
+
+
 def test_plain_list_is_not_appositive():
     """No determiner after the comma -> coordination, exactly as before."""
     p = DepParser(DEP_VERB_FORMS)
