@@ -466,6 +466,16 @@ ASOF_STATE_SCHEMA = T.StructType(
     ]
 )
 
+# strict-buffer variant (round 5): the state is the last K right rows,
+# kept sorted by (ts, seq) — three parallel arrays, O(K) per key
+ASOF_BUF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_arr", T.ArrayType(T.LongType(), False), False),
+        T.StructField("seq_arr", T.ArrayType(T.LongType(), False), False),
+        T.StructField("val_arr", T.ArrayType(T.DoubleType(), False), False),
+    ]
+)
+
 
 def streaming_asof(
     events: DataFrame,
@@ -475,6 +485,7 @@ def streaming_asof(
     value_col: str = "value",
     side_col: str = "side",
     inclusive: bool = True,
+    strict_buffer: int = 0,
 ) -> DataFrame:
     """Custom STATEFUL operator: streaming backward as-of join — the
     ``applyInPandasWithState`` twin of ``operators.asof.asof_join``
@@ -518,9 +529,25 @@ def streaming_asof(
     never a wrong one (the visibility check below). Full strict parity
     therefore holds when per-key right-side arrival respects event-time
     order AND no co-timed (left, right) pair straddles a micro-batch
-    boundary; a bounded buffer of recent right rows (keyed by the source
-    watermark) would close the gap at the cost of O(buffer) state.
+    boundary.
+
+    ``strict_buffer`` (round 5) closes that gap for strict mode at the
+    cost of O(K) state: with ``strict_buffer=K > 0`` and
+    ``inclusive=False``, the per-key state becomes the last K right
+    rows (sorted (ts, seq) arrays), a probe answers with the latest
+    buffered right row STRICTLY before it, and an out-of-event-time
+    right straggler is inserted in order as long as it lands within the
+    buffer's span. Full strict parity with the batch join then holds
+    whenever the matching right row is among the key's last K —
+    size K to the source's maximum expected disorder (e.g. rows per
+    watermark delay). Ignored in inclusive mode, where O(1) state is
+    already exact under the ordering contract.
     """
+    if strict_buffer > 0 and not inclusive:
+        return _streaming_asof_buffered(
+            events, key_col, ts_col, seq_col, value_col, side_col,
+            int(strict_buffer),
+        )
     right_rank, left_rank = (0, 1) if inclusive else (1, 0)
     out_schema = T.StructType(
         [
@@ -588,6 +615,89 @@ def streaming_asof(
         update,
         out_schema,
         ASOF_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _streaming_asof_buffered(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    value_col: str,
+    side_col: str,
+    strict_buffer: int,
+) -> DataFrame:
+    """strict_buffer > 0 path of ``streaming_asof`` (inclusive=False
+    only): per-key state = the last ``strict_buffer`` right rows as
+    sorted (ts, seq, val) triples. A left probe answers with the latest
+    right row STRICTLY before its timestamp; a right arrival inserts in
+    (ts, seq) order, so a cross-batch co-timed right no longer erases
+    the PREVIOUS right row strict mode needs, and an out-of-event-time
+    straggler still integrates if it lands within the buffer span. See
+    tests/test_streaming_asof.py::test_strict_buffer_* for the batch-
+    parity cases the O(1) state conservatively NULLs."""
+    import bisect
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField(seq_col, T.LongType(), False),
+            T.StructField("ts_us", T.LongType(), False),
+            T.StructField(value_col, T.DoubleType(), True),
+            T.StructField("asof_seq", T.LongType(), True),
+            T.StructField("asof_value", T.DoubleType(), True),
+            T.StructField("asof_ts_us", T.LongType(), True),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state):
+        (k,) = key
+        if state.exists:
+            ts_arr, seq_arr, val_arr = state.get
+            buf = sorted(zip(ts_arr, seq_arr, val_arr))
+        else:
+            buf = []
+        out = []
+        rows = []
+        for pdf in pdfs:
+            ts_us = (pdf[ts_col].astype("int64") // 1000).astype("int64")
+            for t_us, side, seq, val in zip(
+                ts_us, pdf[side_col], pdf[seq_col], pdf[value_col]
+            ):
+                # strict order: co-timed lefts process BEFORE co-timed
+                # rights (rank 0 < 1), the batch kernel's strict window
+                rows.append(
+                    (int(t_us), 0 if side == "left" else 1, int(seq),
+                     float(val), side)
+                )
+        rows.sort()
+        for t_us, _rank, seq, val, side in rows:
+            if side == "right":
+                bisect.insort(buf, (t_us, seq, val))
+                if len(buf) > strict_buffer:
+                    buf = buf[-strict_buffer:]
+            else:
+                # rightmost buffered entry with ts strictly < t_us
+                i = bisect.bisect_left(buf, (t_us,))
+                if i > 0:
+                    m_ts, m_seq, m_val = buf[i - 1]
+                    out.append((k, seq, t_us, val, m_seq, m_val, m_ts))
+                else:
+                    out.append((k, seq, t_us, val, None, None, None))
+        state.update(
+            ([b[0] for b in buf], [b[1] for b in buf], [b[2] for b in buf])
+        )
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        ASOF_BUF_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )

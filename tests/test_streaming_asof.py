@@ -146,3 +146,88 @@ def test_strict_mode_cotimed_right_from_earlier_batch_hidden(spark, tmp_path):
     assert got[3] == (None, None)
     # left@7s: right(2) at 5s < 7s is strictly earlier -> visible
     assert got[4] == (2, 2.0)
+
+
+def _strict_stream(spark, src, ckpt, name, strict_buffer=0, max_files=1):
+    stream = (
+        spark.readStream.schema(E_DDL).option("maxFilesPerTrigger", max_files).parquet(src)
+    )
+    q = (
+        streaming_asof(stream, inclusive=False, strict_buffer=strict_buffer)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r["user_id"], r["event_id"]): (r["asof_seq"], r["asof_value"])
+        for r in spark.table(name).collect()
+    }
+
+
+def test_strict_buffer_recovers_cotimed_cross_batch(spark, tmp_path):
+    """Round 5: with strict_buffer, the cross-batch co-timed case that
+    the O(1) state conservatively NULLs now matches the PREVIOUS right
+    row — full batch-strict semantics."""
+    import time
+
+    base = datetime(2024, 1, 1)
+    b1 = [("u0", 1, base, "right", 1.0), ("u0", 2, base + timedelta(seconds=5), "right", 2.0)]
+    b2 = [("u0", 3, base + timedelta(seconds=5), "left", 9.0),
+          ("u0", 4, base + timedelta(seconds=7), "left", 9.5)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, E_DDL).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, E_DDL).coalesce(1).write.mode("append").parquet(src)
+
+    got = _strict_stream(spark, src, str(tmp_path / "ckpt"), "asof_buf1", strict_buffer=8)
+    # left@5s: co-timed right(2) hidden, buffered right(1)@0s answers
+    assert got[("u0", 3)] == (1, 1.0)
+    # left@7s: right(2)@5s strictly earlier -> visible, unchanged
+    assert got[("u0", 4)] == (2, 2.0)
+
+
+def test_strict_buffer_integrates_out_of_order_right(spark, tmp_path):
+    """An out-of-event-time right straggler landing within the buffer
+    span answers later probes (the O(1) state would reject it)."""
+    import time
+
+    base = datetime(2024, 1, 1)
+    b1 = [("u0", 1, base + timedelta(seconds=10), "right", 1.0)]
+    b2 = [("u0", 2, base + timedelta(seconds=3), "right", 2.0),   # straggler
+          ("u0", 3, base + timedelta(seconds=5), "left", 9.0)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, E_DDL).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, E_DDL).coalesce(1).write.mode("append").parquet(src)
+
+    got = _strict_stream(spark, src, str(tmp_path / "ckpt"), "asof_buf2", strict_buffer=8)
+    assert got[("u0", 3)] == (2, 2.0)
+
+
+def test_strict_buffer_full_parity_with_batch_strict(spark, tmp_path):
+    """stream(strict_buffer=K) == batch asof_join(inclusive=False) over
+    the whole interleaved fixture, across micro-batch boundaries."""
+    import time
+
+    ev = _events(spark)
+    cut = datetime(2024, 1, 1) + timedelta(seconds=200)
+    src = str(tmp_path / "src")
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    got = _strict_stream(spark, src, str(tmp_path / "ckpt"), "asof_buf3", strict_buffer=64)
+    lefts = ev.where(F.col("side") == "left").select("user_id", "event_id", "ts", "value")
+    rights = ev.where(F.col("side") == "right").select("user_id", "ts", "event_id", "value")
+    expected = {
+        (r["user_id"], r["event_id"]): (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(
+            lefts, rights, on=["user_id"], ts_col="ts",
+            right_seq="event_id", direction="backward", inclusive=False,
+        ).collect()
+    }
+    assert got == expected and len(got) > 100
